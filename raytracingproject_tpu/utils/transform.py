@@ -1,0 +1,207 @@
+"""Affine transforms as 3x4 matrices (ref: util/util_transform.h).
+
+Host-side construction/composition uses NumPy (scene flattening runs on
+host at sync time, like the reference's ObjectManager); device-side
+application helpers accept jnp arrays of packed (..., 3, 4) transforms so
+instanced geometry can transform ray batches with one einsum.
+
+Also implements motion-blur transform decomposition
+(ref: util_transform.cpp transform_motion_decompose): a transform is
+split into (rotation quaternion, translation, scale/shear 4x4-lite) so
+per-ray time interpolation slerps rotations instead of blending matrices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+IDENTITY = np.array([[1, 0, 0, 0],
+                     [0, 1, 0, 0],
+                     [0, 0, 1, 0]], dtype=np.float32)
+
+
+def identity():
+    return IDENTITY.copy()
+
+
+def translate(x, y=None, z=None):
+    if y is None:
+        x, y, z = x
+    t = identity()
+    t[:, 3] = (x, y, z)
+    return t
+
+
+def scale(x, y=None, z=None):
+    if y is None:
+        if np.isscalar(x):
+            x = (x, x, x)
+        x, y, z = x
+    t = identity()
+    t[0, 0], t[1, 1], t[2, 2] = x, y, z
+    return t
+
+
+def rotate(angle, axis):
+    """Rotation by `angle` radians about `axis`. ref: transform_rotate."""
+    axis = np.asarray(axis, np.float64)
+    n = np.linalg.norm(axis)
+    if n == 0.0:
+        return identity()
+    x, y, z = axis / n
+    s, c = np.sin(angle), np.cos(angle)
+    t = 1.0 - c
+    m = np.array([
+        [x * x * t + c, x * y * t - z * s, x * z * t + y * s, 0.0],
+        [y * x * t + z * s, y * y * t + c, y * z * t - x * s, 0.0],
+        [z * x * t - y * s, z * y * t + x * s, z * z * t + c, 0.0],
+    ], dtype=np.float32)
+    return m
+
+
+def compose(a, b):
+    """Return transform applying b first, then a (a @ b)."""
+    a4 = to_4x4(a)
+    b4 = to_4x4(b)
+    return (a4 @ b4)[:3].astype(np.float32)
+
+
+def to_4x4(t):
+    m = np.eye(4, dtype=np.float64)
+    m[:3] = np.asarray(t, np.float64)
+    return m
+
+
+def inverse(t):
+    """Invert a 3x4 affine transform. ref: transform_inverse."""
+    m = np.linalg.inv(to_4x4(t))
+    return m[:3].astype(np.float32)
+
+
+def look_at(position, look, up):
+    """Camera-style look-at matrix (ref: app/cycles_xml.cpp:89 transform
+    convention: camera looks down +z with y up in camera space)."""
+    position = np.asarray(position, np.float64)
+    direction = np.asarray(look, np.float64) - position
+    direction /= max(np.linalg.norm(direction), 1e-12)
+    up = np.asarray(up, np.float64)
+    right = np.cross(direction, up)
+    nr = np.linalg.norm(right)
+    if nr < 1e-9:
+        right = np.array([1.0, 0.0, 0.0])
+    else:
+        right /= nr
+    new_up = np.cross(right, direction)
+    m = np.stack([right, new_up, direction, position], axis=1)
+    return m.astype(np.float32)
+
+
+def transform_point(t, p):
+    """Apply (..., 3, 4) transform(s) to (..., 3) point(s) — jnp or np."""
+    return (t[..., :3, :3] @ p[..., None])[..., 0] + t[..., :3, 3]
+
+
+def transform_direction(t, d):
+    return (t[..., :3, :3] @ d[..., None])[..., 0]
+
+
+def transform_normal(t_inv, n):
+    """Normals transform by the inverse transpose: pass the *inverse*."""
+    return (jnp.swapaxes(t_inv[..., :3, :3], -1, -2) @ n[..., None])[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Motion decomposition (host side; ref: util_transform.cpp)
+# ---------------------------------------------------------------------------
+
+def matrix_to_quat(m):
+    """Rotation 3x3 -> quaternion (w, x, y, z)."""
+    m = np.asarray(m, np.float64)
+    tr = m[0, 0] + m[1, 1] + m[2, 2]
+    if tr > 0.0:
+        s = np.sqrt(tr + 1.0) * 2.0
+        w = 0.25 * s
+        x = (m[2, 1] - m[1, 2]) / s
+        y = (m[0, 2] - m[2, 0]) / s
+        z = (m[1, 0] - m[0, 1]) / s
+    elif m[0, 0] > m[1, 1] and m[0, 0] > m[2, 2]:
+        s = np.sqrt(1.0 + m[0, 0] - m[1, 1] - m[2, 2]) * 2.0
+        w = (m[2, 1] - m[1, 2]) / s
+        x = 0.25 * s
+        y = (m[0, 1] + m[1, 0]) / s
+        z = (m[0, 2] + m[2, 0]) / s
+    elif m[1, 1] > m[2, 2]:
+        s = np.sqrt(1.0 + m[1, 1] - m[0, 0] - m[2, 2]) * 2.0
+        w = (m[0, 2] - m[2, 0]) / s
+        x = (m[0, 1] + m[1, 0]) / s
+        y = 0.25 * s
+        z = (m[1, 2] + m[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + m[2, 2] - m[0, 0] - m[1, 1]) * 2.0
+        w = (m[1, 0] - m[0, 1]) / s
+        x = (m[0, 2] + m[2, 0]) / s
+        y = (m[1, 2] + m[2, 1]) / s
+        z = 0.25 * s
+    return np.array([w, x, y, z])
+
+
+def quat_to_matrix(q):
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xnp = jnp if hasattr(q, "device") or isinstance(q, jnp.ndarray) else np
+    r0 = xnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], axis=-1)
+    r1 = xnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], axis=-1)
+    r2 = xnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], axis=-1)
+    return xnp.stack([r0, r1, r2], axis=-2)
+
+
+def decompose(t):
+    """3x4 -> (quat[4], translation[3], scale 3x3 flattened[9]).
+
+    ref: transform_decompose. Returns a flat float32[16] record so motion
+    steps pack into one device row.
+    """
+    t = np.asarray(t, np.float64)
+    rot_scale = t[:3, :3]
+    # Polar-ish decomposition via SVD: R = U V^T, S = V diag(s) V^T
+    u, s, vt = np.linalg.svd(rot_scale)
+    r = u @ vt
+    if np.linalg.det(r) < 0.0:
+        u[:, -1] = -u[:, -1]
+        s[-1] = -s[-1]
+        r = u @ vt
+    scale_m = vt.T @ np.diag(s) @ vt
+    q = matrix_to_quat(r)
+    out = np.zeros(16, np.float32)
+    out[0:4] = q
+    out[4:7] = t[:3, 3]
+    out[7:16] = scale_m.reshape(-1)
+    return out
+
+
+def motion_interpolate(decomp_a, decomp_b, t):
+    """Interpolate two decomposed transforms at time t in [0,1] -> (...,3,4).
+
+    jnp, batched. ref: kernel/kernel_compat transform_motion_interpolate.
+    """
+    qa, qb = decomp_a[..., 0:4], decomp_b[..., 0:4]
+    # slerp with fallback to nlerp for near-parallel quats
+    d = jnp.sum(qa * qb, axis=-1, keepdims=True)
+    qb = jnp.where(d < 0.0, -qb, qb)
+    d = jnp.abs(d)
+    theta = jnp.arccos(jnp.clip(d, -1.0, 1.0))
+    sin_theta = jnp.sin(theta)
+    use_slerp = sin_theta > 1e-5
+    tt = jnp.asarray(t)[..., None]
+    wa = jnp.where(use_slerp, jnp.sin((1.0 - tt) * theta) / jnp.where(use_slerp, sin_theta, 1.0), 1.0 - tt)
+    wb = jnp.where(use_slerp, jnp.sin(tt * theta) / jnp.where(use_slerp, sin_theta, 1.0), tt)
+    q = wa * qa + wb * qb
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    trans = (1.0 - tt) * decomp_a[..., 4:7] + tt * decomp_b[..., 4:7]
+    sm = ((1.0 - tt) * decomp_a[..., 7:16] + tt * decomp_b[..., 7:16])
+    sm = sm.reshape(sm.shape[:-1] + (3, 3))
+    rot = quat_to_matrix(q)
+    # precision='highest': TPU default matmul precision is bf16-ish, which
+    # breaks the fp32 accuracy contract for transforms.
+    m = jnp.matmul(rot, sm, precision="highest")
+    return jnp.concatenate([m, trans[..., None]], axis=-1)
