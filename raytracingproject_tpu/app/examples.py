@@ -1,0 +1,159 @@
+"""Programmatic example scenes for tests + benchmarks.
+
+The Cornell box mirrors the classic configuration used by the
+reference's example/benchmark scenes (BASELINE.json configs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from raytracingproject_tpu.models import (
+    Scene, Camera, Light, Object, Shader, ShaderGraph)
+from raytracingproject_tpu.models import shader_nodes as sn
+from raytracingproject_tpu.models.mesh import (
+    make_plane_mesh, make_box_mesh, make_sphere_mesh)
+from raytracingproject_tpu.utils import transform as tfm
+
+
+def diffuse_shader(name, color):
+    g = ShaderGraph()
+    d = g.add(sn.DiffuseBsdfNode(name + "_bsdf", color=color))
+    g.connect(d, "bsdf", g.output_node, "surface")
+    return Shader(name, g)
+
+
+def glossy_shader(name, color, roughness=0.1):
+    g = ShaderGraph()
+    d = g.add(sn.GlossyBsdfNode(name + "_bsdf", color=color,
+                                roughness=roughness))
+    g.connect(d, "bsdf", g.output_node, "surface")
+    return Shader(name, g)
+
+
+def glass_shader(name, color=(1, 1, 1), ior=1.45, roughness=0.0):
+    g = ShaderGraph()
+    d = g.add(sn.GlassBsdfNode(name + "_bsdf", color=color, ior=ior,
+                               roughness=roughness))
+    g.connect(d, "bsdf", g.output_node, "surface")
+    return Shader(name, g)
+
+
+def emission_shader(name, color, strength):
+    g = ShaderGraph()
+    e = g.add(sn.EmissionNode(name + "_emit", color=color, strength=strength))
+    g.connect(e, "emission", g.output_node, "surface")
+    return Shader(name, g)
+
+
+def background_shader(name, color, strength=1.0):
+    g = ShaderGraph()
+    b = g.add(sn.BackgroundNode(name + "_bg", color=color, strength=strength))
+    g.connect(b, "background", g.output_node, "surface")
+    return Shader(name, g)
+
+
+def cornell_box(width=256, height=256, spp=64, light_mode="mesh",
+                spheres=None):
+    """Classic Cornell box. light_mode: 'mesh' (emissive quad geometry)
+    or 'area' (area lamp). spheres: None | 'diffuse' | 'glossy' | 'glass'."""
+    scene = Scene()
+    scene.camera.set("matrix", tfm.look_at((278, -800, 273), (278, 0, 273),
+                                           (0, 0, 1)))
+    scene.camera.set("fov", 2.0 * np.arctan(0.5 * 0.025 / 0.035))
+    scene.camera.set("fov", 0.686)
+    scene.camera.set("width", width)
+    scene.camera.set("height", height)
+
+    white = diffuse_shader("white", (0.73, 0.73, 0.73))
+    red = diffuse_shader("red", (0.65, 0.05, 0.05))
+    green = diffuse_shader("green", (0.12, 0.45, 0.15))
+    for s in (white, red, green):
+        scene.add_shader(s)
+
+    def add_mesh(mesh, shaders, name):
+        mesh.used_shaders = shaders
+        obj = Object(name, mesh)
+        scene.add_object(obj)
+        return obj
+
+    # box interior: floor/ceiling/back white, left red(+x? classic: left
+    # red, right green), using z-up coords, camera along -y
+    floor = make_plane_mesh((0, 0, 0), (556, 0, 0), (0, 556, 0), 0, "floor")
+    ceil = make_plane_mesh((0, 0, 548.8), (0, 556, 0), (556, 0, 0), 0, "ceil")
+    back = make_plane_mesh((0, 556, 0), (556, 0, 0), (0, 0, 548.8), 0, "back")
+    right = make_plane_mesh((0, 0, 0), (0, 556, 0), (0, 0, 548.8), 0, "right")
+    left = make_plane_mesh((556, 0, 0), (0, 0, 548.8), (0, 556, 0), 0, "left")
+    add_mesh(floor, [white], "floor")
+    add_mesh(ceil, [white], "ceil")
+    add_mesh(back, [white], "back")
+    add_mesh(right, [green], "right")
+    add_mesh(left, [red], "left")
+
+    # two boxes (classic short + tall) or spheres
+    if spheres is None:
+        short = make_box_mesh((130, 65, 0), (295, 230, 165), 0, "short")
+        tall = make_box_mesh((265, 296, 0), (430, 461, 330), 0, "tall")
+        add_mesh(short, [white], "short_box")
+        add_mesh(tall, [white], "tall_box")
+    else:
+        mat1 = {"diffuse": white,
+                "glossy": glossy_shader("mirror", (0.95, 0.95, 0.95), 0.05),
+                "glass": glass_shader("glass")}[spheres]
+        scene.add_shader(mat1)
+        s1 = make_sphere_mesh((185, 170, 90), 90, 0, name="sphere1")
+        s2 = make_sphere_mesh((370, 350, 90), 90, 0, name="sphere2")
+        s1.set("smooth", np.ones(s1.num_triangles, bool))
+        s2.set("smooth", np.ones(s2.num_triangles, bool))
+        add_mesh(s1, [mat1], "sphere1")
+        add_mesh(s2, [white], "sphere2")
+
+    # light
+    if light_mode == "mesh":
+        lshader = emission_shader("light", (1.0, 0.88, 0.68), 18.0)
+        scene.add_shader(lshader)
+        lm = make_plane_mesh((213, 227, 548.7), (130, 0, 0), (0, 105, 0), 0,
+                             "light")
+        add_mesh(lm, [lshader], "light")
+    else:
+        light = Light("key", light_type="area",
+                      co=(278, 279.5, 548.7),
+                      axisu=(1, 0, 0), sizeu=130.0,
+                      axisv=(0, 1, 0), sizev=105.0,
+                      strength=(18.0, 15.8, 12.2))
+        # area lamp dir faces -z (down into the box)
+        light.set("dir", (0, 0, -1))
+        # swap axes so cross(axisu, axisv) == -z
+        light.set("axisu", (0, 1, 0))
+        light.set("axisv", (1, 0, 0))
+        light.set("sizeu", 105.0)
+        light.set("sizev", 130.0)
+        scene.add_light(light)
+
+    scene.integrator.set("aa_samples", spp)
+    scene.integrator.set("max_bounce", 4)
+    scene.background.shader = None
+    return scene
+
+
+def furnace_scene(width=64, height=64, albedo=1.0, bounces=16):
+    """White-furnace closure test: a perfectly white sphere inside a
+    uniform unit-radiance background must render exactly 1.0 everywhere
+    (checks BSDF sampling + background MIS energy conservation)."""
+    scene = Scene()
+    scene.camera.set("matrix", tfm.look_at((0, -5, 0), (0, 0, 0), (0, 0, 1)))
+    scene.camera.set("fov", 0.6)
+    scene.camera.set("width", width)
+    scene.camera.set("height", height)
+    mat = diffuse_shader("albedo", (albedo, albedo, albedo))
+    scene.add_shader(mat)
+    sph = make_sphere_mesh((0, 0, 0), 1.0, 0, nlat=24, nlon=48)
+    sph.set("smooth", np.ones(sph.num_triangles, bool))
+    sph.used_shaders = [mat]
+    scene.add_object(Object("sphere", sph))
+    bg = background_shader("furnace_bg", (1.0, 1.0, 1.0), 1.0)
+    scene.background.shader = bg
+    scene.integrator.set("max_bounce", bounces)
+    scene.integrator.set("sample_clamp_indirect", 0.0)
+    scene.integrator.set("min_bounce", 6)
+    return scene

@@ -1,0 +1,243 @@
+"""Binned-SAH BVH2 builder (ref: bvh/bvh_build.cpp BVHBuild::run,
+bvh/bvh_binning.cpp; packed layout ref: bvh/bvh2.h, bvh/bvh.h:46-77).
+
+Differences from the reference, driven by TPU traversal:
+
+- The packed node layout is SoA arrays sized for *batched row gathers*:
+    bounds   (M, 12) float32 — child0 lo/hi, child1 lo/hi
+    children (M, 2)  int32   — >=0: inner child node index;
+                                <0: leaf, encoding (prim_start, count)
+  One f32 gather + one i32 gather per traversal step for a whole ray
+  wavefront, vs the reference's int4-texture fetches per thread.
+- Primitives are reordered so each leaf's primitives are contiguous
+  (prim_order), so leaf intersection is a dense slice gather.
+- Build runs host-side at scene sync (NumPy vectorized binning; a C++
+  builder with identical output is used when available — see
+  native/bvh_builder.cpp).
+
+Leaf encoding: child = -(1 + (start << 4) + count), count in [0, 15].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+NUM_BINS = 16          # ref: bvh_binning uses up to 32; 16 is plenty
+MAX_LEAF_SIZE = 4      # ref: BVHParams::max_triangle_leaf_size = 8
+LEAF_SENTINEL = np.int32(-0x7FFFFFFF)
+
+
+def encode_leaf(start, count):
+    return -(1 + (int(start) << 4) + int(count))
+
+
+def decode_leaf(child):
+    v = -int(child) - 1
+    return v >> 4, v & 15
+
+
+@dataclass
+class BVHArrays:
+    bounds: np.ndarray     # (M, 12) f32
+    children: np.ndarray   # (M, 2) i32
+    prim_order: np.ndarray  # (P,) i32 — new position -> original prim index
+    root_bound_lo: np.ndarray
+    root_bound_hi: np.ndarray
+
+    @property
+    def num_nodes(self):
+        return len(self.bounds)
+
+
+def build_bvh(lo, hi, max_leaf_size=MAX_LEAF_SIZE):
+    """Build a BVH2 over primitives with AABBs [lo, hi] ((P, 3) each).
+
+    Returns BVHArrays. Works for triangles (BLAS) and object instances
+    (TLAS) alike — the caller decides what a 'primitive' is.
+    """
+    lo = np.asarray(lo, np.float32).reshape(-1, 3)
+    hi = np.asarray(hi, np.float32).reshape(-1, 3)
+    nprims = len(lo)
+    cent = 0.5 * (lo + hi)
+
+    if nprims == 0:
+        bounds = np.zeros((1, 12), np.float32)
+        children = np.full((1, 2), encode_leaf(0, 0), np.int32)
+        return BVHArrays(bounds, children, np.zeros(0, np.int32),
+                         np.zeros(3, np.float32), np.zeros(3, np.float32))
+
+    order = np.arange(nprims, dtype=np.int32)
+
+    bounds_list = []
+    children_list = []
+    prim_out = []
+
+    def new_node():
+        bounds_list.append(np.zeros(12, np.float32))
+        children_list.append(np.zeros(2, np.int32))
+        return len(bounds_list) - 1
+
+    def leaf_child(idx_range):
+        start = len(prim_out)
+        prim_out.extend(order[idx_range].tolist())
+        return encode_leaf(start, len(idx_range))
+
+    def range_bounds(idx):
+        return lo[idx].min(0), hi[idx].max(0)
+
+    def split_range(idx):
+        """Pick SAH binned split; returns (left_idx, right_idx) or None
+        for make-leaf. (ref: bvh_binning.cpp bin_splits)"""
+        n = len(idx)
+        if n <= max_leaf_size:
+            return None
+        clo = cent[idx].min(0)
+        chi = cent[idx].max(0)
+        ext = chi - clo
+        axis = int(np.argmax(ext))
+        if ext[axis] <= 1e-12:
+            # Degenerate centroids: median split to bound leaf size.
+            half = n // 2
+            return idx[:half], idx[half:]
+        # bin primitives along the widest centroid axis
+        scale = NUM_BINS * (1.0 - 1e-6) / ext[axis]
+        bin_ids = ((cent[idx, axis] - clo[axis]) * scale).astype(np.int32)
+        # per-bin counts and bounds via vectorized min/max-at
+        counts = np.bincount(bin_ids, minlength=NUM_BINS)
+        blo = np.full((NUM_BINS, 3), np.inf, np.float32)
+        bhi = np.full((NUM_BINS, 3), -np.inf, np.float32)
+        np.minimum.at(blo, bin_ids, lo[idx])
+        np.maximum.at(bhi, bin_ids, hi[idx])
+        # sweep left->right and right->left for SAH
+        def areas(l, h):
+            d = np.maximum(h - l, 0.0)
+            return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+        llo = np.minimum.accumulate(blo, 0)
+        lhi = np.maximum.accumulate(bhi, 0)
+        rlo = np.minimum.accumulate(blo[::-1], 0)[::-1]
+        rhi = np.maximum.accumulate(bhi[::-1], 0)[::-1]
+        lcount = np.cumsum(counts)
+        # split after bin i: left = bins[0..i], right = bins[i+1..]
+        rcount = n - lcount[:-1]
+        sah = (areas(llo, lhi)[:-1] * lcount[:-1]
+               + areas(rlo, rhi)[1:] * rcount)
+        valid = (lcount[:-1] > 0) & (rcount > 0)
+        if not valid.any():
+            half = n // 2
+            part = np.argsort(cent[idx, axis], kind="stable")
+            return idx[part[:half]], idx[part[half:]]
+        sah = np.where(valid, sah, np.inf)
+        best = int(np.argmin(sah))
+        mask = bin_ids <= best
+        left, right = idx[mask], idx[~mask]
+        # SAH leaf test (ref: bvh_build.cpp:572-600): compare split cost
+        # against leaf cost when the range could still be a leaf.
+        # (disabled for max_leaf_size == 1, e.g. TLAS instance leaves)
+        if max_leaf_size > 1 and n <= 8:  # LEAF_UNROLL bound
+            plo, phi = range_bounds(idx)
+            whole = max(areas(plo[None], phi[None])[0], 1e-20)
+            leaf_cost = n
+            split_cost = 0.125 + (sah[best] / whole)
+            if split_cost >= leaf_cost:
+                return None
+        return left, right
+
+    # iterative top-down build (explicit stack avoids recursion limits)
+    root = new_node()
+    stack = [(root, order)]
+    while stack:
+        node_id, idx = stack.pop()
+        sp = split_range(idx)
+        if sp is None:
+            # single-leaf node: child0 = leaf, child1 = empty leaf
+            b = np.zeros(12, np.float32)
+            plo, phi = range_bounds(idx)
+            b[0:3], b[3:6] = plo, phi
+            b[6:9], b[9:12] = np.inf, -np.inf  # empty child1 never hits
+            bounds_list[node_id] = b
+            children_list[node_id] = np.array(
+                [leaf_child(idx), encode_leaf(0, 0)], np.int32)
+            continue
+        left, right = sp
+        b = np.zeros(12, np.float32)
+        llo_, lhi_ = range_bounds(left)
+        rlo_, rhi_ = range_bounds(right)
+        b[0:3], b[3:6] = llo_, lhi_
+        b[6:9], b[9:12] = rlo_, rhi_
+        bounds_list[node_id] = b
+        kids = np.zeros(2, np.int32)
+        # child creation: leaf if small enough post-split
+        for k, part in enumerate((left, right)):
+            if len(part) <= max_leaf_size:
+                kids[k] = leaf_child(part)
+            else:
+                cid = new_node()
+                kids[k] = cid
+                stack.append((cid, part))
+        children_list[node_id] = kids
+
+    bounds = np.asarray(bounds_list, np.float32)
+    children = np.asarray(children_list, np.int32)
+    prim_order = np.asarray(prim_out, np.int32)
+    rlo, rhi = lo.min(0), hi.max(0)
+    return BVHArrays(bounds, children, prim_order, rlo, rhi)
+
+
+def triangle_bounds(verts, tris):
+    """Per-triangle AABBs from (V, 3) verts and (T, 3) indices."""
+    v = verts[tris]  # (T, 3, 3)
+    return v.min(1), v.max(1)
+
+
+# ---------------------------------------------------------------------------
+# Host-side reference traversal (golden tests for the device kernels)
+# ---------------------------------------------------------------------------
+
+def intersect_ray_np(bvh: BVHArrays, tri_verts, ray_o, ray_d, tmax=1e30):
+    """Single-ray NumPy traversal. tri_verts: (P, 3, 3) *already in
+    prim_order*. Returns (t, prim, u, v) with prim=-1 for miss."""
+    inv_d = np.where(np.abs(ray_d) > 1e-20, 1.0 / ray_d, 1e20)
+    best = (np.float32(tmax), -1, 0.0, 0.0)
+    stack = [0]
+    while stack:
+        node = stack.pop()
+        if node < 0:
+            start, count = decode_leaf(node)
+            for i in range(start, start + count):
+                t, u, v = _mt_intersect_np(tri_verts[i], ray_o, ray_d)
+                if t is not None and 1e-6 < t < best[0]:
+                    best = (t, i, u, v)
+            continue
+        b = bvh.bounds[node]
+        c = bvh.children[node]
+        for k in range(2):
+            blo, bhi = b[6 * k:6 * k + 3], b[6 * k + 3:6 * k + 6]
+            t0 = (blo - ray_o) * inv_d
+            t1 = (bhi - ray_o) * inv_d
+            tn = np.minimum(t0, t1).max()
+            tf = np.maximum(t0, t1).min()
+            if tn <= tf and tf >= 0 and tn < best[0]:
+                stack.append(int(c[k]))
+    return best
+
+
+def _mt_intersect_np(tri, o, d):
+    e1 = tri[1] - tri[0]
+    e2 = tri[2] - tri[0]
+    pvec = np.cross(d, e2)
+    det = e1 @ pvec
+    if abs(det) < 1e-12:
+        return None, 0, 0
+    inv = 1.0 / det
+    tvec = o - tri[0]
+    u = (tvec @ pvec) * inv
+    if u < 0 or u > 1:
+        return None, 0, 0
+    qvec = np.cross(tvec, e1)
+    v = (d @ qvec) * inv
+    if v < 0 or u + v > 1:
+        return None, 0, 0
+    t = (e2 @ qvec) * inv
+    return (t, u, v) if t > 0 else (None, 0, 0)

@@ -1,0 +1,66 @@
+"""Image manager (ref: render/image.h ImageManager, render/image_oiio.cpp).
+
+Collects every image referenced by ImageTexture/EnvironmentTexture nodes,
+loads files (PIL) or takes raw arrays, converts to linear float32 RGBA
+and packs them into one padded (slots, Hmax, Wmax, 4) device array.
+Shader nodes hold *static* slot ints, so per-node sampling is a static
+slice + dynamic (u, v) gather — the TPU-friendly texture layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class TextureStore:
+    """Device-side view handed to shader eval contexts."""
+
+    def __init__(self, data, sizes):
+        self.data = data          # (S, Hmax, Wmax, 4) — jnp after upload
+        self.sizes = sizes        # [(h, w)] python ints (static)
+
+    def get(self, slot):
+        if slot < 0 or slot >= len(self.sizes):
+            # missing image: mid-gray like the reference's pink would be
+            # louder; use white so missing textures are visible but benign
+            return self.data[0] * 0 + 1.0, 1, 1
+        h, w = self.sizes[slot]
+        return self.data[slot], h, w
+
+
+class ImageManager:
+    def __init__(self):
+        self.images = []   # list of np (H, W, 4) float32 linear
+        self.names = []
+
+    def add_image(self, source, name=""):
+        """source: filename or np array (H, W, C). Returns slot id."""
+        if isinstance(source, str):
+            from raytracingproject_tpu.utils.image_io import read_image
+            arr = read_image(source)
+        else:
+            arr = np.asarray(source, np.float32)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        if arr.shape[-1] == 1:
+            arr = np.repeat(arr, 3, -1)
+        if arr.shape[-1] == 3:
+            arr = np.concatenate([arr, np.ones_like(arr[..., :1])], -1)
+        self.images.append(arr.astype(np.float32))
+        self.names.append(name or f"image_{len(self.images)}")
+        return len(self.images) - 1
+
+    def device_update(self):
+        """Pack all images -> (TextureStore-ready data, sizes)."""
+        if not self.images:
+            data = np.ones((1, 1, 1, 4), np.float32)
+            return data, [(1, 1)]
+        hmax = max(i.shape[0] for i in self.images)
+        wmax = max(i.shape[1] for i in self.images)
+        data = np.zeros((len(self.images), hmax, wmax, 4), np.float32)
+        sizes = []
+        for s, img in enumerate(self.images):
+            h, w = img.shape[:2]
+            data[s, :h, :w] = img
+            sizes.append((h, w))
+        return data, sizes

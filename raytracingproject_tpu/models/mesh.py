@@ -1,0 +1,219 @@
+"""Geometry nodes (ref: render/geometry.h:49, render/mesh.h:54, render/hair.h).
+
+`Mesh` stores triangle geometry + named attributes; `Hair` stores curve
+keys/radii. Both are host-side numpy until the GeometryManager flattens
+them into the device scene (models/scene.py) and builds per-geometry
+BVHs (BLAS).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from raytracingproject_tpu.models.node import Node, SocketType as S
+
+# Attribute standards (ref: kernel/kernel_types.h AttributeStandard)
+ATTR_STD_UV = "std_uv"
+ATTR_STD_VERTEX_NORMAL = "std_vertex_normal"
+ATTR_STD_FACE_NORMAL = "std_face_normal"
+ATTR_STD_GENERATED = "std_generated"
+ATTR_STD_MOTION_VERTEX_POSITION = "std_motion_vertex_position"
+
+# Attribute element domains (ref: AttributeElement)
+ATTR_ELEMENT_VERTEX = "vertex"
+ATTR_ELEMENT_FACE = "face"
+ATTR_ELEMENT_CORNER = "corner"
+ATTR_ELEMENT_CURVE = "curve"
+ATTR_ELEMENT_CURVE_KEY = "curve_key"
+ATTR_ELEMENT_OBJECT = "object"
+
+
+class Attribute:
+    """Named geometry attribute (ref: render/attribute.cpp)."""
+
+    def __init__(self, name, element, data):
+        self.name = name
+        self.element = element
+        self.data = np.asarray(data, np.float32)
+
+
+class Geometry(Node):
+    """Base geometry (ref: render/geometry.h:49)."""
+
+    SOCKETS = [
+        S("use_motion_blur", S.BOOLEAN, False),
+        S("motion_steps", S.UINT, 3),
+    ]
+
+    def __init__(self, name="", **kwargs):
+        super().__init__(name, **kwargs)
+        self.used_shaders = []       # Shader nodes used by this geometry
+        self.attributes = {}         # name -> Attribute
+        self.bvh = None              # packed BLAS (set by GeometryManager)
+
+    def attribute_set(self, name, element, data):
+        self.attributes[name] = Attribute(name, element, data)
+        self.tag_modified("attributes")
+
+    def attribute_get(self, name):
+        return self.attributes.get(name)
+
+    def compute_bounds(self):
+        raise NotImplementedError
+
+
+class Mesh(Geometry):
+    NODE_NAME = "mesh"
+    SOCKETS = Geometry.SOCKETS + [
+        S("verts", S.POINT_ARRAY, np.zeros((0, 3), np.float32)),
+        S("triangles", S.INT_ARRAY, np.zeros((0,), np.int32)),
+        S("shader", S.INT_ARRAY, np.zeros((0,), np.int32)),  # per-tri shader slot
+        S("smooth", S.BOOLEAN_ARRAY, np.zeros((0,), bool)),
+    ]
+
+    def __init__(self, name="", **kwargs):
+        super().__init__(name, **kwargs)
+
+    # --- construction helpers (ref: Mesh::add_triangle / reserve) ---
+    def set_mesh(self, verts, triangles, shader=None, smooth=None):
+        verts = np.asarray(verts, np.float32).reshape(-1, 3)
+        triangles = np.asarray(triangles, np.int32).reshape(-1, 3)
+        ntris = len(triangles)
+        self.set("verts", verts)
+        self.set("triangles", triangles.reshape(-1))
+        self.set("shader", np.zeros(ntris, np.int32) if shader is None
+                 else np.broadcast_to(np.asarray(shader, np.int32), (ntris,)).copy())
+        self.set("smooth", np.zeros(ntris, bool) if smooth is None
+                 else np.broadcast_to(np.asarray(smooth, bool), (ntris,)).copy())
+
+    @property
+    def num_triangles(self):
+        return len(self.triangles) // 3
+
+    @property
+    def verts_array(self):
+        return np.asarray(self.verts, np.float32).reshape(-1, 3)
+
+    @property
+    def triangles_array(self):
+        return np.asarray(self.triangles, np.int32).reshape(-1, 3)
+
+    def compute_bounds(self):
+        v = self.verts_array
+        if len(v) == 0:
+            return np.zeros(3, np.float32), np.zeros(3, np.float32)
+        return v.min(0), v.max(0)
+
+    def compute_vertex_normals(self):
+        """Area-weighted vertex normals (ref: Mesh::add_vertex_normals)."""
+        v = self.verts_array
+        t = self.triangles_array
+        n = np.zeros_like(v)
+        fn = np.cross(v[t[:, 1]] - v[t[:, 0]], v[t[:, 2]] - v[t[:, 0]])
+        for i in range(3):
+            np.add.at(n, t[:, i], fn)
+        ln = np.linalg.norm(n, axis=-1, keepdims=True)
+        n = np.where(ln > 1e-12, n / np.maximum(ln, 1e-12), [0.0, 0.0, 1.0])
+        self.attribute_set(ATTR_STD_VERTEX_NORMAL, ATTR_ELEMENT_VERTEX, n)
+        return n
+
+    def tessellate_quads(self, quads):
+        """Helper: quads (N,4) -> triangles (2N,3)."""
+        quads = np.asarray(quads, np.int32).reshape(-1, 4)
+        tris = np.concatenate([quads[:, [0, 1, 2]], quads[:, [0, 2, 3]]], 0)
+        return tris
+
+
+class Hair(Geometry):
+    """Curve geometry (ref: render/hair.h:24). Round-1 scaffold: stores
+    keys/radii; device intersection lands with the hair feature pass."""
+
+    NODE_NAME = "hair"
+    SOCKETS = Geometry.SOCKETS + [
+        S("curve_keys", S.POINT_ARRAY, np.zeros((0, 3), np.float32)),
+        S("curve_radius", S.FLOAT_ARRAY, np.zeros((0,), np.float32)),
+        S("curve_first_key", S.INT_ARRAY, np.zeros((0,), np.int32)),
+        S("curve_num_keys", S.INT_ARRAY, np.zeros((0,), np.int32)),
+        S("curve_shader", S.INT_ARRAY, np.zeros((0,), np.int32)),
+    ]
+
+    def add_curve(self, keys, radius, shader=0):
+        keys = np.asarray(keys, np.float32).reshape(-1, 3)
+        radius = np.broadcast_to(np.asarray(radius, np.float32), (len(keys),))
+        first = len(self.curve_keys)
+        self.set("curve_keys", np.concatenate([self.curve_keys.reshape(-1, 3), keys]))
+        self.set("curve_radius", np.concatenate([self.curve_radius, radius]))
+        self.set("curve_first_key", np.concatenate([self.curve_first_key, [first]]).astype(np.int32))
+        self.set("curve_num_keys", np.concatenate([self.curve_num_keys, [len(keys)]]).astype(np.int32))
+        self.set("curve_shader", np.concatenate([self.curve_shader, [shader]]).astype(np.int32))
+
+    @property
+    def num_curves(self):
+        return len(self.curve_first_key)
+
+    def compute_bounds(self):
+        v = self.curve_keys.reshape(-1, 3)
+        if len(v) == 0:
+            return np.zeros(3, np.float32), np.zeros(3, np.float32)
+        r = self.curve_radius[:, None]
+        return (v - r).min(0), (v + r).max(0)
+
+
+def make_plane_mesh(p0, e0, e1, shader=0, name="plane"):
+    """Convenience: quad from corner + two edge vectors."""
+    p0, e0, e1 = (np.asarray(x, np.float32) for x in (p0, e0, e1))
+    verts = np.stack([p0, p0 + e0, p0 + e0 + e1, p0 + e1])
+    m = Mesh(name)
+    m.set_mesh(verts, [[0, 1, 2], [0, 2, 3]], shader=shader)
+    return m
+
+
+def make_box_mesh(lo, hi, shader=0, name="box", inside=False):
+    """Axis-aligned box; `inside=True` flips windings (Cornell walls)."""
+    lo, hi = np.asarray(lo, np.float32), np.asarray(hi, np.float32)
+    x0, y0, z0 = lo
+    x1, y1, z1 = hi
+    verts = np.array([
+        [x0, y0, z0], [x1, y0, z0], [x1, y1, z0], [x0, y1, z0],
+        [x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1]], np.float32)
+    quads = np.array([
+        [0, 1, 2, 3],  # z0 floor (normal -z outward)
+        [7, 6, 5, 4],  # z1
+        [4, 5, 1, 0],  # y0
+        [6, 7, 3, 2],  # y1
+        [0, 3, 7, 4],  # x0
+        [5, 6, 2, 1],  # x1
+    ], np.int32)
+    if inside:
+        quads = quads[:, ::-1]
+    m = Mesh(name)
+    tris = np.concatenate([quads[:, [0, 1, 2]], quads[:, [0, 2, 3]]], 0)
+    m.set_mesh(verts, tris, shader=shader)
+    return m
+
+
+def make_sphere_mesh(center, radius, shader=0, nlat=16, nlon=32, name="sphere"):
+    """UV-sphere triangulation."""
+    center = np.asarray(center, np.float32)
+    lat = np.linspace(0, np.pi, nlat + 1)
+    lon = np.linspace(0, 2 * np.pi, nlon, endpoint=False)
+    verts = []
+    for th in lat:
+        for ph in lon:
+            verts.append(center + radius * np.array(
+                [np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph), np.cos(th)]))
+    verts = np.asarray(verts, np.float32)
+    tris = []
+    for i in range(nlat):
+        for j in range(nlon):
+            a = i * nlon + j
+            b = i * nlon + (j + 1) % nlon
+            c = (i + 1) * nlon + j
+            d = (i + 1) * nlon + (j + 1) % nlon
+            if i > 0:
+                tris.append([a, c, b])
+            if i < nlat - 1:
+                tris.append([b, c, d])
+    m = Mesh(name)
+    m.set_mesh(verts, np.asarray(tris, np.int32), shader=shader)
+    return m

@@ -1,0 +1,617 @@
+"""Scene container + flattening (ref: render/scene.h Scene/DeviceScene,
+render/scene.cpp:193-321 Scene::device_update ordering;
+geometry packing ref: render/geometry.cpp GeometryManager::device_update;
+object packing ref: render/object.cpp ObjectManager::device_update;
+light CDF ref: render/light.cpp LightManager::device_update_distribution).
+
+`device_update()` runs the manager pipeline in the reference's order
+(shaders -> geometry/BVH -> objects -> lights -> camera/film/integrator
+-> images) and produces a flat dict of numpy arrays — the DeviceScene —
+plus kernel-globals for ops/integrator.py.
+
+Geometry policy (TPU layout decisions):
+- single-user static geometry is baked to world space and merged into
+  one 'static BLAS' (ref: object.cpp apply_static_transforms);
+- multi-user geometry keeps object space: per-geometry BLAS + a TLAS
+  whose leaves enter instances in-traversal (ops/intersect.py);
+- tiny all-static scenes skip the BVH entirely (brute-force kernel).
+Per-corner attributes (normals, UVs) are denormalized into prim-order
+arrays so shading is pure row gathers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from raytracingproject_tpu.models.node import Node, SocketType as S
+from raytracingproject_tpu.models.camera import Camera
+from raytracingproject_tpu.models.film import Film
+from raytracingproject_tpu.models.integrator import Integrator
+from raytracingproject_tpu.models.background import Background
+from raytracingproject_tpu.models.light import Light  # noqa: F401
+from raytracingproject_tpu.models.object import PATH_RAY_ALL_VISIBILITY
+from raytracingproject_tpu.models.image import ImageManager, TextureStore
+from raytracingproject_tpu.models.shader import Shader, ShaderGraph
+from raytracingproject_tpu.models import shader_nodes as sn
+from raytracingproject_tpu.bvh import build as bvh_build
+from raytracingproject_tpu.utils import transform as tfm
+from raytracingproject_tpu.utils import log
+
+BRUTE_FORCE_MAX_PRIMS = 512
+
+
+class SceneParams(Node):
+    """ref: render/scene.h:137 SceneParams."""
+    NODE_NAME = "scene_params"
+    SOCKETS = [
+        S("bvh_use_spatial_split", S.BOOLEAN, False),
+        S("use_bvh_steps", S.BOOLEAN, False),
+        S("persistent_data", S.BOOLEAN, False),
+        S("texture_limit", S.INT, 0),
+        S("background", S.BOOLEAN, True),
+    ]
+
+
+def default_surface_shader():
+    g = ShaderGraph()
+    d = g.add(sn.DiffuseBsdfNode("default_diffuse", color=(0.8, 0.8, 0.8)))
+    g.connect(d, "bsdf", g.output_node, "surface")
+    return Shader("default_surface", g)
+
+
+def default_background_shader():
+    g = ShaderGraph()
+    b = g.add(sn.BackgroundNode("default_background", color=(0.0, 0.0, 0.0),
+                                strength=0.0))
+    g.connect(b, "background", g.output_node, "surface")
+    return Shader("default_background", g)
+
+
+class Scene:
+    def __init__(self, params=None):
+        self.params = params or SceneParams()
+        self.camera = Camera()
+        self.film = Film()
+        self.integrator = Integrator()
+        self.background = Background()
+        self.image_manager = ImageManager()
+        self.objects = []
+        self.lights = []
+        self.shaders = []
+        self.default_surface = default_surface_shader()
+        self.default_background = default_background_shader()
+        self.add_shader(self.default_surface)
+        self.dscene = None
+        self.need_update = True
+
+    # --- construction API ---
+    def add_shader(self, shader):
+        if shader not in self.shaders:
+            self.shaders.append(shader)
+        return shader
+
+    def add_object(self, obj):
+        self.objects.append(obj)
+        self.need_update = True
+        return obj
+
+    def add_light(self, light):
+        self.lights.append(light)
+        self.need_update = True
+        return light
+
+    # ------------------------------------------------------------------
+    def device_update(self, progress=None):
+        """Flatten everything (ref ordering: scene.cpp:193-321)."""
+        # 1. shaders: slots + feature analysis + images
+        if self.background.shader is not None:
+            self.add_shader(self.background.shader)
+        for li in self.lights:
+            if li.shader is not None:
+                self.add_shader(li.shader)
+        for slot, sh in enumerate(self.shaders):
+            sh.slot = slot
+            sh.analyze()
+            for node in sh.graph.nodes:
+                if isinstance(node, (sn.ImageTextureNode,
+                                     sn.EnvironmentTextureNode)):
+                    if node.slot < 0:
+                        src = node.image if node.image is not None \
+                            else node.filename
+                        if src is None or (isinstance(src, str) and not src):
+                            node.slot = -1
+                        else:
+                            node.slot = self.image_manager.add_image(src)
+
+        # 2. geometry + objects -> packed prims + BVH
+        packed = self._pack_geometry()
+
+        # 3. lights -> distribution CDF
+        lightd = self._pack_lights(packed)
+
+        # 4. camera / film / integrator
+        cam = self.camera.update()
+        kint = self.integrator.kernel_record()
+        filter_table = self.film.build_filter_table()
+
+        # 5. images
+        tex_data, tex_sizes = self.image_manager.device_update()
+
+        bg_slot = (self.background.shader.slot
+                   if self.background.shader is not None
+                   else self.default_background.slot
+                   if self.default_background in self.shaders else -1)
+
+        dscene = {}
+        dscene.update(packed)
+        dscene.update(lightd)
+        self.dscene = {
+            "arrays": dscene,
+            "cam": cam,
+            "kint": kint,
+            "filter_table": filter_table,
+            "tex_data": tex_data,
+            "tex_sizes": tex_sizes,
+            "background_shader": bg_slot,
+            "use_brute": packed.pop("__use_brute__"),
+            "film_transparent": bool(self.background.transparent),
+        }
+        dscene.pop("__use_brute__", None)
+        self.need_update = False
+        return self.dscene
+
+    # ------------------------------------------------------------------
+    def _pack_geometry(self):
+        objects = self.objects
+        nobj = max(len(objects), 1)
+
+        # classify: single-user static -> merge; else instanced
+        geom_users = {}
+        for oi, obj in enumerate(objects):
+            geom_users.setdefault(id(obj.geometry), []).append(oi)
+
+        static_objs = []
+        instanced_geoms = {}  # id(geom) -> (geom, [obj indices])
+        for oi, obj in enumerate(objects):
+            users = geom_users[id(obj.geometry)]
+            if len(users) == 1 and not obj.use_motion:
+                static_objs.append(oi)
+            else:
+                instanced_geoms.setdefault(
+                    id(obj.geometry), (obj.geometry, []))[1].append(oi)
+
+        tri_verts, tri_vnormal, tri_uv = [], [], []
+        prim_shader, prim_smooth, prim_object = [], [], []
+
+        def append_mesh(mesh, obj_idx, world_tfm=None):
+            v = mesh.verts_array
+            t = mesh.triangles_array
+            if len(t) == 0:
+                return 0
+            vn_attr = mesh.attribute_get("std_vertex_normal")
+            if vn_attr is None:
+                vn = mesh.compute_vertex_normals()
+            else:
+                vn = vn_attr.data
+            uv_attr = mesh.attribute_get("std_uv")
+            if world_tfm is not None:
+                v = tfm.transform_point(world_tfm, v)
+                itt = np.linalg.inv(tfm.to_4x4(world_tfm))[:3, :3].T
+                vn = vn @ itt.T
+                ln = np.linalg.norm(vn, axis=-1, keepdims=True)
+                vn = vn / np.maximum(ln, 1e-12)
+            tri_verts.append(v[t])            # (T, 3, 3)
+            tri_vnormal.append(vn[t])
+            if uv_attr is not None:
+                if uv_attr.element == "corner":
+                    tri_uv.append(uv_attr.data.reshape(-1, 3, 2)[: len(t)])
+                else:  # vertex uvs
+                    tri_uv.append(uv_attr.data[t])
+            else:
+                # default: barycentric-ish placeholder uvs
+                tri_uv.append(np.tile(
+                    np.array([[0, 0], [1, 0], [1, 1]], np.float32),
+                    (len(t), 1, 1)))
+            shader_slots = np.array(
+                [self._shader_slot(mesh, s) for s in
+                 np.asarray(mesh.shader, np.int32)], np.int32)
+            prim_shader.append(shader_slots)
+            prim_smooth.append(np.asarray(mesh.smooth, bool))
+            prim_object.append(np.full(len(t), obj_idx, np.int32))
+            return len(t)
+
+        # ---- static merged geometry ----
+        for oi in static_objs:
+            obj = objects[oi]
+            append_mesh(obj.geometry, oi,
+                        np.asarray(obj.transform, np.float32))
+
+        def cat(lst, shape_tail, dtype=np.float32):
+            if lst:
+                return np.concatenate(lst).astype(dtype)
+            return np.zeros((0,) + shape_tail, dtype)
+
+        static_verts = cat(tri_verts, (3, 3))
+        static_vnormal = cat(tri_vnormal, (3, 3))
+        static_uv = cat(tri_uv, (3, 2))
+        static_shader = cat(prim_shader, (), np.int32)
+        static_smooth = cat(prim_smooth, (), bool)
+        static_object = cat(prim_object, (), np.int32)
+
+        has_instances = len(instanced_geoms) > 0
+
+        # build static BLAS
+        blocks = []  # (bounds, children, prim arrays...) with local ids
+        if len(static_verts):
+            lo, hi = static_verts.min(1), static_verts.max(1)
+            sb = bvh_build.build_bvh(lo, hi)
+            order = sb.prim_order
+            blocks.append({
+                "bounds": sb.bounds, "children": sb.children,
+                "verts": static_verts[order], "vnormal": static_vnormal[order],
+                "uv": static_uv[order], "shader": static_shader[order],
+                "smooth": static_smooth[order], "object": static_object[order],
+                "root_lo": sb.root_bound_lo, "root_hi": sb.root_bound_hi,
+            })
+
+        # build per-geometry BLAS (object space)
+        geom_blas = {}  # id(geom) -> block index
+        for gid, (geom, users) in instanced_geoms.items():
+            tri_verts.clear(); tri_vnormal.clear(); tri_uv.clear()
+            prim_shader.clear(); prim_smooth.clear(); prim_object.clear()
+            append_mesh(geom, -1, None)
+            gv = cat(tri_verts, (3, 3))
+            lo, hi = gv.min(1), gv.max(1)
+            gb = bvh_build.build_bvh(lo, hi)
+            order = gb.prim_order
+            geom_blas[gid] = len(blocks)
+            blocks.append({
+                "bounds": gb.bounds, "children": gb.children,
+                "verts": gv[order],
+                "vnormal": cat(tri_vnormal, (3, 3))[order],
+                "uv": cat(tri_uv, (3, 2))[order],
+                "shader": cat(prim_shader, (), np.int32)[order],
+                "smooth": cat(prim_smooth, (), bool)[order],
+                "object": cat(prim_object, (), np.int32)[order],
+                "root_lo": gb.root_bound_lo, "root_hi": gb.root_bound_hi,
+            })
+
+        # ---- concatenate blocks with offsets ----
+        # node order: [TLAS (if any)] [block0] [block1] ...
+        # first compute prim bases and node bases (TLAS size known later)
+        instance_rows = []  # (w2o 3x4, blas_block, object_idx)
+        if has_instances:
+            if blocks and "object" in blocks[0] and len(static_verts):
+                instance_rows.append((tfm.identity(), 0, -1))
+            for gid, (geom, users) in instanced_geoms.items():
+                for oi in users:
+                    obj = objects[oi]
+                    instance_rows.append(
+                        (tfm.inverse(np.asarray(obj.transform, np.float32)),
+                         geom_blas[gid], oi))
+
+        # TLAS over instance world bounds
+        tlas = None
+        if has_instances:
+            ilo, ihi = [], []
+            for w2o, bi, oi in instance_rows:
+                blo, bhi = blocks[bi]["root_lo"], blocks[bi]["root_hi"]
+                if oi >= 0:
+                    o2w = np.asarray(objects[oi].transform, np.float32)
+                else:
+                    o2w = tfm.identity()
+                corners = np.array([[x, y, z]
+                                    for x in (blo[0], bhi[0])
+                                    for y in (blo[1], bhi[1])
+                                    for z in (blo[2], bhi[2])], np.float32)
+                wc = tfm.transform_point(o2w, corners)
+                ilo.append(wc.min(0))
+                ihi.append(wc.max(0))
+            tlas = bvh_build.build_bvh(np.array(ilo), np.array(ihi),
+                                       max_leaf_size=1)
+
+        tlas_nodes = len(tlas.bounds) if tlas is not None else 0
+        node_bases, prim_bases = [], []
+        nb, pb = tlas_nodes, 0
+        for blk in blocks:
+            node_bases.append(nb)
+            prim_bases.append(pb)
+            nb += len(blk["bounds"])
+            pb += len(blk["verts"])
+
+        total_nodes = max(nb, 1)
+        bvh_bounds = np.zeros((total_nodes, 12), np.float32)
+        bvh_children = np.full((total_nodes, 2),
+                               bvh_build.encode_leaf(0, 0), np.int32)
+        all_verts, all_vnormal, all_uv = [], [], []
+        all_shader, all_smooth, all_object = [], [], []
+
+        def rebase_children(children, node_base, prim_base):
+            out = children.copy()
+            inner = out >= 0
+            out[inner] += node_base
+            leaves = ~inner
+            v = -out[leaves] - 1
+            start = (v >> 4) + prim_base
+            count = v & 15
+            out[leaves] = -(1 + (start << 4) + count)
+            return out
+
+        for bi, blk in enumerate(blocks):
+            b0 = node_bases[bi]
+            bvh_bounds[b0:b0 + len(blk["bounds"])] = blk["bounds"]
+            bvh_children[b0:b0 + len(blk["children"])] = rebase_children(
+                blk["children"], b0, prim_bases[bi])
+            all_verts.append(blk["verts"])
+            all_vnormal.append(blk["vnormal"])
+            all_uv.append(blk["uv"])
+            all_shader.append(blk["shader"])
+            all_smooth.append(blk["smooth"])
+            all_object.append(blk["object"])
+
+        if tlas is not None:
+            bvh_bounds[:tlas_nodes] = tlas.bounds
+            tc = tlas.children.copy()
+            inner = tc >= 0
+            # TLAS inner children stay TLAS-local (base 0). Leaves encode
+            # instance ids with flag bit 30.
+            leaves = ~inner
+            v = -tc[leaves] - 1
+            start, count = v >> 4, v & 15
+            inst_ids = np.where(count > 0, tlas.prim_order[
+                np.minimum(start, max(len(tlas.prim_order) - 1, 0))], 0)
+            tc[leaves] = np.where(
+                count > 0,
+                -(1 + (inst_ids.astype(np.int64) << 4) + 1 + (1 << 30)),
+                bvh_build.encode_leaf(0, 0)).astype(np.int32)
+            bvh_children[:tlas_nodes] = tc
+
+        P = sum(len(v) for v in all_verts)
+        packed = {
+            "bvh_bounds": bvh_bounds,
+            "bvh_children": bvh_children,
+            "tri_verts": (np.concatenate(all_verts) if P else
+                          np.zeros((0, 3, 3), np.float32)),
+            "tri_vnormal": (np.concatenate(all_vnormal) if P else
+                            np.zeros((0, 3, 3), np.float32)),
+            "tri_uv": (np.concatenate(all_uv) if P else
+                       np.zeros((0, 3, 2), np.float32)),
+            "prim_shader": (np.concatenate(all_shader) if P else
+                            np.zeros(0, np.int32)),
+            "prim_smooth": (np.concatenate(all_smooth) if P else
+                            np.zeros(0, bool)),
+            "prim_object_packed": (np.concatenate(all_object) if P else
+                                   np.zeros(0, np.int32)),
+        }
+
+        # ---- object tables ----
+        obj_tfm = np.tile(tfm.identity(), (nobj, 1, 1))
+        obj_itfm = np.tile(tfm.identity(), (nobj, 1, 1))
+        obj_itfm_gen = np.tile(tfm.identity(), (nobj, 1, 1))
+        obj_color = np.zeros((nobj, 3), np.float32)
+        obj_random = np.zeros(nobj, np.float32)
+        obj_visibility = np.full(nobj, PATH_RAY_ALL_VISIBILITY, np.uint32)
+        obj_flags = np.zeros(nobj, np.uint32)
+        obj_blo = np.zeros((nobj, 3), np.float32)
+        obj_bhi = np.ones((nobj, 3), np.float32)
+        for oi, obj in enumerate(objects):
+            t = np.asarray(obj.transform, np.float32)
+            inv = tfm.inverse(t)
+            merged = oi in static_objs
+            # packed-space transforms: identity for merged (world verts)
+            obj_tfm[oi] = tfm.identity() if merged else t
+            obj_itfm[oi] = tfm.identity() if merged else inv
+            obj_itfm_gen[oi] = inv
+            obj_color[oi] = np.asarray(obj.color, np.float32)
+            obj_random[oi] = (obj.random_id & 0xFFFF) / 65535.0
+            obj_visibility[oi] = np.uint32(obj.visibility)
+            obj_flags[oi] = np.uint32(obj.flags())
+            lo, hi = obj.geometry.compute_bounds()
+            obj_blo[oi], obj_bhi[oi] = lo, hi
+        packed.update({
+            "object_tfm": obj_tfm, "object_itfm": obj_itfm,
+            "object_itfm_gen": obj_itfm_gen,
+            "object_color": obj_color, "object_random": obj_random,
+            "object_visibility": obj_visibility, "object_flags": obj_flags,
+            "object_bounds_lo": obj_blo, "object_bounds_hi": obj_bhi,
+        })
+
+        # ---- instance tables ----
+        if has_instances:
+            packed["instance_w2o"] = np.stack(
+                [r[0] for r in instance_rows]).astype(np.float32)
+            packed["instance_blas_root"] = np.array(
+                [node_bases[r[1]] for r in instance_rows], np.int32)
+            packed["instance_object"] = np.array(
+                [r[2] for r in instance_rows], np.int32)
+        else:
+            packed["instance_w2o"] = np.zeros((1, 3, 4), np.float32)
+            packed["instance_blas_root"] = np.zeros(1, np.int32)
+            packed["instance_object"] = np.full(1, -1, np.int32)
+
+        use_brute = (not has_instances) and P <= BRUTE_FORCE_MAX_PRIMS
+        packed["__use_brute__"] = use_brute
+        packed["tri_verts_world"] = packed["tri_verts"]  # valid when static
+        log.vlog(1, "packed scene: %d prims, %d nodes, %d objects, "
+                 "%d instances, brute=%s", P, total_nodes, nobj,
+                 len(instance_rows), use_brute)
+        return packed
+
+    def _shader_slot(self, mesh, local_idx):
+        """Map a mesh-local shader index -> scene shader slot."""
+        if mesh.used_shaders and 0 <= local_idx < len(mesh.used_shaders):
+            sh = mesh.used_shaders[local_idx]
+            if sh not in self.shaders:
+                self.add_shader(sh)
+                sh.slot = self.shaders.index(sh)
+            return self.shaders.index(sh)
+        return self.default_surface.slot if self.default_surface in self.shaders else 0
+
+    # ------------------------------------------------------------------
+    def _pack_lights(self, packed):
+        """Flat emission distribution (ref: light.cpp:277)."""
+        entries = []  # (type 0=lamp/1=tri, id, power)
+
+        # emissive triangles (static prims only this round)
+        prim_shader = packed["prim_shader"]
+        prim_obj = packed["prim_object_packed"]
+        tri_verts = packed["tri_verts"]
+        P = len(prim_shader)
+        prim_emission = np.zeros((P, 3), np.float32)
+        emis_by_slot = {}
+        for sh in self.shaders:
+            est = estimate_constant_emission(sh)
+            if est is not None and np.any(est > 0):
+                emis_by_slot[sh.slot] = est
+        for slot, est in emis_by_slot.items():
+            mask = (prim_shader == slot) & (prim_obj >= 0)
+            idxs = np.nonzero(mask)[0]
+            prim_emission[idxs] = est
+            for pi in idxs:
+                v = tri_verts[pi]
+                area = 0.5 * np.linalg.norm(
+                    np.cross(v[1] - v[0], v[2] - v[0]))
+                lum = float(0.2126 * est[0] + 0.7152 * est[1]
+                            + 0.0722 * est[2])
+                entries.append((1, int(pi), max(lum * area * np.pi, 1e-12)))
+
+        # lamps
+        num_l = len(self.lights)
+        lamp_arrays = {
+            "lamp_type": np.zeros(max(num_l, 1), np.int32),
+            "lamp_co": np.zeros((max(num_l, 1), 3), np.float32),
+            "lamp_dir": np.zeros((max(num_l, 1), 3), np.float32),
+            "lamp_size": np.zeros(max(num_l, 1), np.float32),
+            "lamp_axisu": np.zeros((max(num_l, 1), 3), np.float32),
+            "lamp_axisv": np.zeros((max(num_l, 1), 3), np.float32),
+            "lamp_sizeu": np.ones(max(num_l, 1), np.float32),
+            "lamp_sizev": np.ones(max(num_l, 1), np.float32),
+            "lamp_strength": np.zeros((max(num_l, 1), 3), np.float32),
+            "lamp_angle": np.zeros(max(num_l, 1), np.float32),
+            "lamp_spot_angle": np.zeros(max(num_l, 1), np.float32),
+            "lamp_spot_smooth": np.zeros(max(num_l, 1), np.float32),
+            "lamp_pmf": np.zeros(max(num_l, 1), np.float32),
+        }
+        bg_entry = -1
+        for li, light in enumerate(self.lights):
+            lamp_arrays["lamp_type"][li] = light.get_enum_int("light_type")
+            lamp_arrays["lamp_co"][li] = np.asarray(light.co, np.float32)
+            d = np.asarray(light.dir, np.float32)
+            lamp_arrays["lamp_dir"][li] = d / max(np.linalg.norm(d), 1e-12)
+            lamp_arrays["lamp_size"][li] = light.size
+            lamp_arrays["lamp_axisu"][li] = np.asarray(light.axisu, np.float32)
+            lamp_arrays["lamp_axisv"][li] = np.asarray(light.axisv, np.float32)
+            lamp_arrays["lamp_sizeu"][li] = light.sizeu
+            lamp_arrays["lamp_sizev"][li] = light.sizev
+            strength = np.asarray(light.strength, np.float32)
+            if light.shader is not None:
+                est = estimate_constant_emission(light.shader)
+                if est is not None:
+                    strength = est
+            lamp_arrays["lamp_strength"][li] = strength
+            lamp_arrays["lamp_angle"][li] = light.angle
+            lamp_arrays["lamp_spot_angle"][li] = light.spot_angle
+            lamp_arrays["lamp_spot_smooth"][li] = light.spot_smooth
+            if light.get_enum_int("light_type") == 2:  # background
+                bg_entry = len(entries)
+            entries.append((0, li, light.total_power()))
+
+        D = len(entries)
+        if D:
+            powers = np.array([e[2] for e in entries], np.float64)
+            cdf = np.concatenate([[0.0], np.cumsum(powers / powers.sum())])
+            cdf[-1] = 1.0
+            pmfs = (powers / powers.sum()).astype(np.float32)
+        else:
+            cdf = np.array([0.0, 1.0])
+            pmfs = np.zeros(0, np.float32)
+
+        prim_light_pmf = np.zeros(max(P, 1), np.float32)
+        bg_pmf = 0.0
+        for ei, (etype, eid, _p) in enumerate(entries):
+            if etype == 1:
+                prim_light_pmf[eid] = pmfs[ei]
+            elif ei == bg_entry:
+                bg_pmf = float(pmfs[ei])
+            else:
+                lamp_arrays["lamp_pmf"][eid] = pmfs[ei]
+
+        out = {
+            "light_dist_cdf": cdf.astype(np.float32),
+            "light_dist_type": np.array([e[0] for e in entries], np.int32),
+            "light_dist_id": np.array([e[1] for e in entries], np.int32),
+            "prim_light_pmf": prim_light_pmf,
+            "prim_emission": (prim_emission if P else
+                              np.zeros((1, 3), np.float32)),
+            "bg_pmf": np.float32(bg_pmf),
+        }
+        out.update(lamp_arrays)
+        return out
+
+    # ------------------------------------------------------------------
+    def make_kernel_globals(self, device_put=True):
+        """Assemble the kg dict for ops/integrator.py; uploads arrays."""
+        import jax
+        import jax.numpy as jnp
+        assert self.dscene is not None, "call device_update() first"
+        ds = self.dscene
+        arrays = ds["arrays"]
+        if device_put:
+            arrays = {k: (jax.device_put(v) if isinstance(v, np.ndarray)
+                          else v) for k, v in arrays.items()}
+        num_area_lamps = int(np.sum(np.asarray(
+            self.dscene["arrays"]["lamp_type"]) == 3)) if self.lights else 0
+        tex = TextureStore(jnp.asarray(ds["tex_data"]), ds["tex_sizes"])
+        return {
+            "dscene": arrays,
+            "cam": ds["cam"],
+            "kint": ds["kint"],
+            "filter_table": jnp.asarray(ds["filter_table"]),
+            "shaders": self.shaders,
+            "textures": tex,
+            "background_shader": ds["background_shader"],
+            "use_brute": ds["use_brute"],
+            "film_transparent": ds["film_transparent"],
+            "num_area_lamps": num_area_lamps,
+        }
+
+
+def estimate_constant_emission(shader):
+    """Constant-fold the emission reaching the output (round-1 light
+    estimate; ref: Shader::estimate_emission semantics)."""
+    g = shader.graph
+    link = g.links.get((id(g.output_node), "surface"))
+    if link is None:
+        return None
+
+    def walk(node, scale):
+        if isinstance(node, (sn.EmissionNode, sn.BackgroundNode)):
+            if (g.links.get((id(node), "color")) is None
+                    and g.links.get((id(node), "strength")) is None):
+                return (np.asarray(node.color, np.float32)
+                        * float(node.strength) * scale)
+            return np.ones(3, np.float32) * scale
+        if isinstance(node, sn.PrincipledBsdfNode):
+            if g.links.get((id(node), "emission_color")) is None:
+                return (np.asarray(node.emission_color, np.float32)
+                        * float(node.emission_strength) * scale)
+            return None
+        if isinstance(node, (sn.MixClosureNode, sn.AddClosureNode)):
+            out = np.zeros(3, np.float32)
+            fac = 0.5
+            if isinstance(node, sn.MixClosureNode) \
+                    and g.links.get((id(node), "fac")) is None:
+                fac = float(np.clip(node.fac, 0.0, 1.0))
+            for iname, sub_scale in (("closure1",
+                                      (1.0 - fac) if isinstance(node, sn.MixClosureNode) else 1.0),
+                                     ("closure2",
+                                      fac if isinstance(node, sn.MixClosureNode) else 1.0)):
+                l = g.links.get((id(node), iname))
+                if l is not None:
+                    sub = walk(l[0], scale * sub_scale)
+                    if sub is not None:
+                        out = out + sub
+            return out
+        return None
+
+    return walk(link[0], 1.0)

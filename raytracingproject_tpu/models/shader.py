@@ -1,0 +1,206 @@
+"""Shader graphs (ref: render/graph.h ShaderGraph, render/shader.h Shader).
+
+TPU-first compilation model: where the reference compiles a graph to SVM
+`int4` bytecode interpreted divergently per ray (render/svm.cpp:828,
+kernel/svm/svm.h), we *trace* the graph: topological evaluation of jnp
+ops over the whole wavefront, producing a fixed-slot closure union
+(ops/closures.py). XLA then fuses the entire shader into the
+surrounding kernel — no interpreter, no divergence, and per-shader
+specialization falls out of jit caching (the analog of the reference's
+feature-pruned kernel recompiles, device/device.h:228).
+
+Per-material dispatch over a wavefront happens in ops/shade.py by
+masked evaluation of each distinct shader (shader counts in real scenes
+are small; material sorting keeps lanes coherent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from raytracingproject_tpu.models.node import Node, SocketType as S
+from raytracingproject_tpu.ops import closures as cl
+
+
+class ShaderNode(Node):
+    """Base shader-graph node.
+
+    Subclasses declare:
+      INPUTS  = [(name, type, default), ...]   dynamic, linkable
+      OUTPUTS = [(name, type), ...]
+      PARAMS  = [SocketType(...), ...]         static parameters (enums...)
+    and implement eval(ctx, inp) -> {output_name: value}.
+
+    Input/param values are exposed through Node reflection so XML IO and
+    incremental diffing work generically (ref: graph/node.h).
+    """
+
+    INPUTS = []
+    OUTPUTS = []
+    PARAMS = []
+
+    def __init_subclass__(cls, **kw):
+        sockets = list(cls.PARAMS)
+        for (iname, itype, default) in cls.INPUTS:
+            st = {"float": S.FLOAT, "int": S.INT, "color": S.COLOR,
+                  "vector": S.VECTOR, "point": S.POINT, "normal": S.NORMAL,
+                  "string": S.STRING, "closure": S.STRING}[itype]
+            if itype == "closure":
+                continue  # closures have no constant default
+            sockets.append(S(iname, st, default))
+        cls.SOCKETS = sockets
+        super().__init_subclass__(**kw)
+
+    def input_default(self, ctx, iname, itype):
+        if itype == "closure":
+            return None
+        v = getattr(self, iname)
+        if itype in ("color", "vector", "point", "normal"):
+            return np.asarray(v, np.float32)
+        return v
+
+    def eval(self, ctx, inp):
+        raise NotImplementedError
+
+
+class OutputNode(ShaderNode):
+    NODE_NAME = "output"
+    INPUTS = [("surface", "closure", None), ("volume", "closure", None),
+              ("displacement", "vector", (0.0, 0.0, 0.0))]
+    OUTPUTS = []
+
+    def eval(self, ctx, inp):
+        return {}
+
+
+class ShaderGraph:
+    """DAG of shader nodes with named links (ref: render/graph.h)."""
+
+    def __init__(self):
+        self.nodes = []
+        self.links = {}  # (to_node_id, to_socket) -> (from_node, from_socket)
+        self.output_node = OutputNode("output")
+        self.add(self.output_node)
+
+    def add(self, node):
+        if node not in self.nodes:
+            self.nodes.append(node)
+        return node
+
+    def connect(self, from_node, from_socket, to_node, to_socket):
+        outs = [o[0] for o in from_node.OUTPUTS]
+        ins = [i[0] for i in to_node.INPUTS]
+        if from_socket not in outs:
+            raise ValueError(f"{from_node} has no output '{from_socket}' ({outs})")
+        if to_socket not in ins:
+            raise ValueError(f"{to_node} has no input '{to_socket}' ({ins})")
+        self.links[(id(to_node), to_socket)] = (from_node, from_socket)
+
+    def topo_order(self):
+        order, seen, onstack = [], set(), set()
+
+        def visit(n):
+            if id(n) in seen:
+                return
+            if id(n) in onstack:
+                raise ValueError("shader graph contains a cycle")
+            onstack.add(id(n))
+            for (iname, itype, _d) in n.INPUTS:
+                link = self.links.get((id(n), iname))
+                if link is not None:
+                    visit(link[0])
+            onstack.discard(id(n))
+            seen.add(id(n))
+            order.append(n)
+
+        visit(self.output_node)
+        # also include dangling nodes feeding nothing (harmless, skipped)
+        return order
+
+    def evaluate(self, ctx):
+        """Trace the graph for shading context `ctx` (ops/shade.ShaderData
+        view). Returns dict with 'surface' closures, 'volume' closures,
+        'displacement' vector."""
+        values = {}
+        for node in self.topo_order():
+            inp = {}
+            for (iname, itype, _d) in node.INPUTS:
+                link = self.links.get((id(node), iname))
+                if link is not None:
+                    from_node, from_socket = link
+                    v = values[(id(from_node), from_socket)]
+                else:
+                    v = node.input_default(ctx, iname, itype)
+                inp[iname] = v
+            out = node.eval(ctx, inp)
+            for (oname, _t) in node.OUTPUTS:
+                values[(id(node), oname)] = out[oname]
+            if node is self.output_node:
+                surf = inp.get("surface")
+                vol = inp.get("volume")
+                return {
+                    "surface": surf if surf is not None
+                    else cl.empty_closures(ctx.batch_shape),
+                    "volume": vol,
+                    "displacement": inp.get("displacement"),
+                }
+        return {"surface": cl.empty_closures(ctx.batch_shape),
+                "volume": None, "displacement": None}
+
+    def finalize(self):
+        """Graph cleanup pass (ref: ShaderGraph::finalize — constant
+        folding/dedup are left to XLA CSE; here we only validate)."""
+        self.topo_order()
+        return self
+
+
+class Shader(Node):
+    """A material: graph + settings (ref: render/shader.h:54)."""
+
+    NODE_NAME = "shader"
+    SOCKETS = [
+        S("use_mis", S.BOOLEAN, True),
+        S("use_transparent_shadow", S.BOOLEAN, True),
+        S("heterogeneous_volume", S.BOOLEAN, True),
+        S("volume_sampling_method", S.ENUM, "multiple_importance",
+          {"distance": 0, "equiangular": 1, "multiple_importance": 2}),
+        S("volume_interpolation_method", S.ENUM, "linear",
+          {"linear": 0, "cubic": 1}),
+        S("volume_step_rate", S.FLOAT, 1.0),
+        S("displacement_method", S.ENUM, "bump",
+          {"bump": 0, "true": 1, "both": 2}),
+        S("pass_id", S.INT, 0),
+    ]
+
+    def __init__(self, name="shader", graph=None, **kwargs):
+        super().__init__(name, **kwargs)
+        self.graph = graph or ShaderGraph()
+        self.slot = -1           # assigned at scene flatten
+        self.has_surface_emission = False
+        self.has_volume = False
+        self.has_transparent = False
+
+    def evaluate_surface(self, ctx):
+        return self.graph.evaluate(ctx)["surface"]
+
+    def evaluate_volume(self, ctx):
+        return self.graph.evaluate(ctx)["volume"]
+
+    def analyze(self):
+        """Static feature detection (ref: Shader::device_update detecting
+        has_surface_emission etc. for the light manager)."""
+        from raytracingproject_tpu.models import shader_nodes as sn
+        self.has_surface_emission = False
+        self.has_volume = False
+        self.has_transparent = False
+        for node in self.graph.nodes:
+            if isinstance(node, (sn.EmissionNode, sn.BackgroundNode)):
+                self.has_surface_emission = True
+            if isinstance(node, sn.TransparentBsdfNode):
+                self.has_transparent = True
+            if isinstance(node, (sn.ScatterVolumeNode, sn.AbsorptionVolumeNode,
+                                 sn.PrincipledVolumeNode)):
+                self.has_volume = True
+        if self.graph.links.get((id(self.graph.output_node), "volume")):
+            self.has_volume = True
+        return self

@@ -1,0 +1,292 @@
+"""BSDF sampling/evaluation over the closure union
+(ref: kernel/closure/bsdf.h bsdf_sample/bsdf_eval dispatch,
+kernel/kernel_shader.h shader_bsdf_sample/_shader_bsdf_multi_eval).
+
+Lobes: Lambert diffuse (Oren-Nayar when roughness > 0), GGX microfacet
+reflection with VNDF sampling, GGX microfacet refraction, and delta
+transparent. Sampling follows the reference's multi-closure scheme:
+pick a lobe proportional to its mean weight, sample a direction from
+it, then evaluate ALL lobes at that direction and combine pdfs by the
+pick probabilities — an unbiased mixture estimator that also yields the
+pdf needed for MIS against light sampling.
+
+Delta lobes (roughness ~ 0 and transparent) are flagged SINGULAR: their
+contribution never appears in `bsdf_eval` (NEE cannot hit a delta), and
+paths continuing through them skip MIS emission weighting, matching
+PATH_RAY_SINGULAR semantics (ref: kernel_path_surface.h).
+
+All directions follow the Cycles convention: I points from the surface
+toward the viewer, omega_in toward the light.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from raytracingproject_tpu.utils import math as um
+
+# sampled-lobe labels (ref: LABEL_* kernel/kernel_types.h)
+LABEL_DIFFUSE = 1
+LABEL_GLOSSY = 2
+LABEL_TRANSMIT = 4
+LABEL_SINGULAR = 8
+LABEL_TRANSPARENT = 16
+
+SHARP_ROUGHNESS = 1e-4  # below this a lobe is a delta
+
+
+def _ggx_smith_lambda(cos_t, alpha2):
+    c2 = cos_t * cos_t
+    t2 = jnp.maximum(1.0 - c2, 0.0) / jnp.maximum(c2, 1e-12)
+    return 0.5 * (jnp.sqrt(1.0 + alpha2 * t2) - 1.0)
+
+
+def _ggx_d(cos_h, alpha2):
+    c2 = cos_h * cos_h
+    den = c2 * (alpha2 - 1.0) + 1.0
+    return alpha2 / jnp.maximum(um.M_PI * den * den, 1e-12)
+
+
+def _sample_ggx_vndf(v_local, alpha, u1, u2):
+    """Heitz 2018 visible-normal GGX sampling; v_local in tangent frame
+    (z up), returns half-vector h in tangent frame."""
+    vh = um.normalize(jnp.stack([alpha * v_local[..., 0],
+                                 alpha * v_local[..., 1],
+                                 v_local[..., 2]], -1))
+    lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
+    inv = jnp.where(lensq > 1e-12,
+                    1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-12)), 0.0)
+    t1 = jnp.where(lensq[..., None] > 1e-12,
+                   jnp.stack([-vh[..., 1] * inv, vh[..., 0] * inv,
+                              jnp.zeros_like(inv)], -1),
+                   jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+                                    vh.shape))
+    t2 = jnp.cross(vh, t1)
+    r = jnp.sqrt(u1)
+    phi = um.M_2PI * u2
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vh[..., 2])
+    p2 = (1.0 - s) * um.safe_sqrt(1.0 - p1 * p1) + s * p2
+    p3 = um.safe_sqrt(1.0 - p1 * p1 - p2 * p2)
+    nh = p1[..., None] * t1 + p2[..., None] * t2 + p3[..., None] * vh
+    h = um.normalize(jnp.stack([alpha * nh[..., 0], alpha * nh[..., 1],
+                                jnp.maximum(nh[..., 2], 1e-6)], -1))
+    return h
+
+
+def _ggx_reflect_eval(wo, wi, alpha):
+    """GGX reflection f*cos and pdf in tangent space (z = normal)."""
+    cos_o = wo[..., 2]
+    cos_i = wi[..., 2]
+    valid = (cos_o > 1e-6) & (cos_i > 1e-6)
+    h = um.normalize(wo + wi)
+    cos_h = h[..., 2]
+    alpha2 = alpha * alpha
+    d = _ggx_d(cos_h, alpha2)
+    lam_o = _ggx_smith_lambda(cos_o, alpha2)
+    lam_i = _ggx_smith_lambda(cos_i, alpha2)
+    g = 1.0 / (1.0 + lam_o + lam_i)
+    g1_o = 1.0 / (1.0 + lam_o)
+    f_cos = jnp.where(valid, d * g / jnp.maximum(4.0 * cos_o, 1e-12), 0.0)
+    # VNDF pdf: G1(o) D |o.h| / cos_o / (4 |o.h|) = G1 D / (4 cos_o)
+    pdf = jnp.where(valid, g1_o * d / jnp.maximum(4.0 * cos_o, 1e-12), 0.0)
+    return f_cos, pdf
+
+
+def _ggx_refract_eval(wo, wi, alpha, eta):
+    """GGX refraction f*cos and pdf; eta = ior_in/ior_out along wo side.
+    wo on +z side, wi must be on -z side."""
+    cos_o = wo[..., 2]
+    cos_i = -wi[..., 2]
+    valid = (cos_o > 1e-6) & (cos_i > 1e-6)
+    # half vector for refraction
+    ht = -(eta[..., None] * wo + wi)
+    h = um.normalize(ht)
+    h = h * jnp.sign(h[..., 2:3])  # orient to +z
+    cos_ho = jnp.sum(wo * h, -1)
+    cos_hi = jnp.sum(wi * h, -1)
+    alpha2 = alpha * alpha
+    d = _ggx_d(h[..., 2], alpha2)
+    lam_o = _ggx_smith_lambda(cos_o, alpha2)
+    lam_i = _ggx_smith_lambda(cos_i, alpha2)
+    g = 1.0 / (1.0 + lam_o + lam_i)
+    g1_o = 1.0 / (1.0 + lam_o)
+    denom = eta * cos_ho + cos_hi
+    denom2 = jnp.maximum(denom * denom, 1e-12)
+    jac = jnp.abs(cos_hi) / denom2
+    f_cos = jnp.where(valid & (jnp.abs(cos_ho) > 1e-8),
+                      (jnp.abs(cos_ho) * jac * d * g
+                       / jnp.maximum(cos_o, 1e-12)), 0.0)
+    pdf = jnp.where(valid, g1_o * d * jnp.abs(cos_ho) * jac
+                    / jnp.maximum(cos_o, 1e-12), 0.0)
+    return f_cos, pdf
+
+
+def _oren_nayar_factor(wo, wi, roughness):
+    """Oren-Nayar qualitative model (ref: bsdf_oren_nayar.h), relative to
+    Lambert (factor multiplying albedo/pi*cos)."""
+    sigma2 = roughness * roughness
+    a = 1.0 - 0.5 * sigma2 / (sigma2 + 0.33)
+    b = 0.45 * sigma2 / (sigma2 + 0.09)
+    cos_o, cos_i = wo[..., 2], wi[..., 2]
+    sin_o = um.safe_sqrt(1.0 - cos_o * cos_o)
+    sin_i = um.safe_sqrt(1.0 - cos_i * cos_i)
+    cos_phi = jnp.where(
+        (sin_o > 1e-6) & (sin_i > 1e-6),
+        (wo[..., 0] * wi[..., 0] + wo[..., 1] * wi[..., 1])
+        / jnp.maximum(sin_o * sin_i, 1e-12), 0.0)
+    sin_alpha = jnp.maximum(sin_o, sin_i)
+    tan_beta = jnp.minimum(sin_o, sin_i) / jnp.maximum(
+        jnp.minimum(cos_o, cos_i), 1e-6)
+    return a + b * jnp.maximum(cos_phi, 0.0) * sin_alpha * tan_beta
+
+
+def _lobe_probs(c):
+    """Lobe pick probabilities from mean closure weights
+    (ref: shader_bsdf_pick sample_weight)."""
+    wd = jnp.mean(jnp.abs(c["diffuse"]) + jnp.abs(c["subsurface"]), -1)
+    wg = jnp.mean(jnp.abs(c["glossy"]), -1)
+    wr = jnp.mean(jnp.abs(c["refraction"]), -1)
+    wt = jnp.mean(jnp.abs(c["transparent"]), -1)
+    tot = wd + wg + wr + wt
+    safe = jnp.maximum(tot, 1e-12)
+    return (wd / safe, wg / safe, wr / safe, wt / safe, tot)
+
+
+def bsdf_eval(c, N, I, omega_in):
+    """Evaluate the full closure stack at direction omega_in.
+
+    Returns (f_cos (N,3), pdf (N,)) — f includes |cos|; delta lobes
+    contribute nothing (ref: _shader_bsdf_multi_eval)."""
+    t, b = um.make_orthonormals(N)
+    wo = um.to_local(I, t, b, N)
+    wi = um.to_local(omega_in, t, b, N)
+
+    pd, pg, pr, pt, tot = _lobe_probs(c)
+
+    reflect_side = wi[..., 2] > 0.0
+
+    # diffuse
+    cos_i = jnp.maximum(wi[..., 2], 0.0)
+    on = jnp.where(c["diffuse_roughness"] > 1e-4,
+                   _oren_nayar_factor(wo, wi, c["diffuse_roughness"]), 1.0)
+    f_diff = (c["diffuse"] + c["subsurface"]) * (cos_i * um.M_1_PI * on)[..., None]
+    pdf_diff = cos_i * um.M_1_PI
+
+    # glossy GGX (non-delta only)
+    alpha_g = jnp.maximum(c["glossy_roughness"] ** 2, 1e-7)
+    glossy_delta = c["glossy_roughness"] < SHARP_ROUGHNESS
+    fg, pdfg = _ggx_reflect_eval(wo, wi, alpha_g)
+    f_gloss = jnp.where((~glossy_delta & reflect_side)[..., None],
+                        c["glossy"] * fg[..., None], 0.0)
+    pdf_gloss = jnp.where(~glossy_delta & reflect_side, pdfg, 0.0)
+
+    # refraction GGX
+    alpha_r = jnp.maximum(c["refraction_roughness"] ** 2, 1e-7)
+    refr_delta = c["refraction_roughness"] < SHARP_ROUGHNESS
+    eta = jnp.maximum(c["ior"], 1e-5)
+    # wo always +z by construction (N flipped to face I); refraction
+    # goes to -z side. eta = 1/ior entering, ior handled by caller flip.
+    fr, pdfr = _ggx_refract_eval(wo, wi, alpha_r, 1.0 / eta)
+    f_refr = jnp.where((~refr_delta & ~reflect_side)[..., None],
+                       c["refraction"] * fr[..., None], 0.0)
+    pdf_refr = jnp.where(~refr_delta & ~reflect_side, pdfr, 0.0)
+
+    f = (f_diff * jnp.where(reflect_side, 1.0, 0.0)[..., None]
+         + f_gloss + f_refr)
+    pdf = (pd * jnp.where(reflect_side, pdf_diff, 0.0)
+           + pg * pdf_gloss + pr * pdf_refr)
+    return f, pdf
+
+
+def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe):
+    """Sample an outgoing direction from the closure stack.
+
+    Returns dict(omega (N,3), f_cos (N,3), pdf (N,), label (N,) int32,
+    eta (N,) relative ior crossed for refraction lanes, valid mask).
+    """
+    t, b = um.make_orthonormals(N)
+    wo = um.to_local(I, t, b, N)
+
+    pd, pg, pr, pt, tot = _lobe_probs(c)
+    cdf_d = pd
+    cdf_g = pd + pg
+    cdf_r = pd + pg + pr
+    pick_d = u_lobe < cdf_d
+    pick_g = ~pick_d & (u_lobe < cdf_g)
+    pick_r = ~pick_d & ~pick_g & (u_lobe < cdf_r)
+    pick_t = ~pick_d & ~pick_g & ~pick_r
+
+    # --- diffuse: cosine hemisphere ---
+    r = jnp.sqrt(u1)
+    phi = um.M_2PI * u2
+    wi_diff = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi),
+                         um.safe_sqrt(1.0 - u1)], -1)
+
+    # --- glossy: VNDF half-vector, reflect ---
+    alpha_g = jnp.maximum(c["glossy_roughness"] ** 2, 1e-7)
+    glossy_delta = c["glossy_roughness"] < SHARP_ROUGHNESS
+    h_g = _sample_ggx_vndf(wo, alpha_g, u1, u2)
+    wi_gloss = 2.0 * um.dot3(wo, h_g) * h_g - wo
+    wi_gloss_delta = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+    wi_gloss = jnp.where(glossy_delta[..., None], wi_gloss_delta, wi_gloss)
+
+    # --- refraction: VNDF half-vector, refract ---
+    alpha_r = jnp.maximum(c["refraction_roughness"] ** 2, 1e-7)
+    refr_delta = c["refraction_roughness"] < SHARP_ROUGHNESS
+    eta_f = jnp.maximum(c["ior"], 1e-5)  # ior of medium being entered
+    inv_eta = 1.0 / eta_f
+    h_r = _sample_ggx_vndf(wo, alpha_r, u1, u2)
+    h_r_eff = jnp.where(refr_delta[..., None],
+                        jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0],
+                                                     jnp.float32), h_r.shape),
+                        h_r)
+    cos_oh = jnp.sum(wo * h_r_eff, -1)
+    k = 1.0 - inv_eta * inv_eta * (1.0 - cos_oh * cos_oh)
+    tir = k < 0.0
+    wi_refr = um.normalize(
+        (inv_eta[..., None] * (cos_oh[..., None] * h_r_eff - wo))
+        - um.safe_sqrt(k)[..., None] * h_r_eff)
+    # TIR: reflect off the half vector instead
+    wi_tir = um.normalize(2.0 * cos_oh[..., None] * h_r_eff - wo)
+    wi_refr = jnp.where(tir[..., None], wi_tir, wi_refr)
+
+    # --- transparent: straight through ---
+    wi_transp = -wo
+
+    wi = jnp.where(pick_d[..., None], wi_diff,
+                   jnp.where(pick_g[..., None], wi_gloss,
+                             jnp.where(pick_r[..., None], wi_refr, wi_transp)))
+
+    label = jnp.where(pick_d, LABEL_DIFFUSE,
+                      jnp.where(pick_g, jnp.where(glossy_delta,
+                                                  LABEL_GLOSSY | LABEL_SINGULAR,
+                                                  LABEL_GLOSSY),
+                                jnp.where(pick_r,
+                                          jnp.where(refr_delta,
+                                                    LABEL_TRANSMIT | LABEL_SINGULAR,
+                                                    LABEL_TRANSMIT),
+                                          LABEL_TRANSPARENT | LABEL_SINGULAR)))
+
+    omega = um.from_local(wi, t, b, N)
+
+    # --- combine: delta lanes bypass the mixture eval ---
+    sampled_delta = ((pick_g & glossy_delta) | (pick_r & refr_delta) | pick_t)
+
+    f_eval, pdf_eval = bsdf_eval(c, N, I, omega)
+    # delta contributions (weight/pick_prob with pdf treated as 1)
+    f_delta = jnp.where(pick_g[..., None], c["glossy"],
+                        jnp.where(pick_r[..., None], c["refraction"],
+                                  c["transparent"]))
+    p_delta = jnp.where(pick_g, pg, jnp.where(pick_r, pr, pt))
+
+    f = jnp.where(sampled_delta[..., None], f_delta, f_eval)
+    pdf = jnp.where(sampled_delta, p_delta, pdf_eval)
+
+    valid = (tot > 1e-12) & (pdf > 1e-12)
+    # refraction lanes record relative eta for russian-roulette radiance
+    # scaling (ref: kernel_path_surface.h bounce eta_scale)
+    eta_cross = jnp.where(pick_r & ~tir, inv_eta, 1.0)
+    return {"omega": omega, "f_cos": f, "pdf": pdf, "label": label,
+            "valid": valid, "eta": eta_cross}

@@ -1,0 +1,128 @@
+"""Fixed-slot closure union (ref: kernel/closure/bsdf.h dispatch +
+ShaderClosure array in kernel/kernel_types.h SD storage).
+
+The reference stores a variable-length ShaderClosure array per shading
+point and dispatches on closure type at runtime. On TPU, variable-length
+per-lane unions defeat vectorization, so a shader evaluates to a
+*fixed set of weighted closure slots* (SoA over the wavefront):
+
+  emission       — light emission (3)
+  diffuse        — Lambert / Oren-Nayar (weight 3, roughness 1)
+  glossy         — GGX microfacet reflection (weight 3, roughness 1,
+                   fresnel f0 handled by weight)
+  refraction     — GGX microfacet transmission (weight 3, roughness 1, ior 1)
+  transparent    — pass-through (weight 3)
+  subsurface     — diffusion approx placeholder until random-walk SSS
+                   (weight 3, radius 3)
+
+A Mix/Add closure graph op is a weighted blend of slot weights — exactly
+the semantics of the reference's closure mixing (svm_node_mix_closure),
+but shape-static. Unused slots carry zero weight and cost only masked
+VPU math.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+CLOSURE_VEC_KEYS = ("emission", "diffuse", "glossy", "refraction",
+                    "transparent", "subsurface", "subsurface_radius",
+                    "holdout")
+CLOSURE_SCALAR_KEYS = ("glossy_roughness", "refraction_roughness", "ior",
+                       "diffuse_roughness")
+
+
+def empty_closures(batch_shape):
+    c = {k: jnp.zeros(batch_shape + (3,), jnp.float32) for k in CLOSURE_VEC_KEYS}
+    for k in CLOSURE_SCALAR_KEYS:
+        c[k] = jnp.zeros(batch_shape, jnp.float32)
+    c["ior"] = jnp.full(batch_shape, 1.45, jnp.float32)
+    return c
+
+
+def is_closure(v):
+    return isinstance(v, dict) and "diffuse" in v and "glossy" in v
+
+
+# --- volume closure union (ref: kernel/closure/volume.h) ---
+# sigma_t: extinction, sigma_s: scattering, emission, g: HG anisotropy.
+
+def empty_volume_closures(batch_shape):
+    return {
+        "volume": True,
+        "sigma_t": jnp.zeros(batch_shape + (3,), jnp.float32),
+        "sigma_s": jnp.zeros(batch_shape + (3,), jnp.float32),
+        "v_emission": jnp.zeros(batch_shape + (3,), jnp.float32),
+        "anisotropy": jnp.zeros(batch_shape, jnp.float32),
+    }
+
+
+def is_volume_closure(v):
+    return isinstance(v, dict) and v.get("volume") is True
+
+
+def add_volume_closures(a, b):
+    out = empty_volume_closures(a["sigma_t"].shape[:-1])
+    for k in ("sigma_t", "sigma_s", "v_emission"):
+        out[k] = a[k] + b[k]
+    wa = jnp.sum(a["sigma_s"], -1)
+    wb = jnp.sum(b["sigma_s"], -1)
+    tot = wa + wb
+    out["anisotropy"] = jnp.where(
+        tot > 0.0, (a["anisotropy"] * wa + b["anisotropy"] * wb)
+        / jnp.where(tot > 0.0, tot, 1.0), 0.0)
+    return out
+
+
+def mix_volume_closures(a, b, fac):
+    fac = jnp.clip(jnp.asarray(fac), 0.0, 1.0)
+    sa = {k: (a[k] * (1.0 - (fac[..., None] if a[k].ndim > fac.ndim else fac))
+              if k != "volume" else True) for k in a}
+    sb = {k: (b[k] * (fac[..., None] if b[k].ndim > fac.ndim else fac)
+              if k != "volume" else True) for k in b}
+    return add_volume_closures(sa, sb)
+
+
+def scale_closures(c, fac):
+    """Scale all slot weights by fac (scalar or (...,1)/(...,3))."""
+    fac3 = fac if (hasattr(fac, "ndim") and fac.ndim > 0 and fac.shape[-1] == 3) \
+        else jnp.asarray(fac)[..., None]
+    out = dict(c)
+    for k in CLOSURE_VEC_KEYS:
+        if k == "subsurface_radius":
+            continue  # radius is a parameter, not a weight
+        out[k] = c[k] * fac3
+    return out
+
+
+def add_closures(a, b):
+    """Closure add (ref: svm_node_add_closure). Scalar params blend by
+    the slot weights so e.g. mixing two roughnesses is weight-correct."""
+    out = {}
+    for k in CLOSURE_VEC_KEYS:
+        out[k] = a[k] + b[k]
+    for k in CLOSURE_SCALAR_KEYS:
+        slot = {"glossy_roughness": "glossy", "refraction_roughness": "refraction",
+                "ior": "refraction", "diffuse_roughness": "diffuse"}[k]
+        wa = jnp.sum(a[slot], axis=-1)
+        wb = jnp.sum(b[slot], axis=-1)
+        tot = wa + wb
+        out[k] = jnp.where(tot > 0.0,
+                           (a[k] * wa + b[k] * wb) / jnp.where(tot > 0.0, tot, 1.0),
+                           a[k])
+    # subsurface radius blends by subsurface weight
+    wa = jnp.sum(a["subsurface"], axis=-1, keepdims=True)
+    wb = jnp.sum(b["subsurface"], axis=-1, keepdims=True)
+    tot = wa + wb
+    out["subsurface_radius"] = jnp.where(
+        tot > 0.0,
+        (a["subsurface_radius"] * wa + b["subsurface_radius"] * wb)
+        / jnp.where(tot > 0.0, tot, 1.0),
+        a["subsurface_radius"])
+    return out
+
+
+def mix_closures(a, b, fac):
+    """Linear closure mix (ref: svm_node_mix_closure)."""
+    fac = jnp.clip(jnp.asarray(fac), 0.0, 1.0)
+    return add_closures(scale_closures(a, 1.0 - fac), scale_closures(b, fac))

@@ -1,0 +1,308 @@
+"""Wavefront path integrator (ref: kernel/kernel_path.h:509-695
+kernel_path_integrate / kernel_path_trace; wavefront structure ref:
+device/device_split_kernel.cpp + kernel/split/*).
+
+One `path_trace_sample` call advances EVERY pixel's path for one sample:
+camera ray generation -> [intersect -> lamp/background MIS emission ->
+shade -> NEE + MIS -> bounce] x max_bounce -> film accumulate, all as
+batched SoA ops under `lax.fori_loop`. Dead lanes are masked, not
+compacted (compaction/sorting is an optimization layered on top in
+parallel/; masked VPU math is cheap on TPU for Cornell-class depth).
+
+Static configuration (bounce limits, sampler pattern, brute-vs-BVH) is
+Python-level so XLA specializes the kernel per scene feature set — the
+TPU analog of the reference's feature-pruned kernel compiles
+(DeviceRequestedFeatures::get_build_options, device/device.h:228).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from raytracingproject_tpu.utils import math as um
+from raytracingproject_tpu.utils import rng as rngu
+from raytracingproject_tpu.ops import bsdf as bsdf_ops
+from raytracingproject_tpu.ops import camera as cam_ops
+from raytracingproject_tpu.ops import film as film_ops
+from raytracingproject_tpu.ops import intersect as isect
+from raytracingproject_tpu.ops import light as light_ops
+from raytracingproject_tpu.ops import shade as shade_ops
+from raytracingproject_tpu.models import object as ob
+
+RAY_EPS = 1e-4
+
+
+def _scene_intersect(kg, o, d, tmin, tmax, visibility, shadow=False):
+    ds = kg["dscene"]
+    if kg["use_brute"]:
+        return isect.intersect_brute(
+            ds["tri_verts_world"], ds["prim_object_packed"], o, d, tmin, tmax,
+            visibility=visibility, object_visibility=ds["object_visibility"])
+    return isect.intersect_bvh(
+        ds["bvh_bounds"], ds["bvh_children"], ds["tri_verts"],
+        ds["prim_object_packed"], o, d, tmin, tmax,
+        instance_w2o=ds.get("instance_w2o"),
+        instance_blas_root=ds.get("instance_blas_root"),
+        instance_object=ds.get("instance_object"),
+        visibility=visibility, object_visibility=ds["object_visibility"],
+        shadow_any_hit=shadow)
+
+
+def _shadow_blocked(kg, o, d, tmin, tmax):
+    vis = jnp.full(o.shape[:1], ob.PATH_RAY_SHADOW, jnp.uint32)
+    hit = _scene_intersect(kg, o, d, tmin, tmax, vis, shadow=True)
+    return hit["prim"] >= 0
+
+
+def _clamp_contrib(contrib, clamp):
+    """Per-sample firefly clamp (ref: kernel_accumulate.h
+    path_radiance_clamp). `clamp` may be a python float (<= 0 disables)
+    or a traced scalar."""
+    if isinstance(clamp, float) and clamp <= 0.0:
+        return contrib
+    m = jnp.max(contrib, axis=-1)
+    scale = jnp.where((jnp.asarray(clamp) > 0.0) & (m > clamp),
+                      clamp / jnp.maximum(m, 1e-12), 1.0)
+    return contrib * scale[..., None]
+
+
+def path_trace_sample(kg, px, py, pixel_index, sample):
+    """Trace one sample for a wavefront of pixels.
+
+    kg: kernel-globals dict with keys
+        dscene (device arrays), cam (camera record), kint (integrator
+        record, host scalars), shaders (list of traced Shader),
+        textures (TextureStore), filter_table, background_shader (int),
+        use_brute (bool), film_transparent (bool).
+    px, py: (N,) raster integer coords; pixel_index: (N,) absolute ids.
+    Returns (radiance (N, 3), alpha (N,)).
+    """
+    kint = kg["kint"]
+    pattern = int(kint["sampling_pattern"])
+    seed = jnp.uint32(kint["seed"])
+    max_bounce = int(kint["max_bounce"])
+    min_bounce = int(kint["min_bounce"])
+    clamp_direct = float(kint["sample_clamp_direct"])
+    clamp_indirect = float(kint["sample_clamp_indirect"])
+
+    n = px.shape[0]
+    rng_hash = rngu.pixel_rng_hash(pixel_index.astype(jnp.uint32), seed)
+    sample_u32 = jnp.broadcast_to(jnp.uint32(sample), (n,))
+
+    def rng2(dim_pair):
+        return rngu.path_rng_2d(rng_hash, sample_u32,
+                                jnp.uint32(dim_pair) if not hasattr(dim_pair, "dtype")
+                                else dim_pair, pattern)
+
+    # --- camera sample (ref: kernel_path.h:643-660) ---
+    fu, fv = rng2(rngu.PRNG_FILTER)
+    ft = kg["filter_table"]
+    raster_x = px.astype(jnp.float32) + 0.5 + film_ops.filter_table_lookup(ft, fu)
+    raster_y = py.astype(jnp.float32) + 0.5 + film_ops.filter_table_lookup(ft, fv)
+    lens_u, lens_v = rng2(rngu.PRNG_LENS)
+    time_u, _ = rng2(rngu.PRNG_TIME)
+    ray = cam_ops.camera_sample_ray(kg["cam"], raster_x, raster_y,
+                                    lens_u, lens_v, time_u)
+
+    ds = kg["dscene"]
+    has_lights = int(ds["light_dist_type"].shape[0]) > 0
+    bg_pmf = float(ds["bg_pmf"])
+
+    state = {
+        "o": ray["o"], "d": ray["d"],
+        "tmin": ray["tmin"], "tmax": ray["tmax"],
+        "time": ray["time"],
+        "throughput": jnp.ones((n, 3), jnp.float32),
+        "L": jnp.zeros((n, 3), jnp.float32),
+        "alpha": (jnp.zeros((n,), jnp.float32) if kg["film_transparent"]
+                  else jnp.ones((n,), jnp.float32)),
+        "alive": jnp.ones((n,), bool),
+        "pdf_prev": jnp.zeros((n,), jnp.float32),
+        "singular_prev": jnp.ones((n,), bool),  # camera rays: emission weight 1
+        "path_flag": jnp.full((n,), ob.PATH_RAY_CAMERA, jnp.uint32),
+        "diffuse_depth": jnp.zeros((n,), jnp.int32),
+        "glossy_depth": jnp.zeros((n,), jnp.int32),
+        "transmission_depth": jnp.zeros((n,), jnp.int32),
+        "transparent_depth": jnp.zeros((n,), jnp.int32),
+    }
+
+    def bounce_body(bounce, st):
+        alive = st["alive"]
+        is_direct = bounce <= 1  # for clamping semantics
+        clamp_val = jnp.where(is_direct, clamp_direct, clamp_indirect)
+
+        vis_ray = jnp.where(
+            st["path_flag"] & ob.PATH_RAY_CAMERA > 0,
+            jnp.uint32(ob.PATH_RAY_CAMERA),
+            jnp.where(st["path_flag"] & ob.PATH_RAY_DIFFUSE > 0,
+                      jnp.uint32(ob.PATH_RAY_DIFFUSE),
+                      jnp.where(st["path_flag"] & ob.PATH_RAY_TRANSMIT > 0,
+                                jnp.uint32(ob.PATH_RAY_TRANSMIT),
+                                jnp.uint32(ob.PATH_RAY_GLOSSY))))
+        hit = _scene_intersect(kg, st["o"], st["d"], st["tmin"], st["tmax"],
+                               vis_ray)
+        found = hit["prim"] >= 0
+
+        L = st["L"]
+        throughput = st["throughput"]
+
+        # ---- virtual lamp (area light) emission with MIS ----
+        if kg["num_area_lamps"] > 0:
+            def lamp_accum(li, emission, pdf_lamp, t_lamp, mask):
+                nonlocal L
+                m = mask & alive & (t_lamp < hit["t"])
+                w = jnp.where(st["singular_prev"], 1.0,
+                              um.power_heuristic(st["pdf_prev"], pdf_lamp))
+                contrib = throughput * emission * w[:, None]
+                contrib = _clamp_contrib(contrib, clamp_indirect)
+                L = jnp.where(m[:, None], L + contrib, L)
+            light_ops.lamp_hits(ds, st["o"], st["d"], st["tmax"], lamp_accum)
+
+        # ---- background (ref: indirect_background) ----
+        miss = alive & ~found
+        bg = shade_ops.eval_background(
+            kg["shaders"], kg["background_shader"], st["d"],
+            textures=kg["textures"], path_flag=st["path_flag"])
+        if bg_pmf > 0.0:
+            pdf_bg = bg_pmf / um.M_4PI
+            w_bg = jnp.where(st["singular_prev"], 1.0,
+                             um.power_heuristic(st["pdf_prev"], pdf_bg))
+        else:
+            w_bg = jnp.ones((n,), jnp.float32)
+        contrib = _clamp_contrib(throughput * bg * w_bg[:, None], clamp_val)
+        L = jnp.where(miss[:, None], L + contrib, L)
+        # transparent film: any surface hit makes the pixel opaque;
+        # opaque film: alpha is 1 everywhere (set at init).
+        alpha = jnp.maximum(st["alpha"],
+                            (alive & found).astype(jnp.float32)) \
+            if kg["film_transparent"] else st["alpha"]
+        alive = alive & found
+
+        # ---- shading setup + closures ----
+        sd = shade_ops.shader_setup(
+            ds, hit, st["o"], st["d"], time=st["time"],
+            ray_depth=jnp.full((n,), bounce, jnp.int32),
+            path_flag=st["path_flag"], textures=kg["textures"])
+        closures = shade_ops.eval_shaders(kg["shaders"], sd, sd.shader)
+
+        # ---- surface emission with MIS (ref: indirect_primitive_emission)
+        emis = closures["emission"]
+        has_emis = jnp.any(emis > 0.0, axis=-1)
+        cos_hit = um.dot(sd.Ng, sd.I)
+        pdf_light = light_ops.triangle_light_pdf(
+            ds, hit["prim"], hit["t"], cos_hit) if has_lights else 0.0
+        w_emis = jnp.where(st["singular_prev"], 1.0,
+                           um.power_heuristic(st["pdf_prev"], pdf_light))
+        contrib = _clamp_contrib(throughput * emis * w_emis[:, None], clamp_val)
+        L = jnp.where((alive & has_emis)[:, None], L + contrib, L)
+
+        # ---- NEE (ref: kernel_path_surface.h direct lighting) ----
+        if has_lights:
+            sel_u, _sel_v = rng2(rngu.bounce_dim_pair(bounce, rngu.PRNG_PHASE))
+            lu, lv = rng2(rngu.bounce_dim_pair(bounce, rngu.PRNG_LIGHT))
+            ls = light_ops.sample_light(ds, sd.P, sel_u, lu, lv)
+            # triangle lights: constant-folded emission estimate
+            tri_emis = ds["prim_emission"][ls["tri_prim"]]
+            l_eval = jnp.where(ls["is_tri"][:, None], tri_emis, ls["eval"])
+            f_l, pdf_fwd = bsdf_ops.bsdf_eval(closures, sd.N, sd.I, ls["D"])
+            w_l = jnp.where(ls["delta"], 1.0,
+                            um.power_heuristic(ls["pdf"], pdf_fwd))
+            contrib = throughput * f_l * l_eval \
+                * um.safe_divide(w_l, ls["pdf"], 0.0)[:, None]
+            contrib = _clamp_contrib(contrib, clamp_val)
+            can_light = alive & ls["valid"] \
+                & jnp.any(contrib != 0.0, axis=-1)
+            # shadow ray
+            off = jnp.where(um.dot(ls["D"], sd.Ng)[:, None] > 0,
+                            sd.Ng, -sd.Ng) * RAY_EPS
+            sh_o = sd.P + off
+            sh_tmax = jnp.where(ls["dist"] >= um.RAY_TMAX * 0.5,
+                                jnp.float32(um.RAY_TMAX),
+                                ls["dist"] * (1.0 - 1e-3) - RAY_EPS)
+            blocked = _shadow_blocked(kg, sh_o, ls["D"],
+                                      jnp.full((n,), 1e-5, jnp.float32),
+                                      jnp.where(can_light, sh_tmax, 1e-5))
+            L = jnp.where((can_light & ~blocked)[:, None], L + contrib, L)
+
+        # ---- BSDF bounce (ref: kernel_path_surface_bounce) ----
+        bu, bv = rng2(rngu.bounce_dim_pair(bounce, rngu.PRNG_BSDF))
+        rr_u, lobe_u = rng2(rngu.bounce_dim_pair(bounce, rngu.PRNG_TERMINATE))
+        bs = bsdf_ops.bsdf_sample(closures, sd.N, sd.Ng, sd.I, bu, bv, lobe_u)
+
+        new_throughput = throughput * bs["f_cos"] \
+            * um.safe_divide(1.0, bs["pdf"], 0.0)[:, None]
+        alive2 = alive & bs["valid"] \
+            & jnp.any(jnp.abs(new_throughput) > 1e-7, axis=-1)
+
+        # per-type depth limits (ref: kernel_path_state.h)
+        is_diff = (bs["label"] & bsdf_ops.LABEL_DIFFUSE) > 0
+        is_gloss = (bs["label"] & bsdf_ops.LABEL_GLOSSY) > 0
+        is_trans = (bs["label"] & bsdf_ops.LABEL_TRANSMIT) > 0
+        is_transp = (bs["label"] & bsdf_ops.LABEL_TRANSPARENT) > 0
+        is_sing = (bs["label"] & bsdf_ops.LABEL_SINGULAR) > 0
+        dd = st["diffuse_depth"] + is_diff.astype(jnp.int32)
+        gd = st["glossy_depth"] + is_gloss.astype(jnp.int32)
+        td = st["transmission_depth"] + is_trans.astype(jnp.int32)
+        pd = st["transparent_depth"] + is_transp.astype(jnp.int32)
+        alive2 &= dd <= int(kint["max_diffuse_bounce"])
+        alive2 &= gd <= int(kint["max_glossy_bounce"])
+        alive2 &= td <= int(kint["max_transmission_bounce"])
+        alive2 &= pd <= int(kint["transparent_max_bounce"])
+
+        # russian roulette (ref: kernel_path.h path_state_terminate_probability)
+        rr_active = bounce >= min_bounce
+        p_cont = jnp.clip(jnp.max(jnp.abs(new_throughput), -1), 0.0, 1.0)
+        p_cont = jnp.where(rr_active, p_cont, 1.0)
+        survive = rr_u < p_cont
+        alive2 &= survive
+        new_throughput = new_throughput \
+            * um.safe_divide(1.0, p_cont, 0.0)[:, None]
+
+        # next ray
+        out_side = um.dot(bs["omega"], sd.Ng) > 0.0
+        off = jnp.where(out_side[:, None], sd.Ng, -sd.Ng) * RAY_EPS
+        new_o = sd.P + off
+        new_flag = jnp.where(
+            is_transp, st["path_flag"],  # transparent keeps path type
+            (st["path_flag"] & ~jnp.uint32(ob.PATH_RAY_CAMERA))
+            | jnp.where(is_diff, jnp.uint32(ob.PATH_RAY_DIFFUSE), 0)
+            | jnp.where(is_gloss, jnp.uint32(ob.PATH_RAY_GLOSSY | ob.PATH_RAY_REFLECT), 0)
+            | jnp.where(is_trans, jnp.uint32(ob.PATH_RAY_TRANSMIT), 0)
+            | jnp.where(is_sing, jnp.uint32(ob.PATH_RAY_SINGULAR), 0))
+
+        return {
+            "o": jnp.where(alive2[:, None], new_o, st["o"]),
+            "d": jnp.where(alive2[:, None], bs["omega"], st["d"]),
+            "tmin": jnp.full((n,), 1e-5, jnp.float32),
+            "tmax": jnp.full((n,), um.RAY_TMAX, jnp.float32),
+            "time": st["time"],
+            "throughput": jnp.where(alive2[:, None], new_throughput,
+                                    throughput),
+            "L": L,
+            "alpha": alpha,
+            "alive": alive2,
+            "pdf_prev": jnp.where(is_sing, st["pdf_prev"], bs["pdf"]),
+            "singular_prev": is_sing,
+            "path_flag": new_flag,
+            "diffuse_depth": dd, "glossy_depth": gd,
+            "transmission_depth": td, "transparent_depth": pd,
+        }
+
+    final = jax.lax.fori_loop(0, max_bounce + 1, bounce_body, state)
+    return final["L"], final["alpha"]
+
+
+def render_samples(kg, px, py, pixel_index, sample_start, num_samples):
+    """Accumulate `num_samples` consecutive samples (static count) for a
+    pixel wavefront. Returns (radiance_sum (N,3), alpha_sum (N,))."""
+
+    def body(i, acc):
+        L, A = acc
+        rad, alpha = path_trace_sample(kg, px, py, pixel_index,
+                                       jnp.uint32(sample_start) + i.astype(jnp.uint32))
+        return (L + rad, A + alpha)
+
+    init = (jnp.zeros(px.shape + (3,), jnp.float32),
+            jnp.zeros(px.shape, jnp.float32))
+    return jax.lax.fori_loop(0, num_samples, body, init)

@@ -1,0 +1,316 @@
+"""Device intersection kernels (ref: kernel/bvh/bvh.h scene_intersect,
+kernel/bvh/bvh_traversal.h:34-229, kernel/geom/geom_triangle_intersect.h).
+
+TPU architecture: instead of one traversal stack per GPU thread, a whole
+ray wavefront advances in lockstep through a `lax.while_loop`; per-lane
+state (current node, stack, best hit) lives in SoA arrays, node fetches
+are batched row gathers from the flat BVH arrays (bvh/build.py layout).
+This is the standard while-while GPU traversal reshaped for XLA: no
+divergent control flow, every lane executes the same fused VPU ops under
+masks.
+
+Two-level instancing (TLAS over object instances -> BLAS per geometry,
+ref: bvh/bvh.h pack_instances) is handled in-traversal: instance leaves
+swap the lane's ray into object space, push a RESTORE sentinel, and dive
+into the BLAS; directions are NOT renormalized so the ray parameter t is
+identical in both spaces and hit compares stay global.
+
+For small scenes (<= ~512 triangles, Cornell class) `intersect_brute`
+skips the BVH entirely: a `lax.scan` over triangle blocks is pure dense
+VPU math with zero gathers — much faster than pointer-style traversal on
+TPU for these sizes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from raytracingproject_tpu.utils.math import RAY_TMAX
+
+STACK_DEPTH = 48
+DONE = jnp.int32(0x7FFFFFFF)
+RESTORE = jnp.int32(0x7FFFFFFE)
+LEAF_UNROLL = 8  # must cover builder max leaf size
+
+# visibility constants live in models/object.py (PATH_RAY_*)
+
+
+def ray_triangle_intersect(v0, v1, v2, o, d, tmin, tmax):
+    """Batched Möller–Trumbore. All args (..., 3); returns
+    (hit_mask, t, u, v). Matches the NumPy golden reference
+    (bvh/build.py _mt_intersect_np) bit-for-bit in fp32."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, -1)
+    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, -1) * inv
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, -1) * inv
+    t = jnp.sum(e2 * qvec, -1) * inv
+    hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (u <= 1.0)
+           & (v >= 0.0) & (u + v <= 1.0) & (t > tmin) & (t < tmax))
+    return hit, t, u, v
+
+
+def _slab_test(blo, bhi, o, inv_d, tmin, tmax):
+    """Batched AABB slab test -> (hit, t_near)."""
+    t0 = (blo - o) * inv_d
+    t1 = (bhi - o) * inv_d
+    tn = jnp.max(jnp.minimum(t0, t1), -1)
+    tf = jnp.min(jnp.maximum(t0, t1), -1)
+    hit = (tn <= tf) & (tf >= tmin) & (tn <= tmax)
+    return hit, tn
+
+
+def _safe_inv(d):
+    return jnp.where(jnp.abs(d) > 1e-20,
+                     1.0 / jnp.where(d == 0, 1.0, d),
+                     jnp.where(d >= 0, 1e20, -1e20))
+
+
+def empty_hit(n, tmax=RAY_TMAX):
+    return {
+        "t": jnp.full((n,), tmax, jnp.float32),
+        "prim": jnp.full((n,), -1, jnp.int32),    # index in prim_order space
+        "u": jnp.zeros((n,), jnp.float32),
+        "v": jnp.zeros((n,), jnp.float32),
+        "object": jnp.full((n,), -1, jnp.int32),
+    }
+
+
+def intersect_brute(tri_verts, prim_object, o, d, tmin, tmax,
+                    visibility=None, object_visibility=None, block=8):
+    """Dense all-rays x all-triangles intersection via lax.scan over
+    triangle blocks. tri_verts: (P, 3, 3) in prim order (world space —
+    brute path requires pre-transformed geometry)."""
+    n = o.shape[0]
+    p = tri_verts.shape[0]
+    pad = (-p) % block
+    tv = jnp.pad(tri_verts, ((0, pad), (0, 0), (0, 0)))
+    po = jnp.pad(prim_object, (0, pad), constant_values=-1)
+    if visibility is not None and object_visibility is not None:
+        pv = jnp.pad(object_visibility[jnp.maximum(prim_object, 0)], (0, pad))
+    else:
+        pv = None
+    nblocks = (p + pad) // block
+    tv = tv.reshape(nblocks, block, 3, 3)
+    po = po.reshape(nblocks, block)
+    if pv is not None:
+        pv = pv.reshape(nblocks, block)
+
+    def body(carry, blk):
+        t_best, prim_best, u_best, v_best, obj_best = carry
+        btv, bpo, bidx, bpv = blk
+        # (N, B) broadcast: rays x block triangles
+        v0 = btv[None, :, 0, :]
+        v1 = btv[None, :, 1, :]
+        v2 = btv[None, :, 2, :]
+        hit, t, u, v = ray_triangle_intersect(
+            v0, v1, v2, o[:, None, :], d[:, None, :],
+            tmin[:, None], t_best[:, None])
+        hit &= bpo[None, :] >= 0
+        if visibility is not None and bpv is not None:
+            hit &= (bpv[None, :] & visibility[:, None]) > 0
+        t = jnp.where(hit, t, RAY_TMAX)
+        k = jnp.argmin(t, axis=1)
+        rows = jnp.arange(n)
+        tk = t[rows, k]
+        better = tk < t_best
+        t_best = jnp.where(better, tk, t_best)
+        prim_best = jnp.where(better, bidx[k], prim_best)
+        u_best = jnp.where(better, u[rows, k], u_best)
+        v_best = jnp.where(better, v[rows, k], v_best)
+        obj_best = jnp.where(better, bpo[k], obj_best)
+        return (t_best, prim_best, u_best, v_best, obj_best), None
+
+    init = (jnp.minimum(tmax, RAY_TMAX), jnp.full((n,), -1, jnp.int32),
+            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+            jnp.full((n,), -1, jnp.int32))
+    blk_idx = jnp.arange(nblocks * block, dtype=jnp.int32).reshape(nblocks, block)
+    if pv is None:
+        pv = jnp.zeros((nblocks, block), jnp.uint32)
+    (t, prim, u, v, obj), _ = jax.lax.scan(body, init, (tv, po, blk_idx, pv))
+    prim = jnp.where(t < tmax, prim, -1)
+    return {"t": t, "prim": prim, "u": u, "v": v, "object": obj}
+
+
+def intersect_bvh(bvh_bounds, bvh_children, tri_verts, prim_object,
+                  o, d, tmin, tmax,
+                  instance_w2o=None, instance_blas_root=None,
+                  instance_object=None,
+                  visibility=None, object_visibility=None,
+                  shadow_any_hit=False):
+    """Lockstep wavefront BVH traversal.
+
+    bvh_bounds (M, 12) f32, bvh_children (M, 2) i32 — unified node pool
+    (TLAS + all BLAS). tri_verts (P, 3, 3) in prim order; TLAS instance
+    'primitives' are rows in instance_* tables (leaf flag bit 30 set by
+    the scene packer). Rays: o, d (N, 3); tmin/tmax (N,).
+
+    Returns hit dict. With shadow_any_hit=True lanes terminate on first
+    accepted hit (ref: scene_intersect_shadow semantics for opaque
+    shadows).
+    """
+    n = o.shape[0]
+    has_instances = instance_w2o is not None
+
+    t_best0 = jnp.minimum(tmax, RAY_TMAX)
+    state = {
+        "node": jnp.zeros((n,), jnp.int32),           # start at root 0
+        "sp": jnp.zeros((n,), jnp.int32),
+        "stack": jnp.zeros((n, STACK_DEPTH), jnp.int32),
+        "t": t_best0,
+        "prim": jnp.full((n,), -1, jnp.int32),
+        "u": jnp.zeros((n,), jnp.float32),
+        "v": jnp.zeros((n,), jnp.float32),
+        "obj": jnp.full((n,), -1, jnp.int32),
+        "o_cur": o,
+        "d_cur": d,
+        "cur_obj": jnp.full((n,), -1, jnp.int32),
+    }
+
+    def cond(s):
+        return jnp.any(s["node"] != DONE)
+
+    def pop(s, lane_mask):
+        """Pop next node for masked lanes; DONE when stack empty."""
+        sp = s["sp"]
+        has = sp > 0
+        nsp = jnp.where(lane_mask & has, sp - 1, sp)
+        popped = s["stack"][jnp.arange(n), jnp.maximum(nsp, 0)]
+        node = jnp.where(lane_mask, jnp.where(has, popped, DONE), s["node"])
+        return node, nsp
+
+    def body(s):
+        node = s["node"]
+        # --- RESTORE sentinel: return lane to world space, then pop ---
+        if has_instances:
+            restoring = node == RESTORE
+            s = dict(s)
+            s["o_cur"] = jnp.where(restoring[:, None], o, s["o_cur"])
+            s["d_cur"] = jnp.where(restoring[:, None], d, s["d_cur"])
+            s["cur_obj"] = jnp.where(restoring, -1, s["cur_obj"])
+            node2, nsp = pop(s, restoring)
+            s["node"] = node2
+            s["sp"] = nsp
+            node = node2
+
+        active = node != DONE
+        is_inner = active & (node >= 0)
+        is_leaf = active & (node < 0)
+
+        safe_node = jnp.clip(node, 0, bvh_bounds.shape[0] - 1)
+        nb = bvh_bounds[safe_node]          # (N, 12)
+        nc = bvh_children[safe_node]        # (N, 2)
+
+        inv_d = _safe_inv(s["d_cur"])
+        h0, t0 = _slab_test(nb[:, 0:3], nb[:, 3:6], s["o_cur"], inv_d,
+                            tmin, s["t"])
+        h1, t1 = _slab_test(nb[:, 6:9], nb[:, 9:12], s["o_cur"], inv_d,
+                            tmin, s["t"])
+        h0 &= is_inner
+        h1 &= is_inner
+
+        near_first = t0 <= t1
+        near = jnp.where(near_first, nc[:, 0], nc[:, 1])
+        far = jnp.where(near_first, nc[:, 1], nc[:, 0])
+        both = h0 & h1
+        one_hit = h0 ^ h1
+        only = jnp.where(h0, nc[:, 0], nc[:, 1])
+
+        # push far child when both children hit
+        sp = s["sp"]
+        stack = s["stack"]
+        stack = stack.at[jnp.arange(n), jnp.minimum(sp, STACK_DEPTH - 1)].set(
+            jnp.where(both, far, stack[jnp.arange(n), jnp.minimum(sp, STACK_DEPTH - 1)]))
+        sp = jnp.where(both, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+
+        next_node = jnp.where(both, near,
+                              jnp.where(one_hit, only, DONE))  # DONE -> pop below
+
+        # --- leaf processing ---
+        lv = -node - 1
+        is_inst_leaf = is_leaf & (lv >= (1 << 30)) if has_instances else jnp.zeros_like(is_leaf)
+        lvv = jnp.where(is_inst_leaf, lv - (1 << 30), lv)
+        start = lvv >> 4
+        count = lvv & 15
+
+        t_best, prim_best = s["t"], s["prim"]
+        u_best, v_best, obj_best = s["u"], s["v"], s["obj"]
+        tri_leaf = is_leaf & ~is_inst_leaf
+        for k in range(LEAF_UNROLL):
+            pidx = jnp.clip(start + k, 0, tri_verts.shape[0] - 1)
+            m = tri_leaf & (k < count)
+            tv = tri_verts[pidx]
+            hit, t, u, v = ray_triangle_intersect(
+                tv[:, 0], tv[:, 1], tv[:, 2], s["o_cur"], s["d_cur"],
+                tmin, t_best)
+            hit &= m
+            pobj = jnp.where(s["cur_obj"] >= 0, s["cur_obj"],
+                             prim_object[pidx])
+            if visibility is not None and object_visibility is not None:
+                hit &= (object_visibility[jnp.maximum(pobj, 0)]
+                        & visibility) > 0
+            t_best = jnp.where(hit, t, t_best)
+            prim_best = jnp.where(hit, pidx, prim_best)
+            u_best = jnp.where(hit, u, u_best)
+            v_best = jnp.where(hit, v, v_best)
+            obj_best = jnp.where(hit, pobj, obj_best)
+
+        o_cur, d_cur, cur_obj = s["o_cur"], s["d_cur"], s["cur_obj"]
+        if has_instances:
+            # instance leaves have count == 1 by construction
+            iidx = jnp.clip(start, 0, instance_w2o.shape[0] - 1)
+            w2o = instance_w2o[iidx]          # (N, 3, 4)
+            blas = instance_blas_root[iidx]
+            iobj = instance_object[iidx]
+            o_l = (w2o[:, :, :3] @ o[..., None])[..., 0] + w2o[:, :, 3]
+            d_l = (w2o[:, :, :3] @ d[..., None])[..., 0]
+            o_cur = jnp.where(is_inst_leaf[:, None], o_l, o_cur)
+            d_cur = jnp.where(is_inst_leaf[:, None], d_l, d_cur)
+            cur_obj = jnp.where(is_inst_leaf, iobj, cur_obj)
+            # push RESTORE, then continue at BLAS root
+            stack = stack.at[jnp.arange(n), jnp.minimum(sp, STACK_DEPTH - 1)].set(
+                jnp.where(is_inst_leaf, RESTORE,
+                          stack[jnp.arange(n), jnp.minimum(sp, STACK_DEPTH - 1)]))
+            sp = jnp.where(is_inst_leaf, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+            next_node = jnp.where(is_inst_leaf, blas, next_node)
+
+        # shadow early-out: lane done once any hit recorded
+        if shadow_any_hit:
+            done_lane = prim_best >= 0
+            next_node = jnp.where(done_lane, DONE, next_node)
+            sp = jnp.where(done_lane, 0, sp)
+
+        s2 = {"node": next_node, "sp": sp, "stack": stack,
+              "t": t_best, "prim": prim_best, "u": u_best, "v": v_best,
+              "obj": obj_best, "o_cur": o_cur, "d_cur": d_cur,
+              "cur_obj": cur_obj}
+        # Lanes whose next node is unresolved (miss-both inners, finished
+        # triangle leaves, shadow-terminated lanes with sp=0) pop the
+        # stack; empty stack -> DONE.
+        needs_pop = active & (next_node == DONE)
+        node3, nsp = pop(s2, needs_pop)
+        s2["node"] = jnp.where(active, node3, DONE)
+        s2["sp"] = jnp.where(active, nsp, s2["sp"])
+        return s2
+
+    out = jax.lax.while_loop(cond, body, state)
+    hit_mask = out["t"] < t_best0
+    return {"t": out["t"],
+            "prim": jnp.where(hit_mask, out["prim"], -1),
+            "u": out["u"], "v": out["v"],
+            "object": jnp.where(hit_mask, out["obj"], -1)}
+
+
+def shadow_blocked_brute(tri_verts, prim_object, o, d, tmin, tmax,
+                         visibility=None, object_visibility=None):
+    """Boolean occlusion via the brute path (opaque shadows,
+    ref: kernel/kernel_shadow.h shadow_blocked opaque fast path)."""
+    hit = intersect_brute(tri_verts, prim_object, o, d, tmin, tmax,
+                          visibility=visibility,
+                          object_visibility=object_visibility)
+    return hit["prim"] >= 0

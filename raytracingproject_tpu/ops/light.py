@@ -1,0 +1,239 @@
+"""Light sampling, NEE and MIS (ref: kernel/kernel_light.h,
+kernel/kernel_emission.h; host CDF build ref: render/light.cpp:277).
+
+The flat light distribution covers lamps AND emissive triangles in one
+CDF, selected by a single binary search (`jnp.searchsorted`) over the
+wavefront. Per-type sampling is fused branch-free math over all lanes
+with per-type masks — point/spot/distant/area lamps and uniform-area
+triangle sampling, pdfs converted to solid angle.
+
+For BSDF-sampled rays that hit emissive geometry, `triangle_light_pdf`
+returns the pdf NEE would have used so the power heuristic can weight
+the two strategies (ref: indirect_primitive_emission,
+kernel_emission.h:209-233). Area lamps are virtual (not in the BVH);
+`lamp_hits` intersects them analytically for the lamp-MIS path
+(ref: indirect_lamp_emission, kernel_path.h lamp loop).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from raytracingproject_tpu.utils import math as um
+
+LIGHT_POINT = 0
+LIGHT_DISTANT = 1
+LIGHT_BACKGROUND = 2
+LIGHT_AREA = 3
+LIGHT_SPOT = 4
+
+
+def light_distribution_sample(dscene, u):
+    """Binary-search the emission CDF (ref: kernel_light.h:583).
+    Returns (entry_index, pick_pmf)."""
+    cdf = dscene["light_dist_cdf"]  # (D+1,)
+    idx = jnp.clip(jnp.searchsorted(cdf, u, side="right") - 1,
+                   0, cdf.shape[0] - 2)
+    pmf = cdf[idx + 1] - cdf[idx]
+    return idx.astype(jnp.int32), pmf
+
+
+def sample_light(dscene, P, u_sel, u1, u2, time=None):
+    """Sample one light point for NEE from shading points P (N, 3).
+
+    Returns dict: valid, delta (no-MIS lanes), D (unit dir to light),
+    dist, pdf (solid angle x selection), eval ((N,3) emitted radiance
+    toward P), Ng_l (light normal).
+    """
+    n = P.shape[0]
+    entry, pmf = light_distribution_sample(dscene, u_sel)
+    etype = dscene["light_dist_type"][entry]   # 0 lamp, 1 triangle
+    eid = dscene["light_dist_id"][entry]
+
+    is_tri = etype == 1
+    # ---------------- triangle lights (uniform area) ----------------
+    prim = jnp.maximum(jnp.where(is_tri, eid, 0), 0)
+    tv = dscene["tri_verts"][prim]
+    obj = dscene["prim_object_packed"][prim]
+    otfm = dscene["object_tfm"][jnp.maximum(obj, 0)]
+    v0 = (otfm[:, :, :3] @ tv[:, 0][..., None])[..., 0] + otfm[:, :, 3]
+    v1 = (otfm[:, :, :3] @ tv[:, 1][..., None])[..., 0] + otfm[:, :, 3]
+    v2 = (otfm[:, :, :3] @ tv[:, 2][..., None])[..., 0] + otfm[:, :, 3]
+    # uniform barycentric (sqrt warp)
+    su = jnp.sqrt(jnp.maximum(u1, 0.0))
+    tb_u = 1.0 - su
+    tb_v = u2 * su
+    P_tri = v0 + (v1 - v0) * tb_u[:, None] + (v2 - v0) * tb_v[:, None]
+    Ng_tri = um.triangle_normal(v0, v1, v2)
+    area_tri = um.triangle_area(v0, v1, v2)
+
+    # ---------------- lamps ----------------
+    lamp = jnp.maximum(jnp.where(is_tri, 0, eid), 0)
+    ltype = dscene["lamp_type"][lamp]
+    lco = dscene["lamp_co"][lamp]
+    ldir = dscene["lamp_dir"][lamp]           # emission direction
+    lsize = dscene["lamp_size"][lamp]
+    laxisu = dscene["lamp_axisu"][lamp]
+    laxisv = dscene["lamp_axisv"][lamp]
+    lsizeu = dscene["lamp_sizeu"][lamp]
+    lsizev = dscene["lamp_sizev"][lamp]
+    lstrength = dscene["lamp_strength"][lamp]
+    lspot_angle = dscene["lamp_spot_angle"][lamp]
+    lspot_smooth = dscene["lamp_spot_smooth"][lamp]
+
+    is_point = ~is_tri & (ltype == LIGHT_POINT)
+    is_spot = ~is_tri & (ltype == LIGHT_SPOT)
+    is_area = ~is_tri & (ltype == LIGHT_AREA)
+    is_distant = ~is_tri & (ltype == LIGHT_DISTANT)
+    is_bg = ~is_tri & (ltype == LIGHT_BACKGROUND)
+
+    # point/spot: sample sphere surface of radius size (delta if size=0)
+    sph = um.sample_uniform_sphere(u1, u2)
+    P_point = lco + sph * lsize[:, None]
+
+    # area: uniform point on rect
+    P_area = (lco + laxisu * ((u1 - 0.5) * lsizeu)[:, None]
+              + laxisv * ((u2 - 0.5) * lsizev)[:, None])
+    area_lamp = jnp.maximum(
+        lsizeu * lsizev * um.length(um.cross(laxisu, laxisv)), 1e-12)
+
+    # distant: sample cone around -dir of half-angle `angle`
+    # (ref: kernel_light.h distant_light_sample)
+    cos_max = jnp.cos(dscene["lamp_angle"][lamp] * 0.5)
+    zc = 1.0 - u1 * (1.0 - cos_max)
+    rc = um.safe_sqrt(1.0 - zc * zc)
+    phic = um.M_2PI * u2
+    t_d, b_d = um.make_orthonormals(-ldir)
+    D_distant = um.normalize(
+        (rc * jnp.cos(phic))[:, None] * t_d + (rc * jnp.sin(phic))[:, None] * b_d
+        + zc[:, None] * (-ldir))
+
+    # background: uniform sphere (importance map lands with full ladder)
+    D_bg = sph
+
+    # ---------------- combine position-based lights ----------------
+    P_l = jnp.where(is_tri[:, None], P_tri,
+                    jnp.where(is_area[:, None], P_area, P_point))
+    to_l = P_l - P
+    dist = jnp.maximum(um.length(to_l), 1e-8)
+    D_pos = to_l / dist[:, None]
+
+    D = jnp.where(is_distant[:, None], D_distant,
+                  jnp.where(is_bg[:, None], D_bg, D_pos))
+    dist = jnp.where(is_distant | is_bg, um.RAY_TMAX, dist)
+
+    # normals and cosine at light
+    Ng_l = jnp.where(is_tri[:, None], Ng_tri,
+                     jnp.where(is_area[:, None],
+                               um.safe_normalize(um.cross(laxisu, laxisv)),
+                               -D))
+    cos_l = um.dot(Ng_l, -D)
+
+    # ---------------- pdfs (solid angle) ----------------
+    d2 = dist * dist
+    pdf_tri = um.safe_divide(d2, jnp.abs(cos_l) * area_tri, 0.0)
+    pdf_area = um.safe_divide(d2, jnp.maximum(cos_l, 0.0) * area_lamp, 0.0)
+    inv_sph_area = 1.0 / (4.0 * um.M_PI * jnp.maximum(lsize * lsize, 1e-12))
+    pdf_sphere = d2 * inv_sph_area  # approx: sphere-area pdf to SA
+    pdf_distant = 1.0 / (um.M_2PI * jnp.maximum(1.0 - cos_max, 1e-9))
+    pdf_bg = 1.0 / um.M_4PI
+
+    delta_point = is_point & (lsize <= 0.0)
+    delta_spot = is_spot & (lsize <= 0.0)
+    delta_distant = is_distant & (cos_max >= 1.0 - 1e-9)
+    delta = delta_point | delta_spot | delta_distant
+
+    pdf = jnp.where(is_tri, pdf_tri,
+                    jnp.where(is_area, pdf_area,
+                              jnp.where(is_point | is_spot,
+                                        jnp.where(delta, 1.0, pdf_sphere),
+                                        jnp.where(is_distant,
+                                                  jnp.where(delta, 1.0, pdf_distant),
+                                                  pdf_bg))))
+    pdf = pdf * pmf
+
+    # ---------------- emission eval toward P ----------------
+    # triangle: emission closure of its shader (caller multiplies the
+    # gathered per-prim emission); lamps use strength.
+    # point/spot: radiant intensity = strength / (4 pi); falloff 1/d^2
+    eval_point = lstrength * (um.M_1_PI * 0.25) / d2[:, None]
+    # spot cone falloff (ref: spot_light_attenuation)
+    cos_spot = um.dot(-D, ldir)  # angle between light->P dir and spot axis
+    spot_cos_max = jnp.cos(lspot_angle * 0.5)
+    spot_att = jnp.clip(
+        um.safe_divide(cos_spot - spot_cos_max,
+                       lspot_smooth * (1.0 - spot_cos_max) + 1e-9, 1.0),
+        0.0, 1.0)
+    spot_att = jnp.where(cos_spot > spot_cos_max,
+                         jnp.where(lspot_smooth > 0.0, spot_att, 1.0), 0.0)
+    eval_spot = eval_point * spot_att[:, None]
+    # area: strength is radiance; single-sided
+    eval_area = jnp.where((cos_l > 0.0)[:, None], lstrength, 0.0)
+    # distant: strength is radiance through the cone
+    eval_distant = lstrength
+    eval_bg = lstrength  # constant-background fallback; shader eval in caller
+
+    ev = jnp.where(is_area[:, None], eval_area,
+                   jnp.where(is_point[:, None], eval_point,
+                             jnp.where(is_spot[:, None], eval_spot,
+                                       jnp.where(is_distant[:, None],
+                                                 eval_distant, eval_bg))))
+
+    # triangle lanes: emission filled by caller via prim shader eval;
+    # report the gather index
+    valid = (pdf > 1e-12) & (jnp.where(is_tri, jnp.abs(cos_l), 1.0) > 1e-6)
+    return {
+        "valid": valid, "delta": delta, "D": D, "dist": dist, "pdf": pdf,
+        "eval": ev, "Ng_l": Ng_l, "is_tri": is_tri, "tri_prim": prim,
+        "tri_u": tb_u, "tri_v": tb_v, "is_bg": is_bg, "P_l": P_l,
+        "pmf": pmf,
+    }
+
+
+def triangle_light_pdf(dscene, prim, t_hit, cos_hit):
+    """pdf (solid angle) with which NEE would sample the emissive
+    triangle hit by a BSDF ray (ref: triangle_light_pdf)."""
+    pmf = dscene["prim_light_pmf"][jnp.maximum(prim, 0)]
+    tv = dscene["tri_verts"][jnp.maximum(prim, 0)]
+    obj = dscene["prim_object_packed"][jnp.maximum(prim, 0)]
+    otfm = dscene["object_tfm"][jnp.maximum(obj, 0)]
+    v0 = (otfm[:, :, :3] @ tv[:, 0][..., None])[..., 0] + otfm[:, :, 3]
+    v1 = (otfm[:, :, :3] @ tv[:, 1][..., None])[..., 0] + otfm[:, :, 3]
+    v2 = (otfm[:, :, :3] @ tv[:, 2][..., None])[..., 0] + otfm[:, :, 3]
+    area = um.triangle_area(v0, v1, v2)
+    pdf = um.safe_divide(t_hit * t_hit, jnp.abs(cos_hit) * area, 0.0)
+    return pdf * pmf
+
+
+def lamp_hits(dscene, o, d, tmax, accum_fn):
+    """Analytic area-lamp intersection for BSDF-MIS
+    (ref: indirect_lamp_emission). Calls accum_fn(emission, pdf, t, mask)
+    once per lamp; cheap since lamp counts are tiny."""
+    num_lamps = int(dscene["lamp_type"].shape[0])
+    for li in range(num_lamps):
+        if int(dscene["lamp_type"][li]) != LIGHT_AREA:
+            continue
+        co = dscene["lamp_co"][li]
+        axisu = dscene["lamp_axisu"][li]
+        axisv = dscene["lamp_axisv"][li]
+        sizeu = dscene["lamp_sizeu"][li]
+        sizev = dscene["lamp_sizev"][li]
+        ng = um.safe_normalize(um.cross(axisu, axisv))
+        denom = um.dot(d, ng)
+        t = um.safe_divide(um.dot(co - o, jnp.broadcast_to(ng, o.shape)),
+                           denom, -1.0)
+        P_hit = o + t[:, None] * d
+        rel = P_hit - co
+        uu = um.dot(rel, um.safe_normalize(axisu)) / (
+            jnp.maximum(um.length(axisu), 1e-12) * sizeu)
+        vv = um.dot(rel, um.safe_normalize(axisv)) / (
+            jnp.maximum(um.length(axisv), 1e-12) * sizev)
+        front = denom < 0.0  # ray hits emitting side
+        mask = (t > 1e-5) & (t < tmax) & front \
+            & (jnp.abs(uu) <= 0.5) & (jnp.abs(vv) <= 0.5)
+        area = jnp.maximum(sizeu * sizev * um.length(um.cross(axisu, axisv)),
+                           1e-12)
+        pmf = dscene["lamp_pmf"][li]
+        pdf = um.safe_divide(t * t, jnp.abs(denom) * area, 0.0) * pmf
+        emission = jnp.broadcast_to(dscene["lamp_strength"][li], o.shape)
+        accum_fn(li, emission, pdf, t, mask)

@@ -1,0 +1,103 @@
+"""Device-mesh rendering (the TPU-native replacement for the reference's
+multi-GPU fan-out and TCP render farm).
+
+Where the reference ships tiles to devices through MultiDevice
+(device/device_multi.cpp: per-device tile lists, P2P peer islands) and to
+hosts through a boost::asio RPC protocol (device/device_network.cpp),
+here the whole film is an SPMD program over a `jax.sharding.Mesh`:
+
+- **pixel sharding** ('dp' axis): the pixel wavefront is split across
+  devices with `shard_map`; each device runs the identical wavefront
+  integrator on its pixel shard against a replicated scene. This is the
+  analog of tile data-parallelism, with XLA inserting any needed
+  collectives over ICI.
+- **sample sharding**: every device renders the full frame with a
+  disjoint sample range (the reference's resumable sample chunks,
+  render/tile.cpp:555-613, turned into an axis of the mesh) and the film
+  is reduced with `psum` — the EXR-merge path collapsed into one
+  collective.
+
+Multi-host (DCN) scaling composes the same way: `jax.distributed` +
+a process-level sample/tile split handled by session/chunks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from raytracingproject_tpu.ops import integrator as integ
+
+
+def make_device_mesh(n_devices=None, devices=None):
+    """1D render mesh over available devices (axis 'dp')."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), ("dp",))
+
+
+def _pixel_arrays(width, height, x0=0, y0=0):
+    yy, xx = np.mgrid[0:height, 0:width]
+    px = (xx + x0).reshape(-1).astype(np.int32)
+    py = (yy + y0).reshape(-1).astype(np.int32)
+    return px, py
+
+
+def render_frame_sharded(kg, width, height, spp, mesh=None,
+                         sample_start=0, mode="pixel", full_width=None):
+    """Render a full frame over a device mesh.
+
+    mode='pixel': shard the pixel wavefront across 'dp'
+    mode='sample': shard the sample range across 'dp', psum the film
+    Returns (radiance (H, W, 3) accumulated over spp, alpha (H, W)).
+    """
+    if mesh is None:
+        mesh = make_device_mesh()
+    ndev = mesh.devices.size
+    fw = full_width or width
+    px_np, py_np = _pixel_arrays(width, height)
+    n = px_np.size
+
+    if mode == "sample":
+        assert spp % ndev == 0, "spp must divide by mesh size"
+        spp_shard = spp // ndev
+
+        def shard_fn(px, py, pidx):
+            dev = jax.lax.axis_index("dp")
+            start = jnp.uint32(sample_start) + dev.astype(jnp.uint32) \
+                * jnp.uint32(spp_shard)
+            L, A = integ.render_samples(kg, px, py, pidx, start, spp_shard)
+            return (jax.lax.psum(L, "dp"), jax.lax.psum(A, "dp"))
+
+        fn = shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P(), P(), P()), out_specs=(P(), P()),
+                       check_rep=False)
+        px = jnp.asarray(px_np)
+        py = jnp.asarray(py_np)
+        L, A = jax.jit(fn)(px, py, py * fw + px)
+        return L.reshape(height, width, 3), A.reshape(height, width)
+
+    # pixel sharding: pad lanes to a multiple of mesh size
+    pad = (-n) % ndev
+    px_np = np.pad(px_np, (0, pad))
+    py_np = np.pad(py_np, (0, pad))
+
+    def shard_fn(px, py, pidx):
+        return integ.render_samples(kg, px, py, pidx,
+                                    jnp.uint32(sample_start), spp)
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P("dp"), P("dp"), P("dp")),
+                   out_specs=(P("dp"), P("dp")),
+                   check_rep=False)
+    px = jnp.asarray(px_np)
+    py = jnp.asarray(py_np)
+    L, A = jax.jit(fn)(px, py, py * fw + px)
+    L = L[:n].reshape(height, width, 3)
+    A = A[:n].reshape(height, width)
+    return L, A

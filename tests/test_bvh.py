@@ -1,0 +1,186 @@
+"""BVH build + traversal golden tests (ref test model: the reference has
+no kernel unit tests and relies on image tests — we add traversal goldens
+because the TPU traversal is novel code)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raytracingproject_tpu.bvh import build as bb
+from raytracingproject_tpu.ops import intersect as isect
+
+
+def random_tris(n, seed=0, spread=10.0):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-spread, spread, (n, 1, 3))
+    tris = base + rng.uniform(-1.0, 1.0, (n, 3, 3))
+    return tris.astype(np.float32)
+
+
+class TestBuild:
+    def test_leaf_coverage(self):
+        tris = random_tris(100)
+        bvh = bb.build_bvh(tris.min(1), tris.max(1))
+        # every primitive appears exactly once in prim_order
+        assert sorted(bvh.prim_order.tolist()) == list(range(100))
+
+    def test_leaf_encoding_roundtrip(self):
+        enc = bb.encode_leaf(1234, 7)
+        assert enc < 0
+        assert bb.decode_leaf(enc) == (1234, 7)
+
+    def test_node_bounds_contain_prims(self):
+        tris = random_tris(64, seed=1)
+        bvh = bb.build_bvh(tris.min(1), tris.max(1))
+        ordered = tris[bvh.prim_order]
+        # walk tree, check leaves are inside their recorded child bounds
+        stack = [(0, None)]
+        while stack:
+            node, bound = stack.pop()
+            if node < 0:
+                start, count = bb.decode_leaf(node)
+                if count and bound is not None:
+                    lo, hi = bound
+                    seg = ordered[start:start + count]
+                    assert (seg.min((0, 1)) >= lo - 1e-4).all()
+                    assert (seg.max((0, 1)) <= hi + 1e-4).all()
+                continue
+            b = bvh.bounds[node]
+            c = bvh.children[node]
+            stack.append((int(c[0]), (b[0:3], b[3:6])))
+            stack.append((int(c[1]), (b[6:9], b[9:12])))
+
+
+class TestTraversal:
+    def _setup(self, ntri=200, nray=128, seed=3):
+        tris = random_tris(ntri, seed=seed)
+        bvh = bb.build_bvh(tris.min(1), tris.max(1))
+        ordered = tris[bvh.prim_order]
+        rng = np.random.default_rng(seed + 1)
+        o = rng.uniform(-15, 15, (nray, 3)).astype(np.float32)
+        d = rng.normal(size=(nray, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return bvh, ordered, o, d
+
+    def test_bvh_matches_numpy_golden(self):
+        bvh, ordered, o, d = self._setup()
+        n = len(o)
+        prim_obj = np.zeros(len(ordered), np.int32)
+        hit = jax.jit(lambda o, d: isect.intersect_bvh(
+            jnp.asarray(bvh.bounds), jnp.asarray(bvh.children),
+            jnp.asarray(ordered), jnp.asarray(prim_obj),
+            o, d, jnp.zeros(n), jnp.full(n, 1e30)))(
+                jnp.asarray(o), jnp.asarray(d))
+        t_jax = np.asarray(hit["t"])
+        prim_jax = np.asarray(hit["prim"])
+        miss = 0
+        for i in range(n):
+            t, prim, u, v = bb.intersect_ray_np(bvh, ordered, o[i], d[i])
+            if prim < 0:
+                assert prim_jax[i] == -1, f"ray {i}: jax hit, numpy miss"
+                miss += 1
+            else:
+                assert prim_jax[i] == prim, f"ray {i}: prim mismatch"
+                np.testing.assert_allclose(t_jax[i], t, rtol=1e-4)
+        assert 0 < miss < n  # test covers both outcomes
+
+    def test_bvh_matches_brute(self):
+        bvh, ordered, o, d = self._setup(ntri=150, nray=256, seed=9)
+        n = len(o)
+        prim_obj = np.zeros(len(ordered), np.int32)
+        args = (jnp.asarray(o), jnp.asarray(d), jnp.zeros(n),
+                jnp.full(n, 1e30))
+        h_bvh = jax.jit(lambda *a: isect.intersect_bvh(
+            jnp.asarray(bvh.bounds), jnp.asarray(bvh.children),
+            jnp.asarray(ordered), jnp.asarray(prim_obj), *a))(*args)
+        h_brt = jax.jit(lambda *a: isect.intersect_brute(
+            jnp.asarray(ordered), jnp.asarray(prim_obj), *a))(*args)
+        np.testing.assert_array_equal(np.asarray(h_bvh["prim"]),
+                                      np.asarray(h_brt["prim"]))
+        np.testing.assert_allclose(np.asarray(h_bvh["t"]),
+                                   np.asarray(h_brt["t"]), rtol=1e-5)
+
+    def test_shadow_any_hit(self):
+        bvh, ordered, o, d = self._setup(ntri=80, nray=64, seed=5)
+        n = len(o)
+        prim_obj = np.zeros(len(ordered), np.int32)
+        full = isect.intersect_bvh(
+            jnp.asarray(bvh.bounds), jnp.asarray(bvh.children),
+            jnp.asarray(ordered), jnp.asarray(prim_obj),
+            jnp.asarray(o), jnp.asarray(d), jnp.zeros(n), jnp.full(n, 1e30))
+        shadow = isect.intersect_bvh(
+            jnp.asarray(bvh.bounds), jnp.asarray(bvh.children),
+            jnp.asarray(ordered), jnp.asarray(prim_obj),
+            jnp.asarray(o), jnp.asarray(d), jnp.zeros(n), jnp.full(n, 1e30),
+            shadow_any_hit=True)
+        np.testing.assert_array_equal(np.asarray(full["prim"]) >= 0,
+                                      np.asarray(shadow["prim"]) >= 0)
+
+    def test_instancing(self):
+        """Two instances of one geometry vs the equivalent flattened
+        scene must produce identical hits."""
+        from raytracingproject_tpu.utils import transform as tfm
+        tris = random_tris(40, seed=11, spread=2.0)
+        t1 = tfm.translate(6.0, 0, 0)
+        t2 = tfm.compose(tfm.translate(-6.0, 0, 0), tfm.rotate(0.7, (0, 0, 1)))
+        # flattened reference
+        w1 = tfm.transform_point(t1, tris.reshape(-1, 3)).reshape(-1, 3, 3)
+        w2 = tfm.transform_point(t2, tris.reshape(-1, 3)).reshape(-1, 3, 3)
+        flat = np.concatenate([w1, w2]).astype(np.float32)
+        fb = bb.build_bvh(flat.min(1), flat.max(1))
+        fordered = flat[fb.prim_order]
+        # instanced version: BLAS + TLAS
+        blas = bb.build_bvh(tris.min(1), tris.max(1))
+        bordered = tris[blas.prim_order]
+        lo, hi = tris.min((0, 1)), tris.max((0, 1))
+        corners = np.array([[x, y, z] for x in (lo[0], hi[0])
+                            for y in (lo[1], hi[1]) for z in (lo[2], hi[2])],
+                           np.float32)
+        ilo, ihi = [], []
+        for t in (t1, t2):
+            wc = tfm.transform_point(t, corners)
+            ilo.append(wc.min(0)); ihi.append(wc.max(0))
+        tlas = bb.build_bvh(np.array(ilo), np.array(ihi), max_leaf_size=1)
+        tn = len(tlas.bounds)
+        bounds = np.concatenate([tlas.bounds, blas.bounds])
+        children = np.concatenate([tlas.children, blas.children])
+        # rebase BLAS children
+        blk = children[tn:]
+        inner = blk >= 0
+        blk[inner] += tn
+        # TLAS leaves -> instance encoding
+        tl = children[:tn]
+        leaves = tl < 0
+        v = -tl[leaves] - 1
+        start, count = v >> 4, v & 15
+        inst = np.where(count > 0, tlas.prim_order[np.minimum(start, 1)], 0)
+        tl[leaves] = np.where(count > 0,
+                              -(1 + (inst.astype(np.int64) << 4) + 1 + (1 << 30)),
+                              bb.encode_leaf(0, 0)).astype(np.int32)
+        inst_w2o = np.stack([tfm.inverse(t1), tfm.inverse(t2)])
+        rng = np.random.default_rng(2)
+        nray = 128
+        o = rng.uniform(-12, 12, (nray, 3)).astype(np.float32)
+        d = rng.normal(size=(nray, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, -1, keepdims=True)
+        prim_obj = np.full(len(bordered), -1, np.int32)
+        h_inst = isect.intersect_bvh(
+            jnp.asarray(bounds), jnp.asarray(children),
+            jnp.asarray(bordered), jnp.asarray(prim_obj),
+            jnp.asarray(o), jnp.asarray(d), jnp.zeros(nray),
+            jnp.full(nray, 1e30),
+            instance_w2o=jnp.asarray(inst_w2o),
+            instance_blas_root=jnp.asarray([tn, tn], np.int32),
+            instance_object=jnp.asarray([0, 1], np.int32))
+        h_flat = isect.intersect_bvh(
+            jnp.asarray(fb.bounds), jnp.asarray(fb.children),
+            jnp.asarray(fordered), jnp.asarray(np.zeros(len(fordered), np.int32)),
+            jnp.asarray(o), jnp.asarray(d), jnp.zeros(nray),
+            jnp.full(nray, 1e30))
+        np.testing.assert_allclose(np.asarray(h_inst["t"]),
+                                   np.asarray(h_flat["t"]), rtol=2e-4)
+        np.testing.assert_array_equal(np.asarray(h_inst["prim"]) >= 0,
+                                      np.asarray(h_flat["prim"]) >= 0)
+        # instanced hits carry the instance object id
+        hits = np.asarray(h_inst["prim"]) >= 0
+        assert set(np.asarray(h_inst["object"])[hits]) <= {0, 1}

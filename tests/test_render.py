@@ -1,0 +1,134 @@
+"""End-to-end integrator tests (analog of the reference's golden-image
+suite, tests/python/cycles_render_tests.py — but self-validating:
+furnace energy conservation, determinism, and cross-path parity instead
+of stored goldens)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracingproject_tpu.app import examples
+from raytracingproject_tpu.ops import integrator as integ
+
+
+def render(scene, w, h, spp, kg_override=None):
+    scene.device_update()
+    kg = scene.make_kernel_globals()
+    if kg_override:
+        kg.update(kg_override)
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = jnp.asarray(xx.reshape(-1), jnp.int32)
+    py = jnp.asarray(yy.reshape(-1), jnp.int32)
+    pidx = py * w + px
+    L, A = jax.jit(
+        lambda a, b, c: integ.render_samples(kg, a, b, c, 0, spp)
+    )(px, py, pidx)
+    return np.asarray(L).reshape(h, w, 3) / spp, \
+        np.asarray(A).reshape(h, w) / spp
+
+
+class TestFurnace:
+    def test_white_furnace(self):
+        """Unit-albedo sphere in unit background must render 1.0
+        (BSDF sampling + background MIS energy conservation)."""
+        scene = examples.furnace_scene(32, 32, albedo=1.0, bounces=24)
+        img, _ = render(scene, 32, 32, spp=48)
+        assert np.isfinite(img).all()
+        # center pixels view the sphere; background pixels are exactly 1
+        assert abs(float(img.mean()) - 1.0) < 0.015
+        center = img[12:20, 12:20]
+        assert abs(float(center.mean()) - 1.0) < 0.03
+
+    def test_absorbing_furnace(self):
+        """albedo 0.5 sphere must be darker than background, > 0."""
+        scene = examples.furnace_scene(24, 24, albedo=0.5, bounces=8)
+        img, _ = render(scene, 24, 24, spp=24)
+        center = img[9:15, 9:15]
+        assert 0.3 < float(center.mean()) < 0.95
+
+
+class TestCornell:
+    @pytest.fixture(scope="class")
+    def cornell_img(self):
+        scene = examples.cornell_box(48, 48, spp=12)
+        return render(scene, 48, 48, spp=12)
+
+    def test_basic_sanity(self, cornell_img):
+        img, alpha = cornell_img
+        assert np.isfinite(img).all()
+        assert img.min() >= 0.0
+        assert 0.02 < img.mean() < 1.0
+        # emissive panel visible at ceiling (raster y max = top)
+        assert img.max() > 5.0
+        np.testing.assert_allclose(alpha, 1.0)
+
+    def test_wall_color_bleed(self, cornell_img):
+        img, _ = cornell_img
+        # x=0 wall is green, x=max wall is red in this scene
+        left = img[20:28, 1:4].mean(0).mean(0)
+        right = img[20:28, -4:-1].mean(0).mean(0)
+        assert left[1] > left[0] * 1.5, f"left wall not green: {left}"
+        assert right[0] > right[1] * 1.5, f"right wall not red: {right}"
+
+    def test_deterministic(self):
+        scene = examples.cornell_box(16, 16, spp=4)
+        a, _ = render(scene, 16, 16, 4)
+        scene2 = examples.cornell_box(16, 16, spp=4)
+        b, _ = render(scene2, 16, 16, 4)
+        np.testing.assert_array_equal(a, b)
+
+    def test_seed_changes_noise(self):
+        scene = examples.cornell_box(16, 16, spp=2)
+        a, _ = render(scene, 16, 16, 2)
+        scene2 = examples.cornell_box(16, 16, spp=2)
+        scene2.integrator.set("seed", 7)
+        b, _ = render(scene2, 16, 16, 2)
+        assert not np.array_equal(a, b)
+        # but estimates agree in expectation
+        assert abs(a.mean() - b.mean()) < 0.05
+
+    def test_bvh_matches_brute(self):
+        """The BVH traversal path must produce the same image as the
+        brute-force path (same RNG -> near bit-equal)."""
+        scene = examples.cornell_box(24, 24, spp=3)
+        a, _ = render(scene, 24, 24, 3)
+        scene2 = examples.cornell_box(24, 24, spp=3)
+        b, _ = render(scene2, 24, 24, 3, kg_override={"use_brute": False})
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+    def test_area_lamp_mode(self):
+        """Area-lamp Cornell ~ mesh-light Cornell (different sampling
+        paths, same lighting)."""
+        s_mesh = examples.cornell_box(24, 24, spp=24)
+        img_mesh, _ = render(s_mesh, 24, 24, 24)
+        s_lamp = examples.cornell_box(24, 24, spp=24, light_mode="area")
+        img_lamp, _ = render(s_lamp, 24, 24, 24)
+        # loose: same global illumination level
+        assert abs(img_mesh.mean() - img_lamp.mean()) \
+            < 0.35 * max(img_mesh.mean(), img_lamp.mean())
+
+
+class TestFeatureLadder:
+    def test_glossy_spheres(self):
+        scene = examples.cornell_box(24, 24, spp=6, spheres="glossy")
+        img, _ = render(scene, 24, 24, 6)
+        assert np.isfinite(img).all() and img.mean() > 0.01
+
+    def test_glass_spheres(self):
+        scene = examples.cornell_box(24, 24, spp=6, spheres="glass")
+        img, _ = render(scene, 24, 24, 6)
+        assert np.isfinite(img).all() and img.mean() > 0.01
+
+    def test_depth_of_field(self):
+        scene = examples.cornell_box(24, 24, spp=8)
+        scene.camera.set("aperturesize", 20.0)
+        scene.camera.set("focaldistance", 800.0)
+        img_dof, _ = render(scene, 24, 24, 8)
+        scene2 = examples.cornell_box(24, 24, spp=8)
+        img_sharp, _ = render(scene2, 24, 24, 8)
+        assert np.isfinite(img_dof).all()
+        # DoF blurs: high-frequency energy (gradient magnitude) drops
+        def grad_energy(i):
+            return np.abs(np.diff(i, axis=1)).mean()
+        assert grad_energy(img_dof) < grad_energy(img_sharp)
