@@ -51,15 +51,28 @@ class BVHArrays:
         return len(self.bounds)
 
 
-def build_bvh(lo, hi, max_leaf_size=MAX_LEAF_SIZE):
+def build_bvh(lo, hi, max_leaf_size=MAX_LEAF_SIZE, use_native=None):
     """Build a BVH2 over primitives with AABBs [lo, hi] ((P, 3) each).
 
     Returns BVHArrays. Works for triangles (BLAS) and object instances
     (TLAS) alike — the caller decides what a 'primitive' is.
+
+    use_native: True/False/None(auto) — the C++ builder
+    (native/bvh_builder.cpp) takes over for big prim counts.
     """
     lo = np.asarray(lo, np.float32).reshape(-1, 3)
     hi = np.asarray(hi, np.float32).reshape(-1, 3)
     nprims = len(lo)
+
+    if use_native is None:
+        use_native = nprims >= 2048
+    if use_native and nprims > 0:
+        from raytracingproject_tpu import native
+        res = native.build_bvh_native(lo, hi, max_leaf_size)
+        if res is not None:
+            bounds, children, order = res
+            return BVHArrays(bounds, children, order, lo.min(0), hi.max(0))
+
     cent = 0.5 * (lo + hi)
 
     if nprims == 0:

@@ -62,7 +62,10 @@ FILTER_BOX = 0
 FILTER_GAUSSIAN = 1
 FILTER_BLACKMAN_HARRIS = 2
 
-FILTER_TABLE_SIZE = 1024  # ref: render/film.cpp FILTER_TABLE_SIZE
+# The reference uses 1024 entries (render/film.cpp FILTER_TABLE_SIZE);
+# 128 + lerp is visually identical for these smooth CDFs and keeps the
+# per-sample lookup in the cheap one-hot regime on TPU.
+FILTER_TABLE_SIZE = 128
 
 
 class Pass:

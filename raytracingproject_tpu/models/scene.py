@@ -432,6 +432,31 @@ class Scene:
         use_brute = (not has_instances) and P <= BRUTE_FORCE_MAX_PRIMS
         packed["__use_brute__"] = use_brute
         packed["tri_verts_world"] = packed["tri_verts"]  # valid when static
+
+        # ---- wide lookup tables (ops/lookup.py layout contract) ----
+        from raytracingproject_tpu.ops import lookup as lk
+        pt = np.zeros((max(P, 1), lk.PT_COLS), np.float32)
+        if P:
+            pt[:, lk.PT_V0:lk.PT_V0 + 9] = packed["tri_verts"].reshape(P, 9)
+            pt[:, lk.PT_VN:lk.PT_VN + 9] = packed["tri_vnormal"].reshape(P, 9)
+            pt[:, lk.PT_UV:lk.PT_UV + 6] = packed["tri_uv"].reshape(P, 6)
+            pt[:, lk.PT_SHADER] = packed["prim_shader"]
+            pt[:, lk.PT_SMOOTH] = packed["prim_smooth"]
+            pt[:, lk.PT_OBJECT] = packed["prim_object_packed"]
+        packed["prim_table"] = pt
+
+        ot = np.zeros((nobj, lk.OT_COLS), np.float32)
+        ot[:, lk.OT_TFM:lk.OT_TFM + 12] = obj_tfm.reshape(nobj, 12)
+        ot[:, lk.OT_ITFM:lk.OT_ITFM + 12] = obj_itfm.reshape(nobj, 12)
+        ot[:, lk.OT_ITFM_GEN:lk.OT_ITFM_GEN + 12] = \
+            obj_itfm_gen.reshape(nobj, 12)
+        ot[:, lk.OT_COLOR:lk.OT_COLOR + 3] = obj_color
+        ot[:, lk.OT_RANDOM] = obj_random
+        ot[:, lk.OT_BOUNDS_LO:lk.OT_BOUNDS_LO + 3] = obj_blo
+        ot[:, lk.OT_BOUNDS_HI:lk.OT_BOUNDS_HI + 3] = obj_bhi
+        ot[:, lk.OT_VISIBILITY] = obj_visibility.astype(np.float32)
+        ot[:, lk.OT_FLAGS] = obj_flags.astype(np.float32)
+        packed["object_table"] = ot
         log.vlog(1, "packed scene: %d prims, %d nodes, %d objects, "
                  "%d instances, brute=%s", P, total_nodes, nobj,
                  len(instance_rows), use_brute)
@@ -546,6 +571,38 @@ class Scene:
             "bg_pmf": np.float32(bg_pmf),
         }
         out.update(lamp_arrays)
+
+        # fill light columns of the packed prim table + build lamp table
+        from raytracingproject_tpu.ops import lookup as lk
+        if P:
+            packed["prim_table"][:, lk.PT_EMISSION:lk.PT_EMISSION + 3] = \
+                prim_emission
+            packed["prim_table"][:, lk.PT_LIGHT_PMF] = prim_light_pmf[:P]
+        nl = len(lamp_arrays["lamp_type"])
+        lt = np.zeros((nl, lk.LT_COLS), np.float32)
+        lt[:, lk.LT_TYPE] = lamp_arrays["lamp_type"]
+        lt[:, lk.LT_CO:lk.LT_CO + 3] = lamp_arrays["lamp_co"]
+        lt[:, lk.LT_DIR:lk.LT_DIR + 3] = lamp_arrays["lamp_dir"]
+        lt[:, lk.LT_SIZE] = lamp_arrays["lamp_size"]
+        lt[:, lk.LT_AXISU:lk.LT_AXISU + 3] = lamp_arrays["lamp_axisu"]
+        lt[:, lk.LT_AXISV:lk.LT_AXISV + 3] = lamp_arrays["lamp_axisv"]
+        lt[:, lk.LT_SIZEU] = lamp_arrays["lamp_sizeu"]
+        lt[:, lk.LT_SIZEV] = lamp_arrays["lamp_sizev"]
+        lt[:, lk.LT_STRENGTH:lk.LT_STRENGTH + 3] = lamp_arrays["lamp_strength"]
+        lt[:, lk.LT_ANGLE] = lamp_arrays["lamp_angle"]
+        lt[:, lk.LT_SPOT_ANGLE] = lamp_arrays["lamp_spot_angle"]
+        lt[:, lk.LT_SPOT_SMOOTH] = lamp_arrays["lamp_spot_smooth"]
+        lt[:, lk.LT_PMF] = lamp_arrays["lamp_pmf"]
+        out["lamp_table"] = lt
+        # flat (D, 4) entry table: [type, id, pmf, pad]
+        if D:
+            out["light_entries"] = np.stack(
+                [out["light_dist_type"].astype(np.float32),
+                 out["light_dist_id"].astype(np.float32),
+                 pmfs.astype(np.float32),
+                 np.zeros(D, np.float32)], -1)
+        else:
+            out["light_entries"] = np.zeros((1, 4), np.float32)
         return out
 
     # ------------------------------------------------------------------
@@ -559,8 +616,9 @@ class Scene:
         if device_put:
             arrays = {k: (jax.device_put(v) if isinstance(v, np.ndarray)
                           else v) for k, v in arrays.items()}
-        num_area_lamps = int(np.sum(np.asarray(
-            self.dscene["arrays"]["lamp_type"]) == 3)) if self.lights else 0
+        lamp_types = [int(li.get_enum_int("light_type"))
+                      for li in self.lights]
+        num_area_lamps = lamp_types.count(3)
         tex = TextureStore(jnp.asarray(ds["tex_data"]), ds["tex_sizes"])
         return {
             "dscene": arrays,
@@ -573,6 +631,7 @@ class Scene:
             "use_brute": ds["use_brute"],
             "film_transparent": ds["film_transparent"],
             "num_area_lamps": num_area_lamps,
+            "lamp_types": lamp_types,
         }
 
 

@@ -16,12 +16,18 @@ import jax.numpy as jnp
 
 def filter_table_lookup(filter_table, u):
     """Importance-sample the pixel filter: u in [0,1) -> subpixel offset
-    (ref: kernel_random.h path_rng via filter_table inverted CDF)."""
+    (ref: kernel_random.h path_rng via filter_table inverted CDF).
+
+    Fetches both lerp endpoints with ONE wide-row lookup (ops/lookup.py)
+    instead of two dynamic gathers."""
+    from raytracingproject_tpu.ops import lookup as lk
     n = filter_table.shape[0]
     x = u * (n - 1)
     i = jnp.clip(x.astype(jnp.int32), 0, n - 2)
-    f = x - i
-    return filter_table[i] * (1.0 - f) + filter_table[i + 1] * f
+    f = x - i.astype(jnp.float32)
+    pair_table = jnp.stack([filter_table[:-1], filter_table[1:]], -1)
+    pair = lk.lookup_rows(pair_table, i)
+    return pair[..., 0] * (1.0 - f) + pair[..., 1] * f
 
 
 def accumulate_sample(buffer, radiance, alpha, pass_stride):

@@ -51,6 +51,12 @@ def _scene_intersect(kg, o, d, tmin, tmax, visibility, shadow=False):
 
 def _shadow_blocked(kg, o, d, tmin, tmax):
     vis = jnp.full(o.shape[:1], ob.PATH_RAY_SHADOW, jnp.uint32)
+    ds = kg["dscene"]
+    if kg["use_brute"]:
+        return isect.shadow_blocked_brute(
+            ds["tri_verts_world"], ds["prim_object_packed"], o, d, tmin,
+            tmax, visibility=vis,
+            object_visibility=ds["object_visibility"])
     hit = _scene_intersect(kg, o, d, tmin, tmax, vis, shadow=True)
     return hit["prim"] >= 0
 
@@ -95,19 +101,31 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
                                 jnp.uint32(dim_pair) if not hasattr(dim_pair, "dtype")
                                 else dim_pair, pattern)
 
+    def rng2_batch(dim_pairs):
+        """All of a stage's dimension pairs in ONE vectorized sampler
+        call — (K, N) broadcast keeps the uint32 pipeline a single fused
+        kernel instead of K dispatch-sized chunks."""
+        dims = jnp.asarray(dim_pairs, jnp.uint32)[:, None]
+        return rngu.path_rng_2d(rng_hash[None, :], sample_u32[None, :],
+                                dims, pattern)
+
     # --- camera sample (ref: kernel_path.h:643-660) ---
-    fu, fv = rng2(rngu.PRNG_FILTER)
+    cu, cv = rng2_batch([rngu.PRNG_FILTER, rngu.PRNG_LENS, rngu.PRNG_TIME])
+    (fu, lens_u, time_u), (fv, lens_v, _) = cu, cv
     ft = kg["filter_table"]
     raster_x = px.astype(jnp.float32) + 0.5 + film_ops.filter_table_lookup(ft, fu)
     raster_y = py.astype(jnp.float32) + 0.5 + film_ops.filter_table_lookup(ft, fv)
-    lens_u, lens_v = rng2(rngu.PRNG_LENS)
-    time_u, _ = rng2(rngu.PRNG_TIME)
     ray = cam_ops.camera_sample_ray(kg["cam"], raster_x, raster_y,
                                     lens_u, lens_v, time_u)
 
     ds = kg["dscene"]
     has_lights = int(ds["light_dist_type"].shape[0]) > 0
     bg_pmf = float(ds["bg_pmf"])
+    # DebugFlags analog (ref: util/util_debug.h): statically disable
+    # pipeline stages for profiling/debugging via kg["debug_ablate"].
+    ablate = kg.get("debug_ablate", ())
+    if "nee" in ablate:
+        has_lights = False
 
     state = {
         "o": ray["o"], "d": ray["d"],
@@ -157,7 +175,8 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
                 contrib = throughput * emission * w[:, None]
                 contrib = _clamp_contrib(contrib, clamp_indirect)
                 L = jnp.where(m[:, None], L + contrib, L)
-            light_ops.lamp_hits(ds, st["o"], st["d"], st["tmax"], lamp_accum)
+            light_ops.lamp_hits(ds, kg["lamp_types"], st["o"], st["d"],
+                                st["tmax"], lamp_accum)
 
         # ---- background (ref: indirect_background) ----
         miss = alive & ~found
@@ -184,27 +203,39 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
             ds, hit, st["o"], st["d"], time=st["time"],
             ray_depth=jnp.full((n,), bounce, jnp.int32),
             path_flag=st["path_flag"], textures=kg["textures"])
-        closures = shade_ops.eval_shaders(kg["shaders"], sd, sd.shader)
+        if "shade" in ablate:
+            from raytracingproject_tpu.ops import closures as _cl
+            closures = _cl.empty_closures((n,))
+            closures["diffuse"] = jnp.full((n, 3), 0.8)
+        else:
+            closures = shade_ops.eval_shaders(kg["shaders"], sd, sd.shader)
 
         # ---- surface emission with MIS (ref: indirect_primitive_emission)
         emis = closures["emission"]
         has_emis = jnp.any(emis > 0.0, axis=-1)
         cos_hit = um.dot(sd.Ng, sd.I)
         pdf_light = light_ops.triangle_light_pdf(
-            ds, hit["prim"], hit["t"], cos_hit) if has_lights else 0.0
+            ds, (sd.prim_row, sd.object_tfm), hit["t"], cos_hit) \
+            if has_lights else 0.0
         w_emis = jnp.where(st["singular_prev"], 1.0,
                            um.power_heuristic(st["pdf_prev"], pdf_light))
         contrib = _clamp_contrib(throughput * emis * w_emis[:, None], clamp_val)
         L = jnp.where((alive & has_emis)[:, None], L + contrib, L)
 
+        # ---- per-bounce rng: all four dimension pairs in one call ----
+        base = jnp.uint32(rngu.PRNG_BASE_NUM) \
+            + jnp.uint32(bounce) * jnp.uint32(rngu.PRNG_BOUNCE_NUM)
+        bdims = base + jnp.asarray(
+            [rngu.PRNG_BSDF, rngu.PRNG_LIGHT, rngu.PRNG_TERMINATE,
+             rngu.PRNG_PHASE], jnp.uint32)
+        bu4, bv4 = rng2_batch(bdims)
+        (bu, lu, rr_u, sel_u) = bu4
+        (bv, lv, lobe_u, _sel_v) = bv4
+
         # ---- NEE (ref: kernel_path_surface.h direct lighting) ----
         if has_lights:
-            sel_u, _sel_v = rng2(rngu.bounce_dim_pair(bounce, rngu.PRNG_PHASE))
-            lu, lv = rng2(rngu.bounce_dim_pair(bounce, rngu.PRNG_LIGHT))
             ls = light_ops.sample_light(ds, sd.P, sel_u, lu, lv)
-            # triangle lights: constant-folded emission estimate
-            tri_emis = ds["prim_emission"][ls["tri_prim"]]
-            l_eval = jnp.where(ls["is_tri"][:, None], tri_emis, ls["eval"])
+            l_eval = ls["eval"]  # tri emission already folded in
             f_l, pdf_fwd = bsdf_ops.bsdf_eval(closures, sd.N, sd.I, ls["D"])
             w_l = jnp.where(ls["delta"], 1.0,
                             um.power_heuristic(ls["pdf"], pdf_fwd))
@@ -220,14 +251,15 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
             sh_tmax = jnp.where(ls["dist"] >= um.RAY_TMAX * 0.5,
                                 jnp.float32(um.RAY_TMAX),
                                 ls["dist"] * (1.0 - 1e-3) - RAY_EPS)
-            blocked = _shadow_blocked(kg, sh_o, ls["D"],
-                                      jnp.full((n,), 1e-5, jnp.float32),
-                                      jnp.where(can_light, sh_tmax, 1e-5))
+            if "shadow" in ablate:
+                blocked = jnp.zeros((n,), bool)
+            else:
+                blocked = _shadow_blocked(kg, sh_o, ls["D"],
+                                          jnp.full((n,), 1e-5, jnp.float32),
+                                          jnp.where(can_light, sh_tmax, 1e-5))
             L = jnp.where((can_light & ~blocked)[:, None], L + contrib, L)
 
         # ---- BSDF bounce (ref: kernel_path_surface_bounce) ----
-        bu, bv = rng2(rngu.bounce_dim_pair(bounce, rngu.PRNG_BSDF))
-        rr_u, lobe_u = rng2(rngu.bounce_dim_pair(bounce, rngu.PRNG_TERMINATE))
         bs = bsdf_ops.bsdf_sample(closures, sd.N, sd.Ng, sd.I, bu, bv, lobe_u)
 
         new_throughput = throughput * bs["f_cos"] \

@@ -81,59 +81,101 @@ def empty_hit(n, tmax=RAY_TMAX):
     }
 
 
-def intersect_brute(tri_verts, prim_object, o, d, tmin, tmax,
-                    visibility=None, object_visibility=None, block=8):
-    """Dense all-rays x all-triangles intersection via lax.scan over
-    triangle blocks. tri_verts: (P, 3, 3) in prim order (world space —
-    brute path requires pre-transformed geometry)."""
-    n = o.shape[0]
+def _pack_tri_blocks(tri_verts, prim_object, visibility_arr, block):
+    """Pad + reshape triangle data to tri-major blocks (nb, B, ...)."""
     p = tri_verts.shape[0]
     pad = (-p) % block
     tv = jnp.pad(tri_verts, ((0, pad), (0, 0), (0, 0)))
     po = jnp.pad(prim_object, (0, pad), constant_values=-1)
+    pv = None
+    if visibility_arr is not None:
+        pv = jnp.pad(visibility_arr, (0, pad))
+    nb = (p + pad) // block
+    v0 = tv[:, 0].reshape(nb, block, 3)
+    e1 = (tv[:, 1] - tv[:, 0]).reshape(nb, block, 3)
+    e2 = (tv[:, 2] - tv[:, 0]).reshape(nb, block, 3)
+    return nb, v0, e1, e2, po.reshape(nb, block), \
+        (pv.reshape(nb, block) if pv is not None else None)
+
+
+def intersect_brute(tri_verts, prim_object, o, d, tmin, tmax,
+                    visibility=None, object_visibility=None, block=8):
+    """Dense all-rays x all-triangles intersection.
+
+    TPU layout: triangle-major (B, N) blocks — the RAY axis is the minor
+    (lane) dimension so every MT term is a full-width VPU op; the B=8
+    triangle axis rides the sublanes. Measured ~125x faster than
+    ray-major (N, B) blocking on v5e. Components are kept as separate
+    (N,) arrays inside the kernel (SoA) to avoid minor-dim-3 tensors.
+
+    tri_verts: (P, 3, 3) in prim order (world space — brute path
+    requires pre-transformed geometry).
+    """
+    n = o.shape[0]
     if visibility is not None and object_visibility is not None:
-        pv = jnp.pad(object_visibility[jnp.maximum(prim_object, 0)], (0, pad))
+        vis_arr = object_visibility[jnp.maximum(prim_object, 0)]
     else:
-        pv = None
-    nblocks = (p + pad) // block
-    tv = tv.reshape(nblocks, block, 3, 3)
-    po = po.reshape(nblocks, block)
-    if pv is not None:
-        pv = pv.reshape(nblocks, block)
+        vis_arr = None
+    nb, v0b, e1b, e2b, pob, pvb = _pack_tri_blocks(
+        tri_verts, prim_object, vis_arr, block)
+
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
 
     def body(carry, blk):
-        t_best, prim_best, u_best, v_best, obj_best = carry
-        btv, bpo, bidx, bpv = blk
-        # (N, B) broadcast: rays x block triangles
-        v0 = btv[None, :, 0, :]
-        v1 = btv[None, :, 1, :]
-        v2 = btv[None, :, 2, :]
-        hit, t, u, v = ray_triangle_intersect(
-            v0, v1, v2, o[:, None, :], d[:, None, :],
-            tmin[:, None], t_best[:, None])
-        hit &= bpo[None, :] >= 0
-        if visibility is not None and bpv is not None:
-            hit &= (bpv[None, :] & visibility[:, None]) > 0
+        t_best, prim_best, u_best, v_best = carry
+        if pvb is not None:
+            v0, e1, e2, po, pv, bbase = blk
+        else:
+            v0, e1, e2, po, bbase = blk
+        # cross products in components, (B, N) via (B,1)x(N,) broadcast
+        px = dy[None] * e2[:, 2, None] - dz[None] * e2[:, 1, None]
+        py = dz[None] * e2[:, 0, None] - dx[None] * e2[:, 2, None]
+        pz = dx[None] * e2[:, 1, None] - dy[None] * e2[:, 0, None]
+        det = e1[:, 0, None] * px + e1[:, 1, None] * py + e1[:, 2, None] * pz
+        inv = jnp.where(jnp.abs(det) > 1e-12,
+                        1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+        tx = ox[None] - v0[:, 0, None]
+        ty = oy[None] - v0[:, 1, None]
+        tz = oz[None] - v0[:, 2, None]
+        u = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * e1[:, 2, None] - tz * e1[:, 1, None]
+        qy = tz * e1[:, 0, None] - tx * e1[:, 2, None]
+        qz = tx * e1[:, 1, None] - ty * e1[:, 0, None]
+        v = (dx[None] * qx + dy[None] * qy + dz[None] * qz) * inv
+        t = (e2[:, 0, None] * qx + e2[:, 1, None] * qy
+             + e2[:, 2, None] * qz) * inv
+        hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (u <= 1.0)
+               & (v >= 0.0) & (u + v <= 1.0)
+               & (t > tmin[None]) & (t < t_best[None])
+               & (po[:, None] >= 0))
+        if pvb is not None:
+            hit &= (pv[:, None] & visibility[None]) > 0
         t = jnp.where(hit, t, RAY_TMAX)
-        k = jnp.argmin(t, axis=1)
-        rows = jnp.arange(n)
-        tk = t[rows, k]
+        # winner within block via select-reductions — argmin +
+        # take_along_axis costs ~15x more than min/max reduces on TPU
+        tk = jnp.min(t, axis=0)            # (N,)
+        win = t == tk[None]                # ties resolved by max below
+        kidx = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        k = jnp.max(jnp.where(win, kidx, -1), axis=0)
+        uk = jnp.max(jnp.where(win, u, -jnp.inf), axis=0)
+        vk = jnp.max(jnp.where(win, v, -jnp.inf), axis=0)
         better = tk < t_best
         t_best = jnp.where(better, tk, t_best)
-        prim_best = jnp.where(better, bidx[k], prim_best)
-        u_best = jnp.where(better, u[rows, k], u_best)
-        v_best = jnp.where(better, v[rows, k], v_best)
-        obj_best = jnp.where(better, bpo[k], obj_best)
-        return (t_best, prim_best, u_best, v_best, obj_best), None
+        prim_best = jnp.where(better, bbase + k, prim_best)
+        u_best = jnp.where(better, uk, u_best)
+        v_best = jnp.where(better, vk, v_best)
+        return (t_best, prim_best, u_best, v_best), None
 
     init = (jnp.minimum(tmax, RAY_TMAX), jnp.full((n,), -1, jnp.int32),
-            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
-            jnp.full((n,), -1, jnp.int32))
-    blk_idx = jnp.arange(nblocks * block, dtype=jnp.int32).reshape(nblocks, block)
-    if pv is None:
-        pv = jnp.zeros((nblocks, block), jnp.uint32)
-    (t, prim, u, v, obj), _ = jax.lax.scan(body, init, (tv, po, blk_idx, pv))
-    prim = jnp.where(t < tmax, prim, -1)
+            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
+    bbase = (jnp.arange(nb, dtype=jnp.int32) * block)
+    xs = (v0b, e1b, e2b, pob, pvb, bbase) if pvb is not None \
+        else (v0b, e1b, e2b, pob, bbase)
+    (t, prim, u, v), _ = jax.lax.scan(body, init, xs)
+    hit_mask = (t < jnp.minimum(tmax, RAY_TMAX)) & (prim >= 0)
+    prim = jnp.where(hit_mask, prim, -1)
+    obj = jnp.where(hit_mask, prim_object[jnp.maximum(prim, 0)], -1)
     return {"t": t, "prim": prim, "u": u, "v": v, "object": obj}
 
 
@@ -307,10 +349,50 @@ def intersect_bvh(bvh_bounds, bvh_children, tri_verts, prim_object,
 
 
 def shadow_blocked_brute(tri_verts, prim_object, o, d, tmin, tmax,
-                         visibility=None, object_visibility=None):
-    """Boolean occlusion via the brute path (opaque shadows,
-    ref: kernel/kernel_shadow.h shadow_blocked opaque fast path)."""
-    hit = intersect_brute(tri_verts, prim_object, o, d, tmin, tmax,
-                          visibility=visibility,
-                          object_visibility=object_visibility)
-    return hit["prim"] >= 0
+                         visibility=None, object_visibility=None, block=8):
+    """Boolean occlusion (opaque shadows, ref: kernel/kernel_shadow.h
+    shadow_blocked fast path). Tri-major like intersect_brute but with a
+    pure any-hit reduction — no winner tracking."""
+    n = o.shape[0]
+    if visibility is not None and object_visibility is not None:
+        vis_arr = object_visibility[jnp.maximum(prim_object, 0)]
+    else:
+        vis_arr = None
+    nb, v0b, e1b, e2b, pob, pvb = _pack_tri_blocks(
+        tri_verts, prim_object, vis_arr, block)
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+
+    def body(blocked, blk):
+        if pvb is not None:
+            v0, e1, e2, po, pv = blk
+        else:
+            v0, e1, e2, po = blk
+        px = dy[None] * e2[:, 2, None] - dz[None] * e2[:, 1, None]
+        py = dz[None] * e2[:, 0, None] - dx[None] * e2[:, 2, None]
+        pz = dx[None] * e2[:, 1, None] - dy[None] * e2[:, 0, None]
+        det = e1[:, 0, None] * px + e1[:, 1, None] * py + e1[:, 2, None] * pz
+        inv = jnp.where(jnp.abs(det) > 1e-12,
+                        1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+        tx = ox[None] - v0[:, 0, None]
+        ty = oy[None] - v0[:, 1, None]
+        tz = oz[None] - v0[:, 2, None]
+        u = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * e1[:, 2, None] - tz * e1[:, 1, None]
+        qy = tz * e1[:, 0, None] - tx * e1[:, 2, None]
+        qz = tx * e1[:, 1, None] - ty * e1[:, 0, None]
+        v = (dx[None] * qx + dy[None] * qy + dz[None] * qz) * inv
+        t = (e2[:, 0, None] * qx + e2[:, 1, None] * qy
+             + e2[:, 2, None] * qz) * inv
+        hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (u <= 1.0)
+               & (v >= 0.0) & (u + v <= 1.0)
+               & (t > tmin[None]) & (t < tmax[None])
+               & (po[:, None] >= 0))
+        if pvb is not None:
+            hit &= (pv[:, None] & visibility[None]) > 0
+        return blocked | jnp.any(hit, axis=0), None
+
+    xs = (v0b, e1b, e2b, pob, pvb) if pvb is not None \
+        else (v0b, e1b, e2b, pob)
+    blocked, _ = jax.lax.scan(body, jnp.zeros((n,), bool), xs)
+    return blocked

@@ -29,33 +29,42 @@ LIGHT_SPOT = 4
 
 
 def light_distribution_sample(dscene, u):
-    """Binary-search the emission CDF (ref: kernel_light.h:583).
-    Returns (entry_index, pick_pmf)."""
+    """Invert the emission CDF (ref: kernel_light.h:583) with a
+    branchless compare-sum (ops/lookup.py). Returns (entry_index,
+    entry_row (N, 4): [type, id, pmf, _])."""
+    from raytracingproject_tpu.ops import lookup as lk
     cdf = dscene["light_dist_cdf"]  # (D+1,)
-    idx = jnp.clip(jnp.searchsorted(cdf, u, side="right") - 1,
-                   0, cdf.shape[0] - 2)
-    pmf = cdf[idx + 1] - cdf[idx]
-    return idx.astype(jnp.int32), pmf
+    idx = lk.searchsorted_cdf(cdf, u)
+    row = lk.lookup_rows(dscene["light_entries"], idx)
+    return idx, row
 
 
 def sample_light(dscene, P, u_sel, u1, u2, time=None):
     """Sample one light point for NEE from shading points P (N, 3).
 
+    Four wide-table lookups total (entries, prim_table, object_table,
+    lamp_table) — see ops/lookup.py for why this matters on TPU.
+
     Returns dict: valid, delta (no-MIS lanes), D (unit dir to light),
     dist, pdf (solid angle x selection), eval ((N,3) emitted radiance
     toward P), Ng_l (light normal).
     """
+    from raytracingproject_tpu.ops import lookup as lk
     n = P.shape[0]
-    entry, pmf = light_distribution_sample(dscene, u_sel)
-    etype = dscene["light_dist_type"][entry]   # 0 lamp, 1 triangle
-    eid = dscene["light_dist_id"][entry]
+    _entry, erow = light_distribution_sample(dscene, u_sel)
+    etype = erow[:, 0].astype(jnp.int32)   # 0 lamp, 1 triangle
+    eid = erow[:, 1].astype(jnp.int32)
+    pmf = erow[:, 2]
 
     is_tri = etype == 1
     # ---------------- triangle lights (uniform area) ----------------
     prim = jnp.maximum(jnp.where(is_tri, eid, 0), 0)
-    tv = dscene["tri_verts"][prim]
-    obj = dscene["prim_object_packed"][prim]
-    otfm = dscene["object_tfm"][jnp.maximum(obj, 0)]
+    prow = lk.lookup_rows(dscene["prim_table"], prim)
+    tv = prow[:, lk.PT_V0:lk.PT_V0 + 9].reshape(n, 3, 3)
+    tri_emission = prow[:, lk.PT_EMISSION:lk.PT_EMISSION + 3]
+    obj = prow[:, lk.PT_OBJECT].astype(jnp.int32)
+    orow = lk.lookup_rows(dscene["object_table"], jnp.maximum(obj, 0))
+    otfm = lk.mat34(orow[:, lk.OT_TFM:lk.OT_TFM + 12])
     v0 = (otfm[:, :, :3] @ tv[:, 0][..., None])[..., 0] + otfm[:, :, 3]
     v1 = (otfm[:, :, :3] @ tv[:, 1][..., None])[..., 0] + otfm[:, :, 3]
     v2 = (otfm[:, :, :3] @ tv[:, 2][..., None])[..., 0] + otfm[:, :, 3]
@@ -69,17 +78,19 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None):
 
     # ---------------- lamps ----------------
     lamp = jnp.maximum(jnp.where(is_tri, 0, eid), 0)
-    ltype = dscene["lamp_type"][lamp]
-    lco = dscene["lamp_co"][lamp]
-    ldir = dscene["lamp_dir"][lamp]           # emission direction
-    lsize = dscene["lamp_size"][lamp]
-    laxisu = dscene["lamp_axisu"][lamp]
-    laxisv = dscene["lamp_axisv"][lamp]
-    lsizeu = dscene["lamp_sizeu"][lamp]
-    lsizev = dscene["lamp_sizev"][lamp]
-    lstrength = dscene["lamp_strength"][lamp]
-    lspot_angle = dscene["lamp_spot_angle"][lamp]
-    lspot_smooth = dscene["lamp_spot_smooth"][lamp]
+    lrow = lk.lookup_rows(dscene["lamp_table"], lamp)
+    ltype = lrow[:, lk.LT_TYPE].astype(jnp.int32)
+    lco = lrow[:, lk.LT_CO:lk.LT_CO + 3]
+    ldir = lrow[:, lk.LT_DIR:lk.LT_DIR + 3]
+    lsize = lrow[:, lk.LT_SIZE]
+    laxisu = lrow[:, lk.LT_AXISU:lk.LT_AXISU + 3]
+    laxisv = lrow[:, lk.LT_AXISV:lk.LT_AXISV + 3]
+    lsizeu = lrow[:, lk.LT_SIZEU]
+    lsizev = lrow[:, lk.LT_SIZEV]
+    lstrength = lrow[:, lk.LT_STRENGTH:lk.LT_STRENGTH + 3]
+    lspot_angle = lrow[:, lk.LT_SPOT_ANGLE]
+    lspot_smooth = lrow[:, lk.LT_SPOT_SMOOTH]
+    langle = lrow[:, lk.LT_ANGLE]
 
     is_point = ~is_tri & (ltype == LIGHT_POINT)
     is_spot = ~is_tri & (ltype == LIGHT_SPOT)
@@ -99,7 +110,7 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None):
 
     # distant: sample cone around -dir of half-angle `angle`
     # (ref: kernel_light.h distant_light_sample)
-    cos_max = jnp.cos(dscene["lamp_angle"][lamp] * 0.5)
+    cos_max = jnp.cos(langle * 0.5)
     zc = 1.0 - u1 * (1.0 - cos_max)
     rc = um.safe_sqrt(1.0 - zc * zc)
     phic = um.M_2PI * u2
@@ -153,8 +164,6 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None):
     pdf = pdf * pmf
 
     # ---------------- emission eval toward P ----------------
-    # triangle: emission closure of its shader (caller multiplies the
-    # gathered per-prim emission); lamps use strength.
     # point/spot: radiant intensity = strength / (4 pi); falloff 1/d^2
     eval_point = lstrength * (um.M_1_PI * 0.25) / d2[:, None]
     # spot cone falloff (ref: spot_light_attenuation)
@@ -173,14 +182,13 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None):
     eval_distant = lstrength
     eval_bg = lstrength  # constant-background fallback; shader eval in caller
 
-    ev = jnp.where(is_area[:, None], eval_area,
-                   jnp.where(is_point[:, None], eval_point,
-                             jnp.where(is_spot[:, None], eval_spot,
-                                       jnp.where(is_distant[:, None],
-                                                 eval_distant, eval_bg))))
+    ev = jnp.where(is_tri[:, None], tri_emission,
+                   jnp.where(is_area[:, None], eval_area,
+                             jnp.where(is_point[:, None], eval_point,
+                                       jnp.where(is_spot[:, None], eval_spot,
+                                                 jnp.where(is_distant[:, None],
+                                                           eval_distant, eval_bg)))))
 
-    # triangle lanes: emission filled by caller via prim shader eval;
-    # report the gather index
     valid = (pdf > 1e-12) & (jnp.where(is_tri, jnp.abs(cos_l), 1.0) > 1e-6)
     return {
         "valid": valid, "delta": delta, "D": D, "dist": dist, "pdf": pdf,
@@ -190,13 +198,16 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None):
     }
 
 
-def triangle_light_pdf(dscene, prim, t_hit, cos_hit):
+def triangle_light_pdf(dscene, prim_row, t_hit, cos_hit):
     """pdf (solid angle) with which NEE would sample the emissive
-    triangle hit by a BSDF ray (ref: triangle_light_pdf)."""
-    pmf = dscene["prim_light_pmf"][jnp.maximum(prim, 0)]
-    tv = dscene["tri_verts"][jnp.maximum(prim, 0)]
-    obj = dscene["prim_object_packed"][jnp.maximum(prim, 0)]
-    otfm = dscene["object_tfm"][jnp.maximum(obj, 0)]
+    triangle hit by a BSDF ray (ref: triangle_light_pdf). Takes the
+    already-fetched prim_table rows + their object rows to avoid
+    re-lookup."""
+    from raytracingproject_tpu.ops import lookup as lk
+    prow, otfm = prim_row
+    pmf = prow[:, lk.PT_LIGHT_PMF]
+    n = prow.shape[0]
+    tv = prow[:, lk.PT_V0:lk.PT_V0 + 9].reshape(n, 3, 3)
     v0 = (otfm[:, :, :3] @ tv[:, 0][..., None])[..., 0] + otfm[:, :, 3]
     v1 = (otfm[:, :, :3] @ tv[:, 1][..., None])[..., 0] + otfm[:, :, 3]
     v2 = (otfm[:, :, :3] @ tv[:, 2][..., None])[..., 0] + otfm[:, :, 3]
@@ -205,13 +216,14 @@ def triangle_light_pdf(dscene, prim, t_hit, cos_hit):
     return pdf * pmf
 
 
-def lamp_hits(dscene, o, d, tmax, accum_fn):
+def lamp_hits(dscene, lamp_types, o, d, tmax, accum_fn):
     """Analytic area-lamp intersection for BSDF-MIS
     (ref: indirect_lamp_emission). Calls accum_fn(emission, pdf, t, mask)
-    once per lamp; cheap since lamp counts are tiny."""
-    num_lamps = int(dscene["lamp_type"].shape[0])
-    for li in range(num_lamps):
-        if int(dscene["lamp_type"][li]) != LIGHT_AREA:
+    once per lamp; cheap since lamp counts are tiny. `lamp_types` is the
+    HOST-side python list of lamp type ints (static — device arrays
+    become tracers inside jit and cannot steer python control flow)."""
+    for li, ltype in enumerate(lamp_types):
+        if int(ltype) != LIGHT_AREA:
             continue
         co = dscene["lamp_co"][li]
         axisu = dscene["lamp_axisu"][li]

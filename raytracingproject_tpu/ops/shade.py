@@ -14,6 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 
 from raytracingproject_tpu.utils import math as um
@@ -46,24 +47,56 @@ class ShaderData:
     backfacing: Any = None
     textures: Any = None
     batch_shape: tuple = field(default_factory=tuple)
+    # cached wide-table rows for reuse by light MIS (avoids re-lookup)
+    prim_row: Any = None
+    object_tfm: Any = None
+
+
+_SD_ARRAY_FIELDS = [
+    "P", "N", "Ng", "Ns", "I", "uv", "generated", "P_object", "time",
+    "ray_length", "ray_depth", "path_flag", "prim", "shader",
+    "object_index", "object_color", "object_location", "object_random",
+    "backfacing", "prim_row", "object_tfm"]
+
+
+def _sd_flatten(sd):
+    return tuple(getattr(sd, f) for f in _SD_ARRAY_FIELDS), \
+        (sd.textures, sd.batch_shape)
+
+
+def _sd_unflatten(aux, children):
+    sd = ShaderData(**dict(zip(_SD_ARRAY_FIELDS, children)))
+    sd.textures, sd.batch_shape = aux
+    return sd
+
+
+jax.tree_util.register_pytree_node(ShaderData, _sd_flatten, _sd_unflatten)
 
 
 def shader_setup(dscene, hit, ray_o, ray_d, time=None, ray_depth=None,
                  path_flag=None, textures=None):
     """Build ShaderData for hit lanes (missed lanes carry garbage that
-    must stay masked by the caller)."""
+    must stay masked by the caller).
+
+    All per-prim / per-object attributes come from TWO wide-table
+    lookups (ops/lookup.py) instead of ~12 row gathers — the dominant
+    cost of shading setup on TPU."""
+    from raytracingproject_tpu.ops import lookup as lk
     n = ray_o.shape[0]
     prim = jnp.maximum(hit["prim"], 0)
     obj = jnp.maximum(hit["object"], 0)
 
-    tv = dscene["tri_verts"][prim]          # (N, 3, 3) object space
-    vn = dscene["tri_vnormal"][prim]        # (N, 3, 3) per-corner normals
-    tuv = dscene["tri_uv"][prim]            # (N, 3, 2)
-    shader = dscene["prim_shader"][prim]
-    smooth = dscene["prim_smooth"][prim]
+    prow = lk.lookup_rows(dscene["prim_table"], prim)     # (N, 32)
+    orow = lk.lookup_rows(dscene["object_table"], obj)    # (N, 48)
 
-    otfm = dscene["object_tfm"][obj]        # (N, 3, 4)
-    oitfm = dscene["object_itfm"][obj]
+    tv = prow[:, lk.PT_V0:lk.PT_V0 + 9].reshape(n, 3, 3)
+    vn = prow[:, lk.PT_VN:lk.PT_VN + 9].reshape(n, 3, 3)
+    tuv = prow[:, lk.PT_UV:lk.PT_UV + 6].reshape(n, 3, 2)
+    shader = prow[:, lk.PT_SHADER].astype(jnp.int32)
+    smooth = prow[:, lk.PT_SMOOTH] > 0.5
+
+    otfm = lk.mat34(orow[:, lk.OT_TFM:lk.OT_TFM + 12])
+    oitfm = lk.mat34(orow[:, lk.OT_ITFM:lk.OT_ITFM + 12])
 
     u = hit["u"][:, None]
     v = hit["v"][:, None]
@@ -88,7 +121,7 @@ def shader_setup(dscene, hit, ray_o, ray_d, time=None, ray_depth=None,
     # texture/generated space: always the ORIGINAL object space, even for
     # world-baked merged geometry (object_itfm_gen keeps the pre-merge
     # inverse; ref: ATTR_STD_GENERATED uses undeformed coords)
-    gen_itfm = dscene["object_itfm_gen"][obj]
+    gen_itfm = lk.mat34(orow[:, lk.OT_ITFM_GEN:lk.OT_ITFM_GEN + 12])
     P_gen = (gen_itfm[:, :, :3] @ P[..., None])[..., 0] + gen_itfm[:, :, 3]
 
     I = -ray_d
@@ -100,8 +133,8 @@ def shader_setup(dscene, hit, ray_o, ray_d, time=None, ray_depth=None,
 
     # generated coords: object-space position normalized to geometry
     # bounds (ref: ATTR_STD_GENERATED semantics)
-    glo = dscene["object_bounds_lo"][obj]
-    ghi = dscene["object_bounds_hi"][obj]
+    glo = orow[:, lk.OT_BOUNDS_LO:lk.OT_BOUNDS_LO + 3]
+    ghi = orow[:, lk.OT_BOUNDS_HI:lk.OT_BOUNDS_HI + 3]
     generated = um.safe_divide(P_gen - glo, jnp.maximum(ghi - glo, 1e-12), 0.5)
 
     sd = ShaderData(
@@ -115,12 +148,14 @@ def shader_setup(dscene, hit, ray_o, ray_d, time=None, ray_depth=None,
                    else jnp.full(n, PATH_RAY_CAMERA, jnp.uint32)),
         prim=hit["prim"], shader=shader,
         object_index=hit["object"],
-        object_color=dscene["object_color"][obj],
+        object_color=orow[:, lk.OT_COLOR:lk.OT_COLOR + 3],
         object_location=otfm[:, :, 3],
-        object_random=dscene["object_random"][obj],
+        object_random=orow[:, lk.OT_RANDOM],
         backfacing=backfacing,
         textures=textures,
         batch_shape=(n,),
+        prim_row=prow,
+        object_tfm=otfm,
     )
     return sd
 

@@ -180,7 +180,10 @@ def _sobol_eval(dim, index):
     mat = SOBOL_MATRICES[dim]
     for j in range(32):
         bit = (index >> _np_u32(j)) & _np_u32(1)
-        result = result ^ (bit * _np_u32(int(mat[j])))
+        # select, not multiply: integer multiplies are the slow path on
+        # the TPU VPU; select is single-issue
+        result = result ^ xp.where(bit != 0, _np_u32(int(mat[j])),
+                                   _np_u32(0))
     return result
 
 

@@ -120,15 +120,37 @@ class TestFeatureLadder:
         img, _ = render(scene, 24, 24, 6)
         assert np.isfinite(img).all() and img.mean() > 0.01
 
-    def test_depth_of_field(self):
-        scene = examples.cornell_box(24, 24, spp=8)
+    def test_depth_of_field_camera(self):
+        """Aperture rays must converge at the focal plane
+        (ref: kernel_camera.h camera_sample_perspective DoF)."""
+        from raytracingproject_tpu.ops import camera as cam_ops
+        scene = examples.cornell_box(32, 32, spp=1)
+        scene.camera.set("aperturesize", 25.0)
+        scene.camera.set("focaldistance", 800.0)
+        cam = scene.camera.update()
+        n = 64
+        rx = jnp.full((n,), 16.0)
+        ry = jnp.full((n,), 16.0)
+        u = jnp.asarray(np.random.default_rng(0).random(n), jnp.float32)
+        v = jnp.asarray(np.random.default_rng(1).random(n), jnp.float32)
+        ray = cam_ops.camera_sample_ray(cam, rx, ry, u, v,
+                                        jnp.zeros(n))
+        o = np.asarray(ray["o"])
+        d = np.asarray(ray["d"])
+        # origins vary across the aperture
+        assert o.std(axis=0).max() > 1.0
+        # all rays nearly intersect at the focal distance
+        pts = o + d * 800.0
+        assert pts.std(axis=0).max() < 30.0  # much tighter than aperture spread
+        # zero aperture -> single origin
+        scene.camera.set("aperturesize", 0.0)
+        cam0 = scene.camera.update()
+        ray0 = cam_ops.camera_sample_ray(cam0, rx, ry, u, v, jnp.zeros(n))
+        assert np.asarray(ray0["o"]).std(axis=0).max() < 1e-4
+
+    def test_depth_of_field_render(self):
+        scene = examples.cornell_box(24, 24, spp=4)
         scene.camera.set("aperturesize", 20.0)
         scene.camera.set("focaldistance", 800.0)
-        img_dof, _ = render(scene, 24, 24, 8)
-        scene2 = examples.cornell_box(24, 24, spp=8)
-        img_sharp, _ = render(scene2, 24, 24, 8)
-        assert np.isfinite(img_dof).all()
-        # DoF blurs: high-frequency energy (gradient magnitude) drops
-        def grad_energy(i):
-            return np.abs(np.diff(i, axis=1)).mean()
-        assert grad_energy(img_dof) < grad_energy(img_sharp)
+        img_dof, _ = render(scene, 24, 24, 4)
+        assert np.isfinite(img_dof).all() and img_dof.mean() > 0.01

@@ -1,0 +1,154 @@
+"""Session, tiles, resumable chunks, and multi-device sharding tests
+(ref: render/session.cpp control flow; multi-device ref:
+device_multi.cpp semantics now provided by shard_map)."""
+
+import numpy as np
+import pytest
+
+from raytracingproject_tpu.app import examples
+from raytracingproject_tpu.session import Session, SessionParams
+from raytracingproject_tpu.session.tiles import TileManager
+
+
+class TestTileManager:
+    def test_whole_frame(self):
+        tm = TileManager(64, 48, num_samples=8, progressive_chunk=4)
+        s1 = tm.next()
+        assert s1.start_sample == 0 and s1.num_samples == 4
+        assert len(s1.tiles) == 1
+        s2 = tm.next()
+        assert s2.start_sample == 4
+        assert tm.next() is None
+
+    def test_tiles_cover_frame(self):
+        tm = TileManager(70, 50, tile_size=32, num_samples=1)
+        cover = np.zeros((50, 70), bool)
+        for t in tm.tiles:
+            assert not cover[t.y:t.y + t.h, t.x:t.x + t.w].any()
+            cover[t.y:t.y + t.h, t.x:t.x + t.w] = True
+        assert cover.all()
+
+    def test_center_order_first_tile_is_central(self):
+        tm = TileManager(100, 100, tile_size=25, num_samples=1,
+                         order="center")
+        t = tm.tiles[0]
+        cx = t.x + t.w / 2
+        cy = t.y + t.h / 2
+        assert abs(cx - 50) <= 15 and abs(cy - 50) <= 15
+
+    def test_resumable_range(self):
+        # ref: TileManager range_start_sample/range_num_samples
+        tm = TileManager(8, 8, num_samples=64, range_start_sample=16,
+                         range_num_samples=8, progressive_chunk=8)
+        s = tm.next()
+        assert s.start_sample == 16 and s.num_samples == 8
+        assert tm.next() is None
+
+
+class TestSession:
+    def test_full_render(self, tmp_path):
+        scene = examples.cornell_box(24, 24, spp=4)
+        sess = Session(scene, SessionParams(samples=4,
+                                            progressive_refine_chunk=2))
+        sess.reset()
+        updates = []
+        sess.update_render_cb = lambda img, s: updates.append(s)
+        rgba = sess.render()
+        assert rgba.shape == (24, 24, 4)
+        assert np.isfinite(rgba).all()
+        assert updates == [2, 4]  # progressive chunks
+        p = sess.write_output(tmp_path / "out.png")
+        assert p.exists()
+
+    def test_background_thread(self):
+        scene = examples.cornell_box(16, 16, spp=2)
+        sess = Session(scene, SessionParams(samples=2))
+        sess.reset()
+        sess.start()
+        sess.wait()
+        assert sess.buffers.num_samples == 2
+        assert not sess.progress.error
+
+    def test_cancel(self):
+        scene = examples.cornell_box(16, 16, spp=2)
+        sess = Session(scene, SessionParams(samples=2))
+        sess.reset()
+        sess.progress.set_cancel("stop")
+        sess.start()
+        sess.wait()
+        assert sess.buffers is None or sess.buffers.num_samples == 0
+
+    def test_resumable_chunks_merge(self, tmp_path):
+        """Two half-range renders must merge to the full render
+        (ref: resumable chunks + ImageMerger)."""
+        full_scene = examples.cornell_box(16, 16, spp=8)
+        full = Session(full_scene, SessionParams(samples=8))
+        full.reset()
+        img_full = full.render()
+
+        parts = []
+        for start in (0, 4):
+            sc = examples.cornell_box(16, 16, spp=8)
+            se = Session(sc, SessionParams(samples=8,
+                                           range_start_sample=start,
+                                           range_num_samples=4))
+            se.reset()
+            se.render()
+            parts.append((se.buffers.buffer.copy(), se.buffers.num_samples))
+        merged = (parts[0][0] + parts[1][0])
+        n = parts[0][1] + parts[1][1]
+        rgb = merged[..., :3] / n
+        np.testing.assert_allclose(rgb, img_full[..., :3], atol=1e-5)
+
+    def test_tiled_matches_whole_frame(self):
+        scene = examples.cornell_box(20, 20, spp=2)
+        s1 = Session(scene, SessionParams(samples=2))
+        s1.reset()
+        a = s1.render()
+        scene2 = examples.cornell_box(20, 20, spp=2)
+        s2 = Session(scene2, SessionParams(samples=2, tile_size=8))
+        s2.reset()
+        b = s2.render()
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestSharding:
+    def test_pixel_sharding_matches_single(self):
+        import jax
+        from raytracingproject_tpu.parallel.mesh import (
+            make_device_mesh, render_frame_sharded)
+        assert len(jax.devices()) >= 8, "conftest must fake 8 cpu devices"
+        scene = examples.cornell_box(16, 16, spp=2)
+        scene.device_update()
+        kg = scene.make_kernel_globals()
+        mesh8 = make_device_mesh(8)
+        L8, A8 = render_frame_sharded(kg, 16, 16, 2, mesh=mesh8)
+        mesh1 = make_device_mesh(1)
+        L1, A1 = render_frame_sharded(kg, 16, 16, 2, mesh=mesh1)
+        np.testing.assert_allclose(np.asarray(L8), np.asarray(L1), atol=1e-5)
+
+    def test_sample_sharding_matches_sequential(self):
+        from raytracingproject_tpu.parallel.mesh import (
+            make_device_mesh, render_frame_sharded)
+        scene = examples.cornell_box(12, 12, spp=8)
+        scene.device_update()
+        kg = scene.make_kernel_globals()
+        mesh8 = make_device_mesh(8)
+        Ls, _ = render_frame_sharded(kg, 12, 12, 8, mesh=mesh8,
+                                     mode="sample")
+        mesh1 = make_device_mesh(1)
+        Lp, _ = render_frame_sharded(kg, 12, 12, 8, mesh=mesh1,
+                                     mode="pixel")
+        np.testing.assert_allclose(np.asarray(Ls), np.asarray(Lp),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_graft_entry(self):
+        import __graft_entry__ as ge
+        fn, args = ge.entry()
+        import jax
+        L, A = jax.jit(fn)(*args)
+        assert np.isfinite(np.asarray(L)).all()
+
+    def test_graft_dryrun_multichip(self):
+        import __graft_entry__ as ge
+        ge.dryrun_multichip(8)
