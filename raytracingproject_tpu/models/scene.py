@@ -632,6 +632,20 @@ class Scene:
             "film_transparent": ds["film_transparent"],
             "num_area_lamps": num_area_lamps,
             "lamp_types": lamp_types,
+            # scene-wide feature set -> static kernel pruning
+            # (ref: DeviceRequestedFeatures, device/device.h:120)
+            "features": {
+                "has_glossy": any(s.has_glossy for s in self.shaders),
+                "has_refraction": any(s.has_refraction
+                                      for s in self.shaders),
+                "has_transparent": any(s.has_transparent
+                                       for s in self.shaders),
+                "has_diffuse_roughness": any(s.has_diffuse_roughness
+                                             for s in self.shaders),
+                "has_volume": any(s.has_volume for s in self.shaders),
+                "has_emission": any(s.has_surface_emission
+                                    for s in self.shaders),
+            },
         }
 
 

@@ -188,16 +188,41 @@ class Shader(Node):
 
     def analyze(self):
         """Static feature detection (ref: Shader::device_update detecting
-        has_surface_emission etc. for the light manager)."""
+        has_surface_emission etc.; feature flags feed kernel pruning like
+        DeviceRequestedFeatures, device/device.h:120)."""
         from raytracingproject_tpu.models import shader_nodes as sn
         self.has_surface_emission = False
         self.has_volume = False
         self.has_transparent = False
+        self.has_glossy = False
+        self.has_refraction = False
+        self.has_diffuse_roughness = False
+
+        def linked(node, sock):
+            return self.graph.links.get((id(node), sock)) is not None
+
         for node in self.graph.nodes:
             if isinstance(node, (sn.EmissionNode, sn.BackgroundNode)):
                 self.has_surface_emission = True
             if isinstance(node, sn.TransparentBsdfNode):
                 self.has_transparent = True
+            if isinstance(node, (sn.GlossyBsdfNode, sn.GlassBsdfNode)):
+                self.has_glossy = True
+            if isinstance(node, (sn.GlassBsdfNode, sn.RefractionBsdfNode,
+                                 sn.TranslucentBsdfNode)):
+                self.has_refraction = True
+            if isinstance(node, sn.DiffuseBsdfNode):
+                if linked(node, "roughness") or float(node.roughness) > 0.0:
+                    self.has_diffuse_roughness = True
+            if isinstance(node, sn.PrincipledBsdfNode):
+                self.has_glossy = True
+                if linked(node, "transmission") or float(node.transmission) > 0:
+                    self.has_refraction = True
+                if linked(node, "alpha") or float(node.alpha) < 1.0:
+                    self.has_transparent = True
+                if (linked(node, "emission_color")
+                        or np.any(np.asarray(node.emission_color) > 0)):
+                    self.has_surface_emission = True
             if isinstance(node, (sn.ScatterVolumeNode, sn.AbsorptionVolumeNode,
                                  sn.PrincipledVolumeNode)):
                 self.has_volume = True

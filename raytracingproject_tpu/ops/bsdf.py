@@ -154,11 +154,20 @@ def _lobe_probs(c):
     return (wd / safe, wg / safe, wr / safe, wt / safe, tot)
 
 
-def bsdf_eval(c, N, I, omega_in):
+def bsdf_eval(c, N, I, omega_in, features=None):
     """Evaluate the full closure stack at direction omega_in.
 
     Returns (f_cos (N,3), pdf (N,)) — f includes |cos|; delta lobes
-    contribute nothing (ref: _shader_bsdf_multi_eval)."""
+    contribute nothing (ref: _shader_bsdf_multi_eval).
+
+    `features` (dict of static bools from scene analysis) prunes unused
+    lobes at trace time — the TPU analog of the reference's
+    feature-specialized kernel builds (device.h:228 get_build_options)."""
+    ft = features or {}
+    has_glossy = ft.get("has_glossy", True)
+    has_refraction = ft.get("has_refraction", True)
+    has_diffuse_rough = ft.get("has_diffuse_roughness", True)
+
     t, b = um.make_orthonormals(N)
     wo = um.to_local(I, t, b, N)
     wi = um.to_local(omega_in, t, b, N)
@@ -169,43 +178,55 @@ def bsdf_eval(c, N, I, omega_in):
 
     # diffuse
     cos_i = jnp.maximum(wi[..., 2], 0.0)
-    on = jnp.where(c["diffuse_roughness"] > 1e-4,
-                   _oren_nayar_factor(wo, wi, c["diffuse_roughness"]), 1.0)
+    if has_diffuse_rough:
+        on = jnp.where(c["diffuse_roughness"] > 1e-4,
+                       _oren_nayar_factor(wo, wi, c["diffuse_roughness"]), 1.0)
+    else:
+        on = 1.0
     f_diff = (c["diffuse"] + c["subsurface"]) * (cos_i * um.M_1_PI * on)[..., None]
     pdf_diff = cos_i * um.M_1_PI
 
-    # glossy GGX (non-delta only)
-    alpha_g = jnp.maximum(c["glossy_roughness"] ** 2, 1e-7)
-    glossy_delta = c["glossy_roughness"] < SHARP_ROUGHNESS
-    fg, pdfg = _ggx_reflect_eval(wo, wi, alpha_g)
-    f_gloss = jnp.where((~glossy_delta & reflect_side)[..., None],
-                        c["glossy"] * fg[..., None], 0.0)
-    pdf_gloss = jnp.where(~glossy_delta & reflect_side, pdfg, 0.0)
+    f = f_diff * jnp.where(reflect_side, 1.0, 0.0)[..., None]
+    pdf = pd * jnp.where(reflect_side, pdf_diff, 0.0)
 
-    # refraction GGX
-    alpha_r = jnp.maximum(c["refraction_roughness"] ** 2, 1e-7)
-    refr_delta = c["refraction_roughness"] < SHARP_ROUGHNESS
-    eta = jnp.maximum(c["ior"], 1e-5)
-    # wo always +z by construction (N flipped to face I); refraction
-    # goes to -z side. eta = 1/ior entering, ior handled by caller flip.
-    fr, pdfr = _ggx_refract_eval(wo, wi, alpha_r, 1.0 / eta)
-    f_refr = jnp.where((~refr_delta & ~reflect_side)[..., None],
-                       c["refraction"] * fr[..., None], 0.0)
-    pdf_refr = jnp.where(~refr_delta & ~reflect_side, pdfr, 0.0)
+    if has_glossy:
+        alpha_g = jnp.maximum(c["glossy_roughness"] ** 2, 1e-7)
+        glossy_delta = c["glossy_roughness"] < SHARP_ROUGHNESS
+        fg, pdfg = _ggx_reflect_eval(wo, wi, alpha_g)
+        f_gloss = jnp.where((~glossy_delta & reflect_side)[..., None],
+                            c["glossy"] * fg[..., None], 0.0)
+        pdf_gloss = jnp.where(~glossy_delta & reflect_side, pdfg, 0.0)
+        f = f + f_gloss
+        pdf = pdf + pg * pdf_gloss
 
-    f = (f_diff * jnp.where(reflect_side, 1.0, 0.0)[..., None]
-         + f_gloss + f_refr)
-    pdf = (pd * jnp.where(reflect_side, pdf_diff, 0.0)
-           + pg * pdf_gloss + pr * pdf_refr)
+    if has_refraction:
+        alpha_r = jnp.maximum(c["refraction_roughness"] ** 2, 1e-7)
+        refr_delta = c["refraction_roughness"] < SHARP_ROUGHNESS
+        eta = jnp.maximum(c["ior"], 1e-5)
+        # wo always +z by construction (N flipped to face I); refraction
+        # goes to -z side. eta = 1/ior entering, caller flips for exit.
+        fr, pdfr = _ggx_refract_eval(wo, wi, alpha_r, 1.0 / eta)
+        f_refr = jnp.where((~refr_delta & ~reflect_side)[..., None],
+                           c["refraction"] * fr[..., None], 0.0)
+        pdf_refr = jnp.where(~refr_delta & ~reflect_side, pdfr, 0.0)
+        f = f + f_refr
+        pdf = pdf + pr * pdf_refr
+
     return f, pdf
 
 
-def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe):
+def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe, features=None):
     """Sample an outgoing direction from the closure stack.
 
     Returns dict(omega (N,3), f_cos (N,3), pdf (N,), label (N,) int32,
     eta (N,) relative ior crossed for refraction lanes, valid mask).
+    `features` statically prunes unused lobes (see bsdf_eval).
     """
+    ft = features or {}
+    has_glossy = ft.get("has_glossy", True)
+    has_refraction = ft.get("has_refraction", True)
+    has_transparent = ft.get("has_transparent", True)
+
     t, b = um.make_orthonormals(N)
     wo = um.to_local(I, t, b, N)
 
@@ -214,67 +235,74 @@ def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe):
     cdf_g = pd + pg
     cdf_r = pd + pg + pr
     pick_d = u_lobe < cdf_d
-    pick_g = ~pick_d & (u_lobe < cdf_g)
-    pick_r = ~pick_d & ~pick_g & (u_lobe < cdf_r)
-    pick_t = ~pick_d & ~pick_g & ~pick_r
+    pick_g = ~pick_d & (u_lobe < cdf_g) if has_glossy \
+        else jnp.zeros_like(pick_d)
+    pick_r = ~pick_d & ~pick_g & (u_lobe < cdf_r) if has_refraction \
+        else jnp.zeros_like(pick_d)
+    pick_t = ~pick_d & ~pick_g & ~pick_r if has_transparent \
+        else jnp.zeros_like(pick_d)
+    if not (has_glossy or has_refraction or has_transparent):
+        pick_d = jnp.ones_like(pick_d)
 
     # --- diffuse: cosine hemisphere ---
     r = jnp.sqrt(u1)
     phi = um.M_2PI * u2
     wi_diff = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi),
                          um.safe_sqrt(1.0 - u1)], -1)
+    wi = wi_diff
+    label = jnp.full(pick_d.shape, LABEL_DIFFUSE, jnp.int32)
 
-    # --- glossy: VNDF half-vector, reflect ---
-    alpha_g = jnp.maximum(c["glossy_roughness"] ** 2, 1e-7)
     glossy_delta = c["glossy_roughness"] < SHARP_ROUGHNESS
-    h_g = _sample_ggx_vndf(wo, alpha_g, u1, u2)
-    wi_gloss = 2.0 * um.dot3(wo, h_g) * h_g - wo
-    wi_gloss_delta = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
-    wi_gloss = jnp.where(glossy_delta[..., None], wi_gloss_delta, wi_gloss)
-
-    # --- refraction: VNDF half-vector, refract ---
-    alpha_r = jnp.maximum(c["refraction_roughness"] ** 2, 1e-7)
     refr_delta = c["refraction_roughness"] < SHARP_ROUGHNESS
     eta_f = jnp.maximum(c["ior"], 1e-5)  # ior of medium being entered
     inv_eta = 1.0 / eta_f
-    h_r = _sample_ggx_vndf(wo, alpha_r, u1, u2)
-    h_r_eff = jnp.where(refr_delta[..., None],
-                        jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0],
-                                                     jnp.float32), h_r.shape),
-                        h_r)
-    cos_oh = jnp.sum(wo * h_r_eff, -1)
-    k = 1.0 - inv_eta * inv_eta * (1.0 - cos_oh * cos_oh)
-    tir = k < 0.0
-    wi_refr = um.normalize(
-        (inv_eta[..., None] * (cos_oh[..., None] * h_r_eff - wo))
-        - um.safe_sqrt(k)[..., None] * h_r_eff)
-    # TIR: reflect off the half vector instead
-    wi_tir = um.normalize(2.0 * cos_oh[..., None] * h_r_eff - wo)
-    wi_refr = jnp.where(tir[..., None], wi_tir, wi_refr)
+    tir = jnp.zeros_like(pick_d)
 
-    # --- transparent: straight through ---
-    wi_transp = -wo
+    if has_glossy:
+        # --- glossy: VNDF half-vector, reflect ---
+        alpha_g = jnp.maximum(c["glossy_roughness"] ** 2, 1e-7)
+        h_g = _sample_ggx_vndf(wo, alpha_g, u1, u2)
+        wi_gloss = 2.0 * um.dot3(wo, h_g) * h_g - wo
+        wi_gloss_delta = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+        wi_gloss = jnp.where(glossy_delta[..., None], wi_gloss_delta, wi_gloss)
+        wi = jnp.where(pick_g[..., None], wi_gloss, wi)
+        label = jnp.where(pick_g, jnp.where(glossy_delta,
+                                            LABEL_GLOSSY | LABEL_SINGULAR,
+                                            LABEL_GLOSSY), label)
 
-    wi = jnp.where(pick_d[..., None], wi_diff,
-                   jnp.where(pick_g[..., None], wi_gloss,
-                             jnp.where(pick_r[..., None], wi_refr, wi_transp)))
+    if has_refraction:
+        # --- refraction: VNDF half-vector, refract ---
+        alpha_r = jnp.maximum(c["refraction_roughness"] ** 2, 1e-7)
+        h_r = _sample_ggx_vndf(wo, alpha_r, u1, u2)
+        h_r_eff = jnp.where(refr_delta[..., None],
+                            jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0],
+                                                         jnp.float32),
+                                             h_r.shape),
+                            h_r)
+        cos_oh = jnp.sum(wo * h_r_eff, -1)
+        k = 1.0 - inv_eta * inv_eta * (1.0 - cos_oh * cos_oh)
+        tir = k < 0.0
+        wi_refr = um.normalize(
+            (inv_eta[..., None] * (cos_oh[..., None] * h_r_eff - wo))
+            - um.safe_sqrt(k)[..., None] * h_r_eff)
+        # TIR: reflect off the half vector instead
+        wi_tir = um.normalize(2.0 * cos_oh[..., None] * h_r_eff - wo)
+        wi_refr = jnp.where(tir[..., None], wi_tir, wi_refr)
+        wi = jnp.where(pick_r[..., None], wi_refr, wi)
+        label = jnp.where(pick_r, jnp.where(refr_delta,
+                                            LABEL_TRANSMIT | LABEL_SINGULAR,
+                                            LABEL_TRANSMIT), label)
 
-    label = jnp.where(pick_d, LABEL_DIFFUSE,
-                      jnp.where(pick_g, jnp.where(glossy_delta,
-                                                  LABEL_GLOSSY | LABEL_SINGULAR,
-                                                  LABEL_GLOSSY),
-                                jnp.where(pick_r,
-                                          jnp.where(refr_delta,
-                                                    LABEL_TRANSMIT | LABEL_SINGULAR,
-                                                    LABEL_TRANSMIT),
-                                          LABEL_TRANSPARENT | LABEL_SINGULAR)))
+    if has_transparent:
+        wi = jnp.where(pick_t[..., None], -wo, wi)
+        label = jnp.where(pick_t, LABEL_TRANSPARENT | LABEL_SINGULAR, label)
 
     omega = um.from_local(wi, t, b, N)
 
     # --- combine: delta lanes bypass the mixture eval ---
     sampled_delta = ((pick_g & glossy_delta) | (pick_r & refr_delta) | pick_t)
 
-    f_eval, pdf_eval = bsdf_eval(c, N, I, omega)
+    f_eval, pdf_eval = bsdf_eval(c, N, I, omega, features)
     # delta contributions (weight/pick_prob with pdf treated as 1)
     f_delta = jnp.where(pick_g[..., None], c["glossy"],
                         jnp.where(pick_r[..., None], c["refraction"],

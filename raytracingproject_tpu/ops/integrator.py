@@ -144,6 +144,16 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
         "transmission_depth": jnp.zeros((n,), jnp.int32),
         "transparent_depth": jnp.zeros((n,), jnp.int32),
     }
+    # aux pass collection (ref: kernel/kernel_passes.h; first-hit data)
+    aux_names = tuple(kg.get("aux_passes", ()))
+    if aux_names:
+        state["aux_normal"] = jnp.zeros((n, 3), jnp.float32)
+        state["aux_albedo"] = jnp.zeros((n, 3), jnp.float32)
+        state["aux_depth"] = jnp.zeros((n,), jnp.float32)
+        state["aux_object_id"] = jnp.full((n,), -1.0, jnp.float32)
+        state["aux_material_id"] = jnp.full((n,), -1.0, jnp.float32)
+        state["aux_emission"] = jnp.zeros((n, 3), jnp.float32)
+        state["aux_background"] = jnp.zeros((n, 3), jnp.float32)
 
     def bounce_body(bounce, st):
         alive = st["alive"]
@@ -210,6 +220,23 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
         else:
             closures = shade_ops.eval_shaders(kg["shaders"], sd, sd.shader)
 
+        # ---- aux passes: first camera-hit data ----
+        if aux_names:
+            first = (bounce == 0)
+            fh = alive & first
+            st = dict(st)
+            st["aux_normal"] = jnp.where(fh[:, None], sd.N, st["aux_normal"])
+            st["aux_albedo"] = jnp.where(
+                fh[:, None], closures["diffuse"] + closures["glossy"]
+                + closures["subsurface"], st["aux_albedo"])
+            st["aux_depth"] = jnp.where(fh, hit["t"], st["aux_depth"])
+            st["aux_object_id"] = jnp.where(
+                fh, hit["object"].astype(jnp.float32), st["aux_object_id"])
+            st["aux_material_id"] = jnp.where(
+                fh, sd.shader.astype(jnp.float32), st["aux_material_id"])
+            st["aux_background"] = jnp.where(
+                (miss & first)[:, None], bg, st["aux_background"])
+
         # ---- surface emission with MIS (ref: indirect_primitive_emission)
         emis = closures["emission"]
         has_emis = jnp.any(emis > 0.0, axis=-1)
@@ -221,6 +248,10 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
                            um.power_heuristic(st["pdf_prev"], pdf_light))
         contrib = _clamp_contrib(throughput * emis * w_emis[:, None], clamp_val)
         L = jnp.where((alive & has_emis)[:, None], L + contrib, L)
+        if aux_names:
+            st["aux_emission"] = jnp.where(
+                (alive & has_emis & (bounce == 0))[:, None], emis,
+                st["aux_emission"])
 
         # ---- per-bounce rng: all four dimension pairs in one call ----
         base = jnp.uint32(rngu.PRNG_BASE_NUM) \
@@ -236,7 +267,8 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
         if has_lights:
             ls = light_ops.sample_light(ds, sd.P, sel_u, lu, lv)
             l_eval = ls["eval"]  # tri emission already folded in
-            f_l, pdf_fwd = bsdf_ops.bsdf_eval(closures, sd.N, sd.I, ls["D"])
+            f_l, pdf_fwd = bsdf_ops.bsdf_eval(closures, sd.N, sd.I, ls["D"],
+                                              kg.get("features"))
             w_l = jnp.where(ls["delta"], 1.0,
                             um.power_heuristic(ls["pdf"], pdf_fwd))
             contrib = throughput * f_l * l_eval \
@@ -260,7 +292,8 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
             L = jnp.where((can_light & ~blocked)[:, None], L + contrib, L)
 
         # ---- BSDF bounce (ref: kernel_path_surface_bounce) ----
-        bs = bsdf_ops.bsdf_sample(closures, sd.N, sd.Ng, sd.I, bu, bv, lobe_u)
+        bs = bsdf_ops.bsdf_sample(closures, sd.N, sd.Ng, sd.I, bu, bv, lobe_u,
+                                  kg.get("features"))
 
         new_throughput = throughput * bs["f_cos"] \
             * um.safe_divide(1.0, bs["pdf"], 0.0)[:, None]
@@ -303,7 +336,7 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
             | jnp.where(is_trans, jnp.uint32(ob.PATH_RAY_TRANSMIT), 0)
             | jnp.where(is_sing, jnp.uint32(ob.PATH_RAY_SINGULAR), 0))
 
-        return {
+        out = {
             "o": jnp.where(alive2[:, None], new_o, st["o"]),
             "d": jnp.where(alive2[:, None], bs["omega"], st["d"]),
             "tmin": jnp.full((n,), 1e-5, jnp.float32),
@@ -320,21 +353,43 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
             "diffuse_depth": dd, "glossy_depth": gd,
             "transmission_depth": td, "transparent_depth": pd,
         }
+        for k in st:
+            if k.startswith("aux_"):
+                out[k] = st[k]
+        return out
 
     final = jax.lax.fori_loop(0, max_bounce + 1, bounce_body, state)
-    return final["L"], final["alpha"]
+    aux = {k[4:]: v for k, v in final.items() if k.startswith("aux_")}
+    return final["L"], final["alpha"], aux
 
 
 def render_samples(kg, px, py, pixel_index, sample_start, num_samples):
     """Accumulate `num_samples` consecutive samples (static count) for a
-    pixel wavefront. Returns (radiance_sum (N,3), alpha_sum (N,))."""
+    pixel wavefront. Returns (radiance_sum (N,3), alpha_sum (N,)) — plus
+    a dict of accumulated aux passes when kg["aux_passes"] is set."""
+    aux_names = tuple(kg.get("aux_passes", ()))
 
     def body(i, acc):
-        L, A = acc
-        rad, alpha = path_trace_sample(kg, px, py, pixel_index,
-                                       jnp.uint32(sample_start) + i.astype(jnp.uint32))
-        return (L + rad, A + alpha)
+        L, A, aux_acc = acc
+        rad, alpha, aux = path_trace_sample(
+            kg, px, py, pixel_index,
+            jnp.uint32(sample_start) + i.astype(jnp.uint32))
+        aux_out = {k: aux_acc[k] + aux[k] for k in aux_acc}
+        return (L + rad, A + alpha, aux_out)
 
+    n = px.shape[0]
+    aux_init = {}
+    if aux_names:
+        aux_init = {"normal": jnp.zeros((n, 3), jnp.float32),
+                    "albedo": jnp.zeros((n, 3), jnp.float32),
+                    "depth": jnp.zeros((n,), jnp.float32),
+                    "object_id": jnp.zeros((n,), jnp.float32),
+                    "material_id": jnp.zeros((n,), jnp.float32),
+                    "emission": jnp.zeros((n, 3), jnp.float32),
+                    "background": jnp.zeros((n, 3), jnp.float32)}
     init = (jnp.zeros(px.shape + (3,), jnp.float32),
-            jnp.zeros(px.shape, jnp.float32))
-    return jax.lax.fori_loop(0, num_samples, body, init)
+            jnp.zeros(px.shape, jnp.float32), aux_init)
+    L, A, aux = jax.lax.fori_loop(0, num_samples, body, init)
+    if aux_names:
+        return L, A, aux
+    return L, A

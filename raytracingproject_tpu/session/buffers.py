@@ -52,6 +52,10 @@ class RenderBuffers:
         self.buffer = np.zeros(
             (params.height, params.width, params.pass_stride), np.float32)
         self.num_samples = 0
+        # adaptive sampling: per-pixel sample counts override the
+        # uniform 1/num_samples display scaling (ref: PASS_SAMPLE_COUNT
+        # + kernel_adaptive_post_adjust)
+        self.per_pixel_samples = None
 
     def zero(self):
         self.buffer[:] = 0.0
@@ -79,14 +83,21 @@ class RenderBuffers:
             return None
         c = film_mod.PASS_CHANNELS[ptype]
         data = self.buffer[..., off:off + c]
-        inv = 1.0 / max(self.num_samples, 1)
+        if self.per_pixel_samples is not None:
+            inv = (1.0 / np.maximum(self.per_pixel_samples, 1))[..., None]
+        else:
+            inv = 1.0 / max(self.num_samples, 1)
         if ptype == film_mod.PASS_COMBINED:
             rgb = data[..., :3] * (inv * exposure)
             a = np.clip(data[..., 3:4] * inv, 0.0, 1.0)
             return np.concatenate([rgb, a], -1)
+        if ptype == film_mod.PASS_SAMPLE_COUNT:
+            return data  # absolute counts
         if ptype in (film_mod.PASS_DEPTH, film_mod.PASS_OBJECT_ID,
-                     film_mod.PASS_MATERIAL_ID, film_mod.PASS_SAMPLE_COUNT):
-            return data  # data passes are not sample-scaled the same way
+                     film_mod.PASS_MATERIAL_ID, film_mod.PASS_NORMAL,
+                     film_mod.PASS_UV, film_mod.PASS_DENOISING_NORMAL,
+                     film_mod.PASS_DENOISING_ALBEDO):
+            return data * inv  # data passes: mean, no exposure
         return data * (inv * exposure)
 
     def get_display_rgba(self, exposure=1.0):

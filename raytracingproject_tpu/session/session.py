@@ -114,8 +114,43 @@ class Session:
         self.progress.set_status("Updating Scene")
         self.scene.device_update(self.progress)
         self._kg = self.scene.make_kernel_globals()
+        # request aux passes when the film wants data passes
+        from raytracingproject_tpu.models import film as fm
+        aux_wanted = {fm.PASS_NORMAL, fm.PASS_DEPTH, fm.PASS_OBJECT_ID,
+                      fm.PASS_MATERIAL_ID, fm.PASS_EMISSION,
+                      fm.PASS_BACKGROUND, fm.PASS_DENOISING_NORMAL,
+                      fm.PASS_DENOISING_ALBEDO}
+        if any(p.type in aux_wanted for p in self.scene.film.passes):
+            self._kg["aux_passes"] = ("normal", "albedo", "depth",
+                                      "object_id", "material_id",
+                                      "emission", "background")
         self._render_fns = {}
         self.progress.set_render_start_time()
+
+    _AUX_TO_PASS = {
+        "normal": "normal", "depth": "depth", "object_id": "object_id",
+        "material_id": "material_id", "emission": "emission",
+        "background": "background",
+    }
+
+    def _store_aux(self, aux_np, ys, xs):
+        """Scatter aux pass sums into the pass buffer."""
+        from raytracingproject_tpu.models import film as fm
+        bp = self.buffers.params
+        for name, ptype in self._AUX_TO_PASS.items():
+            off = bp.pass_offset(ptype)
+            if off < 0 or name not in aux_np:
+                continue
+            data = aux_np[name]
+            if data.ndim == 1:
+                data = data[:, None]
+            c = min(data.shape[-1], fm.PASS_CHANNELS[ptype])
+            self.buffers.buffer[ys, xs, off:off + c] += data[:, :c]
+        for name, ptype in (("normal", fm.PASS_DENOISING_NORMAL),
+                            ("albedo", fm.PASS_DENOISING_ALBEDO)):
+            off = bp.pass_offset(ptype)
+            if off >= 0 and name in aux_np:
+                self.buffers.buffer[ys, xs, off:off + 3] += aux_np[name]
 
     def _get_render_fn(self, num_samples):
         import jax
@@ -129,6 +164,40 @@ class Session:
                                             num_samples)
             self._render_fns[key] = jax.jit(fn)
         return self._render_fns[key]
+
+    def _render_pixel_list(self, xs, ys, start_sample, num_samples):
+        """Render an arbitrary pixel list (padded to a lane multiple);
+        returns (L (n,3), A (n,), aux dict) as numpy, unpadded."""
+        import jax.numpy as jnp
+        n = len(xs)
+        pad = (-n) % 1024 if n > 1024 else (-n) % 128
+        xs_p = np.pad(xs, (0, pad))
+        ys_p = np.pad(ys, (0, pad))
+        px = jnp.asarray(xs_p, jnp.int32)
+        py = jnp.asarray(ys_p, jnp.int32)
+        pidx = py * self.buffers.params.full_width + px
+        fn = self._get_render_fn(num_samples)
+        out = fn(px, py, pidx, jnp.uint32(start_sample))
+        if len(out) == 3:
+            L, A, aux = out
+            aux = {k: np.asarray(v)[:n] for k, v in aux.items()}
+        else:
+            L, A = out
+            aux = {}
+        return np.asarray(L)[:n], np.asarray(A)[:n], aux
+
+    # --- adaptive sampling (ref: kernel_adaptive_sampling.h redesigned
+    # as host-side pixel-list compaction between sample chunks) ---
+    def _adaptive_error(self, ys, xs):
+        """Per-pixel error estimate from the all-sample and half-sample
+        accumulators (ref: kernel_adaptive_sampling.h error metric)."""
+        n = max(self.buffers.num_samples, 1)
+        A = self.buffers.buffer[ys, xs, 0:3]
+        E = self._even_accum[ys, xs]
+        mean = A / n
+        err = np.abs(A - 2.0 * E).sum(-1) / (
+            n * np.sqrt(np.maximum(mean.sum(-1), 1e-4)))
+        return err
 
     def _run(self):
         import jax.numpy as jnp
@@ -146,6 +215,20 @@ class Session:
                 make_device_mesh, render_frame_sharded)
             mesh = make_device_mesh()
 
+        # adaptive sampling state
+        adaptive = (float(self.scene.integrator.adaptive_threshold) > 0.0
+                    or bool(self.scene.film.use_adaptive_sampling)) \
+            and not use_mesh
+        if adaptive:
+            bp = self.buffers.params
+            self._even_accum = np.zeros((bp.height, bp.width, 3), np.float32)
+            self._sample_count = np.zeros((bp.height, bp.width), np.int32)
+            threshold = float(self.scene.integrator.adaptive_threshold) or 0.01
+            min_samples = int(self.scene.integrator.adaptive_min_samples) \
+                or max(self.params.samples // 8, 8)
+            active = None  # (ys, xs) or None = all
+
+        chunk_parity = 0
         while True:
             self.progress.check_cancel()
             ts = self.tile_manager.next()
@@ -162,30 +245,66 @@ class Session:
                         sample_start=ts.start_sample,
                         mode=self.params.shard_mode,
                         full_width=self.buffers.params.full_width)
-                    L, A = np.asarray(L), np.asarray(A)
-                else:
-                    fn = self._get_render_fn(ts.num_samples)
-                    yy, xx = np.mgrid[0:tile.h, 0:tile.w]
-                    px = jnp.asarray((xx + tile.x).reshape(-1), jnp.int32)
-                    py = jnp.asarray((yy + tile.y).reshape(-1), jnp.int32)
-                    pidx = py * self.buffers.params.full_width + px
-                    Lf, Af = fn(px, py, pidx, jnp.uint32(ts.start_sample))
-                    L = np.asarray(Lf).reshape(tile.h, tile.w, 3)
-                    A = np.asarray(Af).reshape(tile.h, tile.w)
-                self.buffers.buffer[
-                    tile.y:tile.y + tile.h, tile.x:tile.x + tile.w, 0:3] += L
-                self.buffers.buffer[
-                    tile.y:tile.y + tile.h, tile.x:tile.x + tile.w, 3] += A
-                self.progress.add_samples(tile.w * tile.h * ts.num_samples,
+                    self.buffers.buffer[tile.y:tile.y + tile.h,
+                                        tile.x:tile.x + tile.w, 0:3] \
+                        += np.asarray(L)
+                    self.buffers.buffer[tile.y:tile.y + tile.h,
+                                        tile.x:tile.x + tile.w, 3] \
+                        += np.asarray(A)
+                    self.progress.add_samples(
+                        tile.w * tile.h * ts.num_samples,
+                        ts.start_sample + ts.num_samples)
+                    continue
+                yy, xx = np.mgrid[tile.y:tile.y + tile.h,
+                                  tile.x:tile.x + tile.w]
+                ys = yy.reshape(-1)
+                xs = xx.reshape(-1)
+                if adaptive and active is not None:
+                    in_tile = ((active[0] >= tile.y)
+                               & (active[0] < tile.y + tile.h)
+                               & (active[1] >= tile.x)
+                               & (active[1] < tile.x + tile.w))
+                    ys, xs = active[0][in_tile], active[1][in_tile]
+                    if len(ys) == 0:
+                        continue
+                L, A, aux = self._render_pixel_list(
+                    xs, ys, ts.start_sample, ts.num_samples)
+                self.buffers.buffer[ys, xs, 0:3] += L
+                self.buffers.buffer[ys, xs, 3] += A
+                if aux:
+                    self._store_aux(aux, ys, xs)
+                if adaptive:
+                    if chunk_parity % 2 == 0:
+                        self._even_accum[ys, xs] += L
+                    self._sample_count[ys, xs] += ts.num_samples
+                self.progress.add_samples(len(ys) * ts.num_samples,
                                           ts.start_sample + ts.num_samples)
             self.buffers.num_samples = ts.start_sample + ts.num_samples \
                 - self.tile_manager.start_sample
+            chunk_parity += 1
+            if adaptive and self.buffers.num_samples >= min_samples:
+                bp = self.buffers.params
+                yy, xx = np.mgrid[0:bp.height, 0:bp.width]
+                err = self._adaptive_error(yy.reshape(-1), xx.reshape(-1))
+                unconverged = err >= threshold
+                active = (yy.reshape(-1)[unconverged],
+                          xx.reshape(-1)[unconverged])
+                log.vlog(1, "adaptive: %d/%d pixels active",
+                         len(active[0]), bp.width * bp.height)
+                if len(active[0]) == 0:
+                    break
             if self.update_render_cb is not None:
                 self.update_render_cb(
                     self.buffers.get_display_rgba(
                         float(self.scene.film.exposure)),
                     self.buffers.num_samples)
 
+        if adaptive:
+            self.buffers.per_pixel_samples = self._sample_count
+            from raytracingproject_tpu.models import film as fm
+            off = self.buffers.params.pass_offset(fm.PASS_SAMPLE_COUNT)
+            if off >= 0:
+                self.buffers.buffer[..., off] = self._sample_count
         total, rt = self.progress.get_time()
         log.vlog(1, "render done: %.2fs total, %.2fs render", total, rt)
         if self.write_render_cb is not None:
