@@ -136,6 +136,55 @@ def cornell_box(width=256, height=256, spp=64, light_mode="mesh",
     return scene
 
 
+def volume_shader(name, color=(0.8, 0.8, 0.8), density=1.0, anisotropy=0.0,
+                  absorption=(1.0, 1.0, 1.0)):
+    """Volume-only material (surface acts as transparent boundary)."""
+    g = ShaderGraph()
+    v = g.add(sn.PrincipledVolumeNode(
+        name + "_vol", color=color, density=density, anisotropy=anisotropy,
+        absorption_color=absorption))
+    g.connect(v, "volume", g.output_node, "volume")
+    return Shader(name, g)
+
+
+def smoke_cornell(width=128, height=128, spp=32, density=0.01,
+                  anisotropy=0.3):
+    """Cornell box with a homogeneous scattering medium filling a box
+    (BASELINE config 5: 'smoke-in-box')."""
+    scene = cornell_box(width, height, spp)
+    vol = volume_shader("smoke", color=(0.8, 0.8, 0.8), density=density,
+                        anisotropy=anisotropy)
+    scene.add_shader(vol)
+    box = make_box_mesh((100, 100, 50), (456, 456, 400), 0, "smoke_box")
+    box.used_shaders = [vol]
+    scene.add_object(Object("smoke", box))
+    scene.integrator.set("max_bounce", 6)
+    scene.integrator.set("volume_samples", 1)
+    return scene
+
+
+def volume_furnace(width=32, height=32, density=0.5):
+    """Pure-scattering (albedo 1) volume sphere in a unit-radiance
+    background: must render exactly 1 (volume energy conservation)."""
+    scene = Scene()
+    scene.camera.set("matrix", tfm.look_at((0, -6, 0), (0, 0, 0), (0, 0, 1)))
+    scene.camera.set("fov", 0.5)
+    scene.camera.set("width", width)
+    scene.camera.set("height", height)
+    vol = volume_shader("fog", color=(1.0, 1.0, 1.0), density=density,
+                        anisotropy=0.0)
+    scene.add_shader(vol)
+    box = make_box_mesh((-1, -1, -1), (1, 1, 1), 0, "fog_box")
+    box.used_shaders = [vol]
+    scene.add_object(Object("fog", box))
+    bg = background_shader("furnace_bg", (1.0, 1.0, 1.0), 1.0)
+    scene.background.shader = bg
+    scene.integrator.set("max_bounce", 32)
+    scene.integrator.set("sample_clamp_indirect", 0.0)
+    scene.integrator.set("min_bounce", 16)
+    return scene
+
+
 def furnace_scene(width=64, height=64, albedo=1.0, bounces=16):
     """White-furnace closure test: a perfectly white sphere inside a
     uniform unit-radiance background must render exactly 1.0 everywhere

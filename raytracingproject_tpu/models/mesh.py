@@ -177,12 +177,12 @@ def make_box_mesh(lo, hi, shader=0, name="box", inside=False):
         [x0, y0, z0], [x1, y0, z0], [x1, y1, z0], [x0, y1, z0],
         [x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1]], np.float32)
     quads = np.array([
-        [0, 1, 2, 3],  # z0 floor (normal -z outward)
-        [7, 6, 5, 4],  # z1
-        [4, 5, 1, 0],  # y0
-        [6, 7, 3, 2],  # y1
-        [0, 3, 7, 4],  # x0
-        [5, 6, 2, 1],  # x1
+        [3, 2, 1, 0],  # z0 bottom, outward normal -z
+        [4, 5, 6, 7],  # z1 top, +z
+        [0, 1, 5, 4],  # y0, -y
+        [2, 3, 7, 6],  # y1, +y
+        [4, 7, 3, 0],  # x0, -x
+        [1, 2, 6, 5],  # x1, +x
     ], np.int32)
     if inside:
         quads = quads[:, ::-1]

@@ -632,14 +632,24 @@ class Scene:
             "film_transparent": ds["film_transparent"],
             "num_area_lamps": num_area_lamps,
             "lamp_types": lamp_types,
+            "shader_has_volume": [bool(s.has_volume) for s in self.shaders],
+            # volume-only shaders: surface acts as a transparent boundary
+            "shader_volume_only": [
+                bool(s.has_volume
+                     and s.graph.links.get((id(s.graph.output_node),
+                                            "surface")) is None)
+                for s in self.shaders],
             # scene-wide feature set -> static kernel pruning
             # (ref: DeviceRequestedFeatures, device/device.h:120)
             "features": {
                 "has_glossy": any(s.has_glossy for s in self.shaders),
                 "has_refraction": any(s.has_refraction
                                       for s in self.shaders),
-                "has_transparent": any(s.has_transparent
-                                       for s in self.shaders),
+                # volume-only boundaries pass through as transparent
+                "has_transparent": any(
+                    s.has_transparent or (s.has_volume and s.graph.links.get(
+                        (id(s.graph.output_node), "surface")) is None)
+                    for s in self.shaders),
                 "has_diffuse_roughness": any(s.has_diffuse_roughness
                                              for s in self.shaders),
                 "has_volume": any(s.has_volume for s in self.shaders),

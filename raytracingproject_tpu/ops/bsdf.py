@@ -31,6 +31,7 @@ LABEL_GLOSSY = 2
 LABEL_TRANSMIT = 4
 LABEL_SINGULAR = 8
 LABEL_TRANSPARENT = 16
+LABEL_VOLUME_SCATTER = 32
 
 SHARP_ROUGHNESS = 1e-4  # below this a lobe is a delta
 

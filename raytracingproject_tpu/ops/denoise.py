@@ -1,0 +1,97 @@
+"""Feature-guided non-local-means denoiser (ref: the reference's NLM
+denoising pipeline — device/device_denoising.h DenoisingTask +
+kernel/filter/* prefilter/construct/reconstruct stages).
+
+TPU redesign: instead of per-tile pointer-walking filter kernels, the
+whole frame is denoised as a batch of shifted-image operations — for
+every offset in the search window the patch distance is a box-filtered
+squared difference (pure convolutions/rolls, no gathers), optionally
+guided by albedo/normal/depth feature distances like the reference's
+feature-space transform. O(search^2) fused passes over the image.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _box_filter(x, r):
+    """Box filter of radius r over (H, W, C) via separable cumsum."""
+    if r <= 0:
+        return x
+    k = 2 * r + 1
+    xp = jnp.pad(x, ((r, r), (0, 0), (0, 0)), mode="edge")
+    c = jnp.cumsum(xp, axis=0)
+    v = (c[k - 1:] - jnp.concatenate([jnp.zeros_like(c[:1]), c[:-k]], 0))
+    xp = jnp.pad(v, ((0, 0), (r, r), (0, 0)), mode="edge")
+    c = jnp.cumsum(xp, axis=1)
+    h = (c[:, k - 1:] - jnp.concatenate(
+        [jnp.zeros_like(c[:, :1]), c[:, :-k]], 1))
+    return h / (k * k)
+
+
+def _shift2(x, dy, dx):
+    return jnp.roll(x, (dy, dx), axis=(0, 1))
+
+
+def nlm_denoise(color, albedo=None, normal=None, depth=None,
+                search_radius=5, patch_radius=2, strength=0.4,
+                feature_strength=0.2):
+    """Denoise (H, W, 3) radiance.
+
+    color: noisy linear radiance; albedo/normal: optional (H, W, 3)
+    feature passes; depth (H, W). Returns denoised (H, W, 3).
+    ref: NLM weights w = exp(-max(0, dist)/k^2) with feature guidance.
+    """
+    color = jnp.asarray(color, jnp.float32)
+    eps = 1e-4
+    k2 = jnp.maximum(strength, 1e-3) ** 2
+    fk2 = jnp.maximum(feature_strength, 1e-3) ** 2
+
+    acc = jnp.zeros_like(color)
+    wsum = jnp.zeros(color.shape[:2] + (1,), jnp.float32)
+
+    # luminance-normalized color for distance (reduces halo around
+    # bright lights; ref: filter_nlm_calc_difference scaling)
+    def dist_img(a, b, k):
+        d = (a - b) ** 2 / (k * (eps + a ** 2 + b ** 2))
+        return jnp.mean(d, axis=-1, keepdims=True)
+
+    for dy in range(-search_radius, search_radius + 1):
+        for dx in range(-search_radius, search_radius + 1):
+            shifted = _shift2(color, dy, dx)
+            d = dist_img(color, shifted, k2)
+            if albedo is not None:
+                d = d + dist_img(albedo, _shift2(albedo, dy, dx), fk2)
+            if normal is not None:
+                nd = 1.0 - jnp.sum(normal * _shift2(normal, dy, dx), -1,
+                                   keepdims=True)
+                d = d + nd / fk2
+            if depth is not None:
+                dd = depth[..., None]
+                d = d + (dd - _shift2(dd, dy, dx)) ** 2 \
+                    / (fk2 * (eps + dd ** 2))
+            d = _box_filter(d, patch_radius)
+            w = jnp.exp(-jnp.maximum(d, 0.0))
+            acc = acc + w * shifted
+            wsum = wsum + w
+    return acc / jnp.maximum(wsum, 1e-8)
+
+
+@jax.jit
+def denoise_rgb(color, albedo, normal, depth):
+    return nlm_denoise(color, albedo, normal, depth)
+
+
+def denoise_buffers(combined_rgba, albedo=None, normal=None, depth=None,
+                    **kw):
+    """Denoise a display-scaled RGBA image, preserving alpha."""
+    rgb = nlm_denoise(jnp.asarray(combined_rgba[..., :3]),
+                      None if albedo is None else jnp.asarray(albedo),
+                      None if normal is None else jnp.asarray(normal),
+                      None if depth is None else jnp.asarray(depth), **kw)
+    import numpy as np
+    out = np.asarray(combined_rgba).copy()
+    out[..., :3] = np.asarray(rgb)
+    return out

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from raytracingproject_tpu.utils import math as um
 from raytracingproject_tpu.utils import rng as rngu
@@ -126,6 +127,9 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
     ablate = kg.get("debug_ablate", ())
     if "nee" in ablate:
         has_lights = False
+    features = kg.get("features") or {}
+    has_volume = bool(features.get("has_volume", False)) \
+        and "volume" not in ablate
 
     state = {
         "o": ray["o"], "d": ray["d"],
@@ -144,6 +148,10 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
         "transmission_depth": jnp.zeros((n,), jnp.int32),
         "transparent_depth": jnp.zeros((n,), jnp.int32),
     }
+    if has_volume:
+        # single-level volume tracking (ref: volume stack,
+        # kernel_types.h:1035; nested media follow with the ray-marcher)
+        state["vol_shader"] = jnp.full((n,), -1, jnp.int32)
     # aux pass collection (ref: kernel/kernel_passes.h; first-hit data)
     aux_names = tuple(kg.get("aux_passes", ()))
     if aux_names:
@@ -160,6 +168,16 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
         is_direct = bounce <= 1  # for clamping semantics
         clamp_val = jnp.where(is_direct, clamp_direct, clamp_indirect)
 
+        # ---- per-bounce rng: all four dimension pairs in one call ----
+        base = jnp.uint32(rngu.PRNG_BASE_NUM) \
+            + jnp.uint32(bounce) * jnp.uint32(rngu.PRNG_BOUNCE_NUM)
+        bdims = base + jnp.asarray(
+            [rngu.PRNG_BSDF, rngu.PRNG_LIGHT, rngu.PRNG_TERMINATE,
+             rngu.PRNG_PHASE], jnp.uint32)
+        bu4, bv4 = rng2_batch(bdims)
+        (bu, lu, rr_u, sel_u) = bu4
+        (bv, lv, lobe_u, phase_v) = bv4
+
         vis_ray = jnp.where(
             st["path_flag"] & ob.PATH_RAY_CAMERA > 0,
             jnp.uint32(ob.PATH_RAY_CAMERA),
@@ -175,6 +193,49 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
         L = st["L"]
         throughput = st["throughput"]
 
+        # ---- volume segment (ref: kernel_path.h do_volume; homogeneous
+        # closed-form, kernel_volume.h) ----
+        scattered = jnp.zeros((n,), bool)
+        if has_volume:
+            from raytracingproject_tpu.ops import volume as vol_ops
+            from raytracingproject_tpu.ops.shade import ShaderData
+            in_vol = alive & (st["vol_shader"] >= 0)
+            vctx = ShaderData(
+                P=st["o"], N=-st["d"], Ng=-st["d"], Ns=-st["d"], I=-st["d"],
+                uv=jnp.zeros((n, 2)), generated=st["o"], P_object=st["o"],
+                time=st["time"], ray_length=hit["t"],
+                ray_depth=jnp.full((n,), bounce, jnp.int32),
+                path_flag=st["path_flag"],
+                prim=hit["prim"], shader=st["vol_shader"],
+                object_index=hit["object"],
+                object_color=jnp.zeros((n, 3)),
+                object_location=jnp.zeros((n, 3)),
+                object_random=jnp.zeros((n,)),
+                backfacing=jnp.zeros((n,), bool),
+                textures=kg["textures"], batch_shape=(n,))
+            vc = vol_ops.eval_volume_closures(
+                kg["shaders"], kg["shader_has_volume"], st["vol_shader"],
+                n, vctx)
+            # rng: PHASE pair's v for distance; TERMINATE pair's v for
+            # channel (volume lanes never do a surface lobe pick)
+            ds_res = vol_ops.sample_distance_homogeneous(
+                vc["sigma_t"], throughput, hit["t"], phase_v, lobe_u)
+            can_scatter = jnp.any(vc["sigma_s"] > 0.0, -1)
+            scattered = in_vol & ds_res["scatter"] & can_scatter
+            seg_t = jnp.where(scattered, ds_res["t_scatter"], hit["t"])
+            # volume emission along the traversed segment
+            L = jnp.where(in_vol[:, None],
+                          L + throughput * vol_ops.emission_integral(
+                              vc["v_emission"], vc["sigma_t"], seg_t), L)
+            w_seg = jnp.where(
+                scattered[:, None],
+                ds_res["weight_scatter"] * vc["sigma_s"],
+                ds_res["weight_pass"])
+            throughput = jnp.where(in_vol[:, None], throughput * w_seg,
+                                   throughput)
+            P_scatter = st["o"] + st["d"] * ds_res["t_scatter"][:, None]
+            vol_g = vc["anisotropy"]
+
         # ---- virtual lamp (area light) emission with MIS ----
         if kg["num_area_lamps"] > 0:
             def lamp_accum(li, emission, pdf_lamp, t_lamp, mask):
@@ -189,7 +250,7 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
                                 st["tmax"], lamp_accum)
 
         # ---- background (ref: indirect_background) ----
-        miss = alive & ~found
+        miss = alive & ~found & ~scattered
         bg = shade_ops.eval_background(
             kg["shaders"], kg["background_shader"], st["d"],
             textures=kg["textures"], path_flag=st["path_flag"])
@@ -204,9 +265,10 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
         # transparent film: any surface hit makes the pixel opaque;
         # opaque film: alpha is 1 everywhere (set at init).
         alpha = jnp.maximum(st["alpha"],
-                            (alive & found).astype(jnp.float32)) \
+                            (alive & (found | scattered)).astype(jnp.float32)) \
             if kg["film_transparent"] else st["alpha"]
-        alive = alive & found
+        alive = alive & (found | scattered)
+        on_surface = alive & ~scattered
 
         # ---- shading setup + closures ----
         sd = shade_ops.shader_setup(
@@ -219,11 +281,19 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
             closures["diffuse"] = jnp.full((n, 3), 0.8)
         else:
             closures = shade_ops.eval_shaders(kg["shaders"], sd, sd.shader)
+        if has_volume:
+            # volume-only materials: boundary surfaces pass straight
+            # through (ref: volume boundaries are transparent hits)
+            vol_only = jnp.asarray(
+                np.array(kg["shader_volume_only"], np.float32))[
+                    jnp.clip(sd.shader, 0, len(kg["shaders"]) - 1)]
+            closures["transparent"] = closures["transparent"] \
+                + vol_only[:, None]
 
         # ---- aux passes: first camera-hit data ----
         if aux_names:
             first = (bounce == 0)
-            fh = alive & first
+            fh = on_surface & first
             st = dict(st)
             st["aux_normal"] = jnp.where(fh[:, None], sd.N, st["aux_normal"])
             st["aux_albedo"] = jnp.where(
@@ -247,28 +317,27 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
         w_emis = jnp.where(st["singular_prev"], 1.0,
                            um.power_heuristic(st["pdf_prev"], pdf_light))
         contrib = _clamp_contrib(throughput * emis * w_emis[:, None], clamp_val)
-        L = jnp.where((alive & has_emis)[:, None], L + contrib, L)
+        L = jnp.where((on_surface & has_emis)[:, None], L + contrib, L)
         if aux_names:
             st["aux_emission"] = jnp.where(
-                (alive & has_emis & (bounce == 0))[:, None], emis,
+                (on_surface & has_emis & (bounce == 0))[:, None], emis,
                 st["aux_emission"])
 
-        # ---- per-bounce rng: all four dimension pairs in one call ----
-        base = jnp.uint32(rngu.PRNG_BASE_NUM) \
-            + jnp.uint32(bounce) * jnp.uint32(rngu.PRNG_BOUNCE_NUM)
-        bdims = base + jnp.asarray(
-            [rngu.PRNG_BSDF, rngu.PRNG_LIGHT, rngu.PRNG_TERMINATE,
-             rngu.PRNG_PHASE], jnp.uint32)
-        bu4, bv4 = rng2_batch(bdims)
-        (bu, lu, rr_u, sel_u) = bu4
-        (bv, lv, lobe_u, _sel_v) = bv4
-
-        # ---- NEE (ref: kernel_path_surface.h direct lighting) ----
+        # ---- NEE (ref: kernel_path_surface.h direct lighting;
+        # volume NEE ref: kernel_path_volume.h) ----
         if has_lights:
-            ls = light_ops.sample_light(ds, sd.P, sel_u, lu, lv)
+            P_nee = jnp.where(scattered[:, None], P_scatter, sd.P) \
+                if has_volume else sd.P
+            ls = light_ops.sample_light(ds, P_nee, sel_u, lu, lv)
             l_eval = ls["eval"]  # tri emission already folded in
             f_l, pdf_fwd = bsdf_ops.bsdf_eval(closures, sd.N, sd.I, ls["D"],
                                               kg.get("features"))
+            if has_volume:
+                from raytracingproject_tpu.ops import volume as vol_ops2
+                cos_ph = um.dot(st["d"], ls["D"])
+                ph = vol_ops2.hg_phase_eval(cos_ph, vol_g)
+                f_l = jnp.where(scattered[:, None], ph[:, None], f_l)
+                pdf_fwd = jnp.where(scattered, ph, pdf_fwd)
             w_l = jnp.where(ls["delta"], 1.0,
                             um.power_heuristic(ls["pdf"], pdf_fwd))
             contrib = throughput * f_l * l_eval \
@@ -276,10 +345,12 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
             contrib = _clamp_contrib(contrib, clamp_val)
             can_light = alive & ls["valid"] \
                 & jnp.any(contrib != 0.0, axis=-1)
-            # shadow ray
+            # shadow ray (no normal offset for volume scatter points)
             off = jnp.where(um.dot(ls["D"], sd.Ng)[:, None] > 0,
                             sd.Ng, -sd.Ng) * RAY_EPS
-            sh_o = sd.P + off
+            if has_volume:
+                off = jnp.where(scattered[:, None], 0.0, off)
+            sh_o = P_nee + off if has_volume else sd.P + off
             sh_tmax = jnp.where(ls["dist"] >= um.RAY_TMAX * 0.5,
                                 jnp.float32(um.RAY_TMAX),
                                 ls["dist"] * (1.0 - 1e-3) - RAY_EPS)
@@ -289,11 +360,49 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
                 blocked = _shadow_blocked(kg, sh_o, ls["D"],
                                           jnp.full((n,), 1e-5, jnp.float32),
                                           jnp.where(can_light, sh_tmax, 1e-5))
+            if has_volume:
+                # transmittance to the boundary for in-volume lanes
+                # (round-1 approx: attenuate over min(dist, light dist);
+                # full shadow volume marching lands with heterogeneous)
+                in_vol_sh = st["vol_shader"] >= 0
+                sh_hit = _scene_intersect(
+                    kg, sh_o, ls["D"], jnp.full((n,), 1e-5, jnp.float32),
+                    jnp.where(can_light & in_vol_sh, sh_tmax, 1e-5),
+                    jnp.full((n,), ob.PATH_RAY_SHADOW, jnp.uint32))
+                # boundary surfaces belong to volume shaders -> not
+                # blockers; everything else blocks
+                bshader = ds["prim_table"][
+                    jnp.maximum(sh_hit["prim"], 0), 24].astype(jnp.int32)
+                is_boundary = jnp.asarray(
+                    np.array(kg["shader_has_volume"], bool))[
+                        jnp.clip(bshader, 0, len(kg["shaders"]) - 1)]
+                sh_found = sh_hit["prim"] >= 0
+                t_seg = jnp.where(sh_found, sh_hit["t"],
+                                  jnp.minimum(ls["dist"], 1e6))
+                trans = jnp.exp(-vc["sigma_t"] * t_seg[:, None])
+                contrib = jnp.where(in_vol_sh[:, None], contrib * trans,
+                                    contrib)
+                blocked = jnp.where(in_vol_sh,
+                                    sh_found & ~is_boundary, blocked)
             L = jnp.where((can_light & ~blocked)[:, None], L + contrib, L)
 
         # ---- BSDF bounce (ref: kernel_path_surface_bounce) ----
         bs = bsdf_ops.bsdf_sample(closures, sd.N, sd.Ng, sd.I, bu, bv, lobe_u,
                                   kg.get("features"))
+        if has_volume:
+            from raytracingproject_tpu.ops import volume as vol_ops3
+            ph_dir, ph_pdf = vol_ops3.hg_phase_sample(st["d"], vol_g, bu, bv)
+            bs = dict(bs)
+            bs["omega"] = jnp.where(scattered[:, None], ph_dir, bs["omega"])
+            # HG is perfectly importance sampled: f/pdf = 1
+            # HG is perfectly importance sampled: f == pdf -> f/pdf = 1
+            bs["f_cos"] = jnp.where(scattered[:, None],
+                                    ph_pdf[:, None], bs["f_cos"])
+            bs["pdf"] = jnp.where(scattered, ph_pdf, bs["pdf"])
+            bs["valid"] = jnp.where(scattered, ph_pdf > 0.0, bs["valid"])
+            bs["label"] = jnp.where(scattered,
+                                    bsdf_ops.LABEL_VOLUME_SCATTER,
+                                    bs["label"])
 
         new_throughput = throughput * bs["f_cos"] \
             * um.safe_divide(1.0, bs["pdf"], 0.0)[:, None]
@@ -328,6 +437,8 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
         out_side = um.dot(bs["omega"], sd.Ng) > 0.0
         off = jnp.where(out_side[:, None], sd.Ng, -sd.Ng) * RAY_EPS
         new_o = sd.P + off
+        if has_volume:
+            new_o = jnp.where(scattered[:, None], P_scatter, new_o)
         new_flag = jnp.where(
             is_transp, st["path_flag"],  # transparent keeps path type
             (st["path_flag"] & ~jnp.uint32(ob.PATH_RAY_CAMERA))
@@ -335,6 +446,20 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
             | jnp.where(is_gloss, jnp.uint32(ob.PATH_RAY_GLOSSY | ob.PATH_RAY_REFLECT), 0)
             | jnp.where(is_trans, jnp.uint32(ob.PATH_RAY_TRANSMIT), 0)
             | jnp.where(is_sing, jnp.uint32(ob.PATH_RAY_SINGULAR), 0))
+        if has_volume:
+            new_flag = jnp.where(
+                scattered, st["path_flag"]
+                | jnp.uint32(ob.PATH_RAY_VOLUME_SCATTER), new_flag)
+            # volume entry/exit at transmissive surface crossings
+            # (ref: kernel_volume.h volume stack enter/exit)
+            shader_vol = jnp.asarray(
+                np.array(kg["shader_has_volume"], bool))[
+                    jnp.clip(sd.shader, 0, len(kg["shaders"]) - 1)]
+            crossing = (is_trans | is_transp) & on_surface & alive2
+            entering = crossing & shader_vol & ~sd.backfacing
+            exiting = crossing & sd.backfacing
+            new_vol = jnp.where(entering, sd.shader,
+                                jnp.where(exiting, -1, st["vol_shader"]))
 
         out = {
             "o": jnp.where(alive2[:, None], new_o, st["o"]),
@@ -353,6 +478,8 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
             "diffuse_depth": dd, "glossy_depth": gd,
             "transmission_depth": td, "transparent_depth": pd,
         }
+        if has_volume:
+            out["vol_shader"] = new_vol
         for k in st:
             if k.startswith("aux_"):
                 out[k] = st[k]

@@ -1,0 +1,106 @@
+"""Volume scattering (ref: kernel/kernel_volume.h homogeneous path,
+kernel/closure/volume.h Henyey-Greenstein; volume stack ref:
+kernel_types.h:1035).
+
+Round-1 scope: homogeneous media with closed-form (analytic) distance
+sampling and spectral-channel MIS, Henyey-Greenstein phase sampling, and
+single-level volume tracking (one enclosing volume per lane — the
+reference's volume stack generalizes this; nested volumes land with the
+heterogeneous ray-marcher). All batched over the wavefront and fused
+into the bounce loop of ops/integrator.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from raytracingproject_tpu.utils import math as um
+
+
+def hg_phase_eval(cos_theta, g):
+    """Henyey-Greenstein phase function value == its pdf (perfectly
+    importance sampled). ref: volume.h single_peaked_henyey_greenstein."""
+    g2 = g * g
+    denom = 1.0 + g2 - 2.0 * g * cos_theta
+    return (1.0 - g2) / jnp.maximum(
+        um.M_4PI * denom * jnp.sqrt(jnp.maximum(denom, 1e-12)), 1e-12)
+
+
+def hg_phase_sample(d_in, g, u1, u2):
+    """Sample a scattered direction around incoming ray dir d_in.
+    Returns (dir, pdf). ref: volume.h henyey_greenstein_sample."""
+    # cos(theta) inversion; isotropic fallback for tiny g
+    iso = jnp.abs(g) < 1e-3
+    safe_g = jnp.where(iso, 0.5, g)
+    sqr_term = (1.0 - safe_g * safe_g) / (1.0 - safe_g + 2.0 * safe_g * u1)
+    cos_t_hg = (1.0 + safe_g * safe_g - sqr_term * sqr_term) / (2.0 * safe_g)
+    cos_t = jnp.where(iso, 1.0 - 2.0 * u1, cos_t_hg)
+    sin_t = um.safe_sqrt(1.0 - cos_t * cos_t)
+    phi = um.M_2PI * u2
+    t, b = um.make_orthonormals(d_in)
+    dir_out = (sin_t * jnp.cos(phi))[..., None] * t \
+        + (sin_t * jnp.sin(phi))[..., None] * b \
+        + cos_t[..., None] * d_in
+    return um.safe_normalize(dir_out), hg_phase_eval(cos_t, g)
+
+
+def eval_volume_closures(shaders, shader_has_volume, vol_shader, n, ctx):
+    """Masked dispatch of volume shaders over the wavefront.
+
+    vol_shader: (N,) enclosing-volume shader slot (-1 = vacuum).
+    Returns the volume closure union with zeros for vacuum lanes."""
+    from raytracingproject_tpu.ops import closures as cl
+    out = cl.empty_volume_closures((n,))
+    for slot, shader in enumerate(shaders):
+        if not shader_has_volume[slot]:
+            continue
+        v = shader.evaluate_volume(ctx)
+        if v is None:
+            continue
+        m = vol_shader == slot
+        for k in ("sigma_t", "sigma_s", "v_emission"):
+            out[k] = jnp.where(m[:, None], v[k], out[k])
+        out["anisotropy"] = jnp.where(m, v["anisotropy"], out["anisotropy"])
+    return out
+
+
+def sample_distance_homogeneous(sigma_t, throughput, t_max, u_dist, u_chan):
+    """Closed-form scatter-distance sampling with throughput-weighted
+    spectral channel selection + channel MIS
+    (ref: kernel_volume.h kernel_volume_integrate_homogeneous).
+
+    Returns dict(scatter (N,) bool candidate, t_scatter (N,),
+    weight_scatter (N,3) = T*sigma_t_c-normalized, weight_pass (N,3)).
+    """
+    # channel pick proportional to throughput (fallback uniform)
+    w = jnp.abs(throughput)
+    wsum = jnp.sum(w, -1, keepdims=True)
+    w = jnp.where(wsum > 1e-12, w / jnp.maximum(wsum, 1e-12),
+                  jnp.full_like(w, 1.0 / 3.0))
+    c0 = w[..., 0]
+    c01 = w[..., 0] + w[..., 1]
+    sig_c = jnp.where(u_chan < c0, sigma_t[..., 0],
+                      jnp.where(u_chan < c01, sigma_t[..., 1],
+                                sigma_t[..., 2]))
+    sig_c = jnp.maximum(sig_c, 1e-12)
+    t_scatter = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-12)) / sig_c
+
+    scatter = t_scatter < t_max
+    t_eff = jnp.minimum(t_scatter, t_max)
+    T = jnp.exp(-sigma_t * t_eff[..., None])            # (N, 3)
+    # pdf of scattering at t (channel-MIS): sum_c w_c sig_c T_c
+    pdf_scatter = jnp.sum(w * sigma_t * T, -1)
+    # pdf of passing through: sum_c w_c T_c
+    pdf_pass = jnp.sum(w * T, -1)
+    weight_scatter = um.safe_divide(T, pdf_scatter[..., None], 0.0)
+    weight_pass = um.safe_divide(T, pdf_pass[..., None], 0.0)
+    return {"scatter": scatter, "t_scatter": t_scatter,
+            "weight_scatter": weight_scatter, "weight_pass": weight_pass,
+            "transmittance": T}
+
+
+def emission_integral(v_emission, sigma_t, t):
+    """Accumulated emission along a homogeneous segment:
+    int_0^t e * exp(-sigma_t s) ds (ref: kernel_volume_emission_integrate)."""
+    st = jnp.maximum(sigma_t, 1e-12)
+    return v_emission * (1.0 - jnp.exp(-sigma_t * t[..., None])) / st

@@ -56,6 +56,8 @@ class Session:
         self._thread = None
         self._kg = None
         self._render_fns = {}
+        from raytracingproject_tpu.utils.stats import RenderStats
+        self.stats = RenderStats()
 
     # ------------------------------------------------------------------
     def reset(self, width=None, height=None, samples=None):
@@ -111,9 +113,15 @@ class Session:
     # ------------------------------------------------------------------
     def _update_scene(self):
         """ref: Session::update_scene -> Scene::device_update."""
+        import time as _time
         self.progress.set_status("Updating Scene")
-        self.scene.device_update(self.progress)
-        self._kg = self.scene.make_kernel_globals()
+        t0 = _time.monotonic()
+        with self.stats.profiler.scope("scene_update"):
+            self.scene.device_update(self.progress)
+        with self.stats.profiler.scope("device_upload"):
+            self._kg = self.scene.make_kernel_globals()
+        self.stats.sync_time = _time.monotonic() - t0
+        self.stats.collect_scene_memory(self.scene.dscene["arrays"])
         # request aux passes when the film wants data passes
         from raytracingproject_tpu.models import film as fm
         aux_wanted = {fm.PASS_NORMAL, fm.PASS_DEPTH, fm.PASS_OBJECT_ID,
@@ -306,11 +314,29 @@ class Session:
             if off >= 0:
                 self.buffers.buffer[..., off] = self._sample_count
         total, rt = self.progress.get_time()
+        self.stats.render_time = rt
+        self.stats.samples_rendered = self.progress.pixel_samples
         log.vlog(1, "render done: %.2fs total, %.2fs render", total, rt)
         if self.write_render_cb is not None:
             self.write_render_cb(
                 self.buffers.get_display_rgba(float(self.scene.film.exposure)),
                 self.buffers.num_samples)
+
+    # ------------------------------------------------------------------
+    def denoise(self):
+        """Denoise the combined pass using the denoising-feature passes
+        (ref: Session denoise scheduling + DenoisingTask). Returns the
+        denoised display RGBA and stores it for write_output."""
+        from raytracingproject_tpu.models import film as fm
+        from raytracingproject_tpu.ops import denoise as dn
+        rgba = self.buffers.get_display_rgba(float(self.scene.film.exposure))
+        albedo = self.buffers.get_pass_rect(fm.PASS_DENOISING_ALBEDO)
+        normal = self.buffers.get_pass_rect(fm.PASS_DENOISING_NORMAL)
+        depth = self.buffers.get_pass_rect(fm.PASS_DEPTH)
+        self._denoised = dn.denoise_buffers(
+            rgba, albedo=albedo, normal=normal,
+            depth=None if depth is None else depth[..., 0])
+        return self._denoised
 
     # ------------------------------------------------------------------
     def write_output(self, path, srgb=True):

@@ -22,6 +22,9 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Per-op XLA compiles cost ~0.4 s in this sandbox; persist them across runs.
 import jax  # noqa: E402
 
+# The env var alone is not always honored once the axon PJRT plugin has
+# registered; the config update is authoritative.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

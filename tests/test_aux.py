@@ -1,0 +1,80 @@
+"""Aux subsystems: merge, stats, adaptive sampling, passes."""
+
+import numpy as np
+import pytest
+
+from raytracingproject_tpu.app import examples
+from raytracingproject_tpu.session import Session, SessionParams
+from raytracingproject_tpu.session import merge
+from raytracingproject_tpu.models import film as fm
+
+
+class TestMerge:
+    def test_chunk_merge_equals_full(self, tmp_path):
+        """ref: ImageMerger — merged partial chunks == single render."""
+        paths = []
+        for start in (0, 3):
+            sc = examples.cornell_box(12, 12, spp=6)
+            se = Session(sc, SessionParams(samples=6,
+                                           range_start_sample=start,
+                                           range_num_samples=3))
+            se.reset()
+            se.render()
+            p = tmp_path / f"chunk_{start}.npz"
+            se.write_output(p)
+            paths.append(p)
+        out, total = merge.merge_files(paths, tmp_path / "merged.npz")
+        assert total == 6
+        merged = merge.merged_display(out)
+
+        full_scene = examples.cornell_box(12, 12, spp=6)
+        fs = Session(full_scene, SessionParams(samples=6))
+        fs.reset()
+        full = fs.render()[::-1]  # write_output flips vertically
+        np.testing.assert_allclose(merged[..., :3], full[..., :3], atol=1e-5)
+
+
+class TestPasses:
+    def test_data_passes(self):
+        scene = examples.cornell_box(16, 16, spp=2)
+        scene.film.set_passes([fm.PASS_COMBINED, fm.PASS_DEPTH,
+                               fm.PASS_NORMAL, fm.PASS_OBJECT_ID])
+        sess = Session(scene, SessionParams(samples=2))
+        sess.reset()
+        sess.render()
+        depth = sess.buffers.get_pass_rect(fm.PASS_DEPTH)
+        normal = sess.buffers.get_pass_rect(fm.PASS_NORMAL)
+        oid = sess.buffers.get_pass_rect(fm.PASS_OBJECT_ID)
+        assert depth.min() > 0  # every camera ray hits the box interior
+        # normals are unit-ish after averaging (edge pixels may average
+        # different faces and shorten)
+        ln = np.linalg.norm(normal, axis=-1)
+        assert (ln > 0.3).all() and (ln < 1.1).all()
+        assert (ln > 0.9).mean() > 0.5  # most pixels single-face
+        assert oid.max() >= 1  # multiple objects visible
+
+
+class TestAdaptive:
+    def test_adaptive_converges_flat_regions_first(self):
+        scene = examples.cornell_box(24, 24, spp=32)
+        scene.integrator.set("adaptive_threshold", 0.05)
+        scene.integrator.set("adaptive_min_samples", 8)
+        sess = Session(scene, SessionParams(samples=32,
+                                            progressive_refine_chunk=8))
+        sess.reset()
+        img = sess.render()
+        assert np.isfinite(img).all()
+        counts = sess.buffers.per_pixel_samples
+        assert counts is not None
+        assert counts.min() >= 8
+        assert counts.max() <= 32
+
+    def test_stats_report(self):
+        scene = examples.cornell_box(12, 12, spp=2)
+        sess = Session(scene, SessionParams(samples=2))
+        sess.reset()
+        sess.render()
+        rep = sess.stats.full_report()
+        assert "Device scene memory" in rep
+        assert "prim_table" in rep
+        assert "Msamples/s" in rep

@@ -1,0 +1,67 @@
+"""Denoiser tests (ref: denoise test category)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from raytracingproject_tpu.ops import denoise as dn
+
+
+class TestNLM:
+    def _noisy_scene(self, seed=0, h=48, w=48):
+        rng = np.random.default_rng(seed)
+        # piecewise-constant "render" with two regions + noise
+        clean = np.zeros((h, w, 3), np.float32)
+        clean[:, : w // 2] = [0.2, 0.4, 0.1]
+        clean[:, w // 2:] = [0.7, 0.3, 0.6]
+        albedo = clean.copy()
+        normal = np.zeros((h, w, 3), np.float32)
+        normal[..., 2] = 1.0
+        noisy = clean + rng.normal(0, 0.15, clean.shape).astype(np.float32)
+        return clean, noisy, albedo, normal
+
+    def test_reduces_noise(self):
+        clean, noisy, albedo, normal = self._noisy_scene()
+        out = np.asarray(dn.nlm_denoise(jnp.asarray(noisy),
+                                        jnp.asarray(albedo),
+                                        jnp.asarray(normal)))
+        err_in = np.mean((noisy - clean) ** 2)
+        err_out = np.mean((out - clean) ** 2)
+        assert err_out < err_in * 0.3, (err_in, err_out)
+
+    def test_preserves_feature_edges(self):
+        clean, noisy, albedo, normal = self._noisy_scene()
+        out = np.asarray(dn.nlm_denoise(jnp.asarray(noisy),
+                                        jnp.asarray(albedo),
+                                        jnp.asarray(normal)))
+        h, w = clean.shape[:2]
+        # the albedo edge at w/2 must survive denoising
+        left = out[:, w // 2 - 4:w // 2 - 1].mean((0, 1))
+        right = out[:, w // 2 + 1:w // 2 + 4].mean((0, 1))
+        assert abs(left[0] - 0.2) < 0.1
+        assert abs(right[0] - 0.7) < 0.1
+
+    def test_box_filter(self):
+        x = jnp.zeros((9, 9, 1)).at[4, 4, 0].set(1.0)
+        y = np.asarray(dn._box_filter(x, 1))
+        np.testing.assert_allclose(y[3:6, 3:6, 0], 1.0 / 9.0, atol=1e-6)
+        np.testing.assert_allclose(y[0, 0, 0], 0.0, atol=1e-6)
+
+    def test_session_denoise(self):
+        from raytracingproject_tpu.app import examples
+        from raytracingproject_tpu.session import Session, SessionParams
+        from raytracingproject_tpu.models import film as fm
+        scene = examples.cornell_box(24, 24, spp=4)
+        scene.film.set_passes([fm.PASS_COMBINED, fm.PASS_DEPTH,
+                               fm.PASS_DENOISING_NORMAL,
+                               fm.PASS_DENOISING_ALBEDO])
+        sess = Session(scene, SessionParams(samples=4))
+        sess.reset()
+        noisy = sess.render()
+        out = sess.denoise()
+        assert out.shape == noisy.shape
+        assert np.isfinite(out).all()
+        # denoised image is smoother (lower total variation)
+        def tv(i):
+            return np.abs(np.diff(i[..., :3], axis=0)).mean() \
+                + np.abs(np.diff(i[..., :3], axis=1)).mean()
+        assert tv(out) < tv(noisy)

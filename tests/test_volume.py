@@ -1,0 +1,101 @@
+"""Volume rendering tests (ref categories: tests/python volume scenes;
+validation via energy conservation instead of golden images)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raytracingproject_tpu.app import examples
+from raytracingproject_tpu.ops import integrator as integ
+from raytracingproject_tpu.ops import volume as vol_ops
+
+
+def render(scene, w, h, spp):
+    scene.device_update()
+    kg = scene.make_kernel_globals()
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = jnp.asarray(xx.reshape(-1), jnp.int32)
+    py = jnp.asarray(yy.reshape(-1), jnp.int32)
+    out = jax.jit(lambda a, b, c: integ.render_samples(
+        kg, a, b, c, 0, spp))(px, py, py * w + px)
+    return np.asarray(out[0]).reshape(h, w, 3) / spp
+
+
+class TestPhase:
+    def test_hg_normalization(self):
+        """Phase function integrates to 1 over the sphere."""
+        rng = np.random.default_rng(0)
+        for g in (0.0, 0.4, -0.6):
+            mu = jnp.asarray(1.0 - 2.0 * rng.random(20000), jnp.float32)
+            vals = vol_ops.hg_phase_eval(mu, jnp.float32(g))
+            integral = float(np.mean(np.asarray(vals))) * 4.0 * np.pi
+            assert abs(integral - 1.0) < 0.03, (g, integral)
+
+    def test_hg_sample_matches_eval(self):
+        """Sampled directions' pdf equals eval at the sampled angle and
+        the mean cosine equals g."""
+        n = 8192
+        rng = np.random.default_rng(1)
+        d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+        u1 = jnp.asarray(rng.random(n), jnp.float32)
+        u2 = jnp.asarray(rng.random(n), jnp.float32)
+        g = jnp.full((n,), 0.5, jnp.float32)
+        dirs, pdf = vol_ops.hg_phase_sample(d, g, u1, u2)
+        cos_t = np.asarray(dirs)[:, 2]
+        np.testing.assert_allclose(
+            np.asarray(pdf),
+            np.asarray(vol_ops.hg_phase_eval(jnp.asarray(cos_t), g)),
+            rtol=1e-3, atol=1e-5)
+        assert abs(cos_t.mean() - 0.5) < 0.02  # E[cos] = g
+
+    def test_distance_sampling_unbiased(self):
+        """E[weight] over scatter/pass outcomes reconstructs transmittance
+        estimator correctly: for sigma_s = sigma_t (albedo 1) and a beam
+        of length t, scatter+pass weights average to 1."""
+        n = 65536
+        rng = np.random.default_rng(2)
+        sigma = jnp.full((n, 3), 0.7, jnp.float32)
+        thr = jnp.ones((n, 3), jnp.float32)
+        tmax = jnp.full((n,), 2.0, jnp.float32)
+        res = vol_ops.sample_distance_homogeneous(
+            sigma, thr, tmax, jnp.asarray(rng.random(n), jnp.float32),
+            jnp.asarray(rng.random(n), jnp.float32))
+        w = np.where(np.asarray(res["scatter"])[:, None],
+                     np.asarray(res["weight_scatter"]) * 0.7,
+                     np.asarray(res["weight_pass"]))
+        # E[w] = 1 for a perfectly importance-sampled homogeneous medium
+        np.testing.assert_allclose(w.mean(0), 1.0, atol=0.02)
+
+
+class TestVolumeRender:
+    def test_volume_furnace(self):
+        """Albedo-1 fog in a unit furnace must stay at 1."""
+        scene = examples.volume_furnace(24, 24, density=0.6)
+        img = render(scene, 24, 24, spp=48)
+        assert np.isfinite(img).all()
+        assert abs(float(img.mean()) - 1.0) < 0.03
+        center = img[10:14, 10:14]
+        assert abs(float(center.mean()) - 1.0) < 0.05
+
+    def test_smoke_cornell_renders(self):
+        scene = examples.smoke_cornell(24, 24, spp=8, density=0.004)
+        img = render(scene, 24, 24, 8)
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.01
+
+    def test_absorbing_volume_darkens(self):
+        """An absorbing volume in front of the light darkens the image
+        vs the same scene without it."""
+        base = examples.cornell_box(20, 20, spp=8)
+        img0 = render(base, 20, 20, 8)
+        withvol = examples.smoke_cornell(20, 20, spp=8, density=0.01)
+        # pure absorption: color=0 -> sigma_s = 0
+        for s in withvol.shaders:
+            if s.name == "smoke":
+                for node in s.graph.nodes:
+                    if hasattr(node, "NODE_NAME") \
+                            and node.NODE_NAME == "principled_volume":
+                        node.set("color", (0.0, 0.0, 0.0))
+                        node.set("absorption_color", (0.0, 0.0, 0.0))
+        img1 = render(withvol, 20, 20, 8)
+        assert img1.mean() < img0.mean() * 0.9
