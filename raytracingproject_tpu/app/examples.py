@@ -136,6 +136,89 @@ def cornell_box(width=256, height=256, spp=64, light_mode="mesh",
     return scene
 
 
+def checker_shader(name, scale=4.0, c1=(0.8, 0.8, 0.8), c2=(0.15, 0.15, 0.4)):
+    g = ShaderGraph()
+    t = g.add(sn.CheckerTextureNode(name + "_tex", scale=scale,
+                                    color1=c1, color2=c2))
+    d = g.add(sn.DiffuseBsdfNode(name + "_bsdf"))
+    g.connect(t, "color", d, "color")
+    g.connect(d, "bsdf", g.output_node, "surface")
+    return Shader(name, g)
+
+
+def image_texture_shader(name, image):
+    g = ShaderGraph()
+    t = g.add(sn.ImageTextureNode(name + "_tex", image=image))
+    d = g.add(sn.DiffuseBsdfNode(name + "_bsdf"))
+    g.connect(t, "color", d, "color")
+    g.connect(d, "bsdf", g.output_node, "surface")
+    return Shader(name, g)
+
+
+def instanced_scene(width=256, height=256, spp=32, grid=4):
+    """Textured mesh scene with instancing — two-level TLAS/BLAS path
+    (BASELINE config 3). One sphere geometry instanced grid x grid times
+    over a checkered ground plane, UV image texture on the spheres."""
+    scene = Scene()
+    scene.camera.set("matrix", tfm.look_at((14, -18, 10), (0, 0, 1),
+                                           (0, 0, 1)))
+    scene.camera.set("fov", 0.7)
+    scene.camera.set("width", width)
+    scene.camera.set("height", height)
+
+    ground = checker_shader("ground")
+    scene.add_shader(ground)
+    plane = make_plane_mesh((-30, -30, 0), (60, 0, 0), (0, 60, 0), 0,
+                            "ground")
+    plane.used_shaders = [ground]
+    scene.add_object(Object("ground", plane))
+
+    # procedural uv-image for the spheres
+    img = np.zeros((64, 64, 3), np.float32)
+    yy, xx = np.mgrid[0:64, 0:64]
+    img[..., 0] = 0.5 + 0.5 * np.sin(xx * 0.4)
+    img[..., 1] = 0.5 + 0.5 * np.cos(yy * 0.3)
+    img[..., 2] = 0.6
+    mat = image_texture_shader("spheremat", img)
+    scene.add_shader(mat)
+
+    sphere = make_sphere_mesh((0, 0, 0), 1.0, 0, nlat=24, nlon=48)
+    sphere.set("smooth", np.ones(sphere.num_triangles, bool))
+    # uv attribute from spherical coords for the image texture
+    sphere.used_shaders = [mat]
+    for i in range(grid):
+        for j in range(grid):
+            t = tfm.compose(
+                tfm.translate((i - grid / 2 + 0.5) * 4.0,
+                              (j - grid / 2 + 0.5) * 4.0, 1.0),
+                tfm.rotate(0.3 * (i + j), (0, 0, 1)))
+            scene.add_object(Object(f"inst_{i}_{j}", sphere, transform=t))
+
+    light = Light("sun", light_type="distant", dir=(-0.3, 0.4, -0.85),
+                  strength=(3.0, 2.9, 2.6), angle=0.05)
+    scene.add_light(light)
+    scene.background.shader = background_shader("sky", (0.4, 0.6, 0.9), 0.6)
+    scene.integrator.set("aa_samples", spp)
+    scene.integrator.set("max_bounce", 4)
+    return scene
+
+
+def dof_motion_scene(width=256, height=256, spp=32):
+    """DoF + camera motion blur + adaptive sampling (BASELINE config 4)."""
+    scene = cornell_box(width, height, spp, spheres="glossy")
+    scene.camera.set("aperturesize", 12.0)
+    scene.camera.set("focaldistance", 900.0)
+    scene.camera.set("blades", 6)
+    scene.camera.set("use_motion", True)
+    base = np.asarray(scene.camera.matrix, np.float32)
+    shift = tfm.compose(tfm.translate(25, 0, 0), base)
+    scene.camera.set("motion_start", base)
+    scene.camera.set("motion_end", shift)
+    scene.integrator.set("adaptive_threshold", 0.02)
+    scene.integrator.set("adaptive_min_samples", max(spp // 4, 4))
+    return scene
+
+
 def volume_shader(name, color=(0.8, 0.8, 0.8), density=1.0, anisotropy=0.0,
                   absorption=(1.0, 1.0, 1.0)):
     """Volume-only material (surface acts as transparent boundary)."""

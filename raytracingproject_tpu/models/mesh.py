@@ -216,4 +216,10 @@ def make_sphere_mesh(center, radius, shader=0, nlat=16, nlon=32, name="sphere"):
                 tris.append([b, c, d])
     m = Mesh(name)
     m.set_mesh(verts, np.asarray(tris, np.int32), shader=shader)
+    # spherical uvs (vertex domain)
+    rel = (verts - center) / max(radius, 1e-9)
+    u = 0.5 + np.arctan2(rel[:, 1], rel[:, 0]) / (2 * np.pi)
+    vv = 0.5 + np.arcsin(np.clip(rel[:, 2], -1, 1)) / np.pi
+    m.attribute_set(ATTR_STD_UV, ATTR_ELEMENT_VERTEX,
+                    np.stack([u, vv], -1))
     return m

@@ -74,16 +74,14 @@ def _clamp_contrib(contrib, clamp):
     return contrib * scale[..., None]
 
 
-def path_trace_sample(kg, px, py, pixel_index, sample):
-    """Trace one sample for a wavefront of pixels.
+def make_path_kernel(kg, px, py, pixel_index):
+    """Build the wavefront path kernel for a pixel set.
 
-    kg: kernel-globals dict with keys
-        dscene (device arrays), cam (camera record), kint (integrator
-        record, host scalars), shaders (list of traced Shader),
-        textures (TextureStore), filter_table, background_shader (int),
-        use_brute (bool), film_transparent (bool).
-    px, py: (N,) raster integer coords; pixel_index: (N,) absolute ids.
-    Returns (radiance (N, 3), alpha (N,)).
+    Returns (start_paths, step): `start_paths(samples_u32)` creates a
+    fresh per-lane path state (camera rays for each lane's sample);
+    `step(state)` advances every lane one bounce. Both fixed-grid
+    (path_trace_sample) and path-regeneration (render_samples_regen)
+    drivers are built on these.
     """
     kint = kg["kint"]
     pattern = int(kint["sampling_pattern"])
@@ -95,29 +93,17 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
 
     n = px.shape[0]
     rng_hash = rngu.pixel_rng_hash(pixel_index.astype(jnp.uint32), seed)
-    sample_u32 = jnp.broadcast_to(jnp.uint32(sample), (n,))
 
-    def rng2(dim_pair):
-        return rngu.path_rng_2d(rng_hash, sample_u32,
-                                jnp.uint32(dim_pair) if not hasattr(dim_pair, "dtype")
-                                else dim_pair, pattern)
-
-    def rng2_batch(dim_pairs):
+    def rng2_batch(dim_pairs, samples=None):
         """All of a stage's dimension pairs in ONE vectorized sampler
         call — (K, N) broadcast keeps the uint32 pipeline a single fused
-        kernel instead of K dispatch-sized chunks."""
-        dims = jnp.asarray(dim_pairs, jnp.uint32)[:, None]
-        return rngu.path_rng_2d(rng_hash[None, :], sample_u32[None, :],
+        kernel instead of K dispatch-sized chunks. dim_pairs may be (K,)
+        shared or (K, N) per-lane (path regeneration)."""
+        dims = jnp.asarray(dim_pairs, jnp.uint32)
+        if dims.ndim == 1:
+            dims = dims[:, None]
+        return rngu.path_rng_2d(rng_hash[None, :], samples[None, :],
                                 dims, pattern)
-
-    # --- camera sample (ref: kernel_path.h:643-660) ---
-    cu, cv = rng2_batch([rngu.PRNG_FILTER, rngu.PRNG_LENS, rngu.PRNG_TIME])
-    (fu, lens_u, time_u), (fv, lens_v, _) = cu, cv
-    ft = kg["filter_table"]
-    raster_x = px.astype(jnp.float32) + 0.5 + film_ops.filter_table_lookup(ft, fu)
-    raster_y = py.astype(jnp.float32) + 0.5 + film_ops.filter_table_lookup(ft, fv)
-    ray = cam_ops.camera_sample_ray(kg["cam"], raster_x, raster_y,
-                                    lens_u, lens_v, time_u)
 
     ds = kg["dscene"]
     has_lights = int(ds["light_dist_type"].shape[0]) > 0
@@ -131,50 +117,68 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
     has_volume = bool(features.get("has_volume", False)) \
         and "volume" not in ablate
 
-    state = {
-        "o": ray["o"], "d": ray["d"],
-        "tmin": ray["tmin"], "tmax": ray["tmax"],
-        "time": ray["time"],
-        "throughput": jnp.ones((n, 3), jnp.float32),
-        "L": jnp.zeros((n, 3), jnp.float32),
-        "alpha": (jnp.zeros((n,), jnp.float32) if kg["film_transparent"]
-                  else jnp.ones((n,), jnp.float32)),
-        "alive": jnp.ones((n,), bool),
-        "pdf_prev": jnp.zeros((n,), jnp.float32),
-        "singular_prev": jnp.ones((n,), bool),  # camera rays: emission weight 1
-        "path_flag": jnp.full((n,), ob.PATH_RAY_CAMERA, jnp.uint32),
-        "diffuse_depth": jnp.zeros((n,), jnp.int32),
-        "glossy_depth": jnp.zeros((n,), jnp.int32),
-        "transmission_depth": jnp.zeros((n,), jnp.int32),
-        "transparent_depth": jnp.zeros((n,), jnp.int32),
-    }
-    if has_volume:
-        # single-level volume tracking (ref: volume stack,
-        # kernel_types.h:1035; nested media follow with the ray-marcher)
-        state["vol_shader"] = jnp.full((n,), -1, jnp.int32)
-    # aux pass collection (ref: kernel/kernel_passes.h; first-hit data)
     aux_names = tuple(kg.get("aux_passes", ()))
-    if aux_names:
-        state["aux_normal"] = jnp.zeros((n, 3), jnp.float32)
-        state["aux_albedo"] = jnp.zeros((n, 3), jnp.float32)
-        state["aux_depth"] = jnp.zeros((n,), jnp.float32)
-        state["aux_object_id"] = jnp.full((n,), -1.0, jnp.float32)
-        state["aux_material_id"] = jnp.full((n,), -1.0, jnp.float32)
-        state["aux_emission"] = jnp.zeros((n, 3), jnp.float32)
-        state["aux_background"] = jnp.zeros((n, 3), jnp.float32)
 
-    def bounce_body(bounce, st):
+    def start_paths(samples_u32):
+        # --- camera sample (ref: kernel_path.h:643-660) ---
+        cu, cv = rng2_batch(
+            [rngu.PRNG_FILTER, rngu.PRNG_LENS, rngu.PRNG_TIME],
+            samples=samples_u32)
+        (fu, lens_u, time_u), (fv, lens_v, _) = cu, cv
+        ft = kg["filter_table"]
+        raster_x = px.astype(jnp.float32) + 0.5 \
+            + film_ops.filter_table_lookup(ft, fu)
+        raster_y = py.astype(jnp.float32) + 0.5 \
+            + film_ops.filter_table_lookup(ft, fv)
+        ray = cam_ops.camera_sample_ray(kg["cam"], raster_x, raster_y,
+                                        lens_u, lens_v, time_u)
+        state = {
+            "o": ray["o"], "d": ray["d"],
+            "tmin": ray["tmin"], "tmax": ray["tmax"],
+            "time": ray["time"],
+            "throughput": jnp.ones((n, 3), jnp.float32),
+            "L": jnp.zeros((n, 3), jnp.float32),
+            "alpha": (jnp.zeros((n,), jnp.float32) if kg["film_transparent"]
+                      else jnp.ones((n,), jnp.float32)),
+            "alive": jnp.ones((n,), bool),
+            "pdf_prev": jnp.zeros((n,), jnp.float32),
+            "singular_prev": jnp.ones((n,), bool),  # camera: weight 1
+            "path_flag": jnp.full((n,), ob.PATH_RAY_CAMERA, jnp.uint32),
+            "diffuse_depth": jnp.zeros((n,), jnp.int32),
+            "glossy_depth": jnp.zeros((n,), jnp.int32),
+            "transmission_depth": jnp.zeros((n,), jnp.int32),
+            "transparent_depth": jnp.zeros((n,), jnp.int32),
+            "bounce": jnp.zeros((n,), jnp.int32),
+            "sample": samples_u32,
+        }
+        if has_volume:
+            # single-level volume tracking (ref: volume stack,
+            # kernel_types.h:1035; nested media follow with ray-marcher)
+            state["vol_shader"] = jnp.full((n,), -1, jnp.int32)
+        # aux pass collection (ref: kernel_passes.h; first-hit data)
+        if aux_names:
+            state["aux_normal"] = jnp.zeros((n, 3), jnp.float32)
+            state["aux_albedo"] = jnp.zeros((n, 3), jnp.float32)
+            state["aux_depth"] = jnp.zeros((n,), jnp.float32)
+            state["aux_object_id"] = jnp.full((n,), -1.0, jnp.float32)
+            state["aux_material_id"] = jnp.full((n,), -1.0, jnp.float32)
+            state["aux_emission"] = jnp.zeros((n, 3), jnp.float32)
+            state["aux_background"] = jnp.zeros((n, 3), jnp.float32)
+        return state
+
+    def bounce_body(_i, st):
         alive = st["alive"]
+        bounce = st["bounce"]          # (N,) per-lane path depth
         is_direct = bounce <= 1  # for clamping semantics
         clamp_val = jnp.where(is_direct, clamp_direct, clamp_indirect)
 
         # ---- per-bounce rng: all four dimension pairs in one call ----
         base = jnp.uint32(rngu.PRNG_BASE_NUM) \
-            + jnp.uint32(bounce) * jnp.uint32(rngu.PRNG_BOUNCE_NUM)
-        bdims = base + jnp.asarray(
+            + bounce.astype(jnp.uint32) * jnp.uint32(rngu.PRNG_BOUNCE_NUM)
+        bdims = base[None, :] + jnp.asarray(
             [rngu.PRNG_BSDF, rngu.PRNG_LIGHT, rngu.PRNG_TERMINATE,
-             rngu.PRNG_PHASE], jnp.uint32)
-        bu4, bv4 = rng2_batch(bdims)
+             rngu.PRNG_PHASE], jnp.uint32)[:, None]
+        bu4, bv4 = rng2_batch(bdims, samples=st["sample"])
         (bu, lu, rr_u, sel_u) = bu4
         (bv, lv, lobe_u, phase_v) = bv4
 
@@ -204,7 +208,7 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
                 P=st["o"], N=-st["d"], Ng=-st["d"], Ns=-st["d"], I=-st["d"],
                 uv=jnp.zeros((n, 2)), generated=st["o"], P_object=st["o"],
                 time=st["time"], ray_length=hit["t"],
-                ray_depth=jnp.full((n,), bounce, jnp.int32),
+                ray_depth=bounce,
                 path_flag=st["path_flag"],
                 prim=hit["prim"], shader=st["vol_shader"],
                 object_index=hit["object"],
@@ -273,7 +277,7 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
         # ---- shading setup + closures ----
         sd = shade_ops.shader_setup(
             ds, hit, st["o"], st["d"], time=st["time"],
-            ray_depth=jnp.full((n,), bounce, jnp.int32),
+            ray_depth=bounce,
             path_flag=st["path_flag"], textures=kg["textures"])
         if "shade" in ablate:
             from raytracingproject_tpu.ops import closures as _cl
@@ -424,6 +428,10 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
         alive2 &= td <= int(kint["max_transmission_bounce"])
         alive2 &= pd <= int(kint["transparent_max_bounce"])
 
+        # per-lane depth limit (replaces the fixed loop bound so path
+        # regeneration can run lanes at different depths)
+        alive2 &= bounce + 1 <= max_bounce
+
         # russian roulette (ref: kernel_path.h path_state_terminate_probability)
         rr_active = bounce >= min_bounce
         p_cont = jnp.clip(jnp.max(jnp.abs(new_throughput), -1), 0.0, 1.0)
@@ -477,6 +485,8 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
             "path_flag": new_flag,
             "diffuse_depth": dd, "glossy_depth": gd,
             "transmission_depth": td, "transparent_depth": pd,
+            "bounce": bounce + 1,
+            "sample": st["sample"],
         }
         if has_volume:
             out["vol_shader"] = new_vol
@@ -485,7 +495,19 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
                 out[k] = st[k]
         return out
 
-    final = jax.lax.fori_loop(0, max_bounce + 1, bounce_body, state)
+    return start_paths, bounce_body
+
+
+def path_trace_sample(kg, px, py, pixel_index, sample):
+    """Trace one sample for a wavefront of pixels (fixed-depth grid).
+
+    Returns (radiance (N,3), alpha (N,), aux dict)."""
+    start_paths, step = make_path_kernel(kg, px, py, pixel_index)
+    n = px.shape[0]
+    state = start_paths(jnp.broadcast_to(jnp.uint32(sample), (n,)))
+    max_bounce = int(kg["kint"]["max_bounce"])
+    final = jax.lax.fori_loop(0, max_bounce + 1,
+                              lambda i, st: step(i, st), state)
     aux = {k[4:]: v for k, v in final.items() if k.startswith("aux_")}
     return final["L"], final["alpha"], aux
 
@@ -520,3 +542,64 @@ def render_samples(kg, px, py, pixel_index, sample_start, num_samples):
     if aux_names:
         return L, A, aux
     return L, A
+
+
+def render_samples_regen(kg, px, py, pixel_index, sample_start, num_samples):
+    """Path-regeneration renderer: dead lanes immediately start their
+    pixel's next sample, keeping the wavefront near 100% occupancy
+    (ref: the split kernel's ray-regeneration queues,
+    kernel_types.h:1592 QUEUE_..._TOREGEN_RAYS, redesigned as a
+    `lax.while_loop` over a persistent lane state).
+
+    Produces BIT-IDENTICAL results to render_samples (same per-lane
+    sample/dimension RNG, same per-sample accumulation order) in fewer
+    wavefront iterations: ~samples x E[path length] instead of
+    samples x (max_bounce + 1). Aux passes are not supported here.
+    """
+    assert not kg.get("aux_passes"), \
+        "aux passes require the fixed-grid renderer"
+    start_paths, step = make_path_kernel(kg, px, py, pixel_index)
+    n = px.shape[0]
+
+    st0 = start_paths(jnp.broadcast_to(jnp.uint32(sample_start), (n,)))
+    carry0 = {
+        "st": st0,
+        "L_acc": jnp.zeros((n, 3), jnp.float32),
+        "A_acc": jnp.zeros((n,), jnp.float32),
+        "done": jnp.zeros((n,), jnp.int32),   # samples completed per lane
+        "fresh": jnp.ones((n,), bool),        # lane holds unmerged sample
+    }
+
+    def cond(c):
+        return jnp.any(c["st"]["alive"] | (c["fresh"])
+                       | (c["done"] < num_samples))
+
+    def body(c):
+        st = c["st"]
+        dead = ~st["alive"]
+        merge = dead & c["fresh"]
+        L_acc = c["L_acc"] + jnp.where(merge[:, None], st["L"], 0.0)
+        A_acc = c["A_acc"] + jnp.where(merge, st["alpha"], 0.0)
+        done = c["done"] + merge.astype(jnp.int32)
+        fresh = c["fresh"] & ~merge
+
+        regen = dead & ~fresh & (done < num_samples)
+        next_sample = st["sample"] + jnp.uint32(1)
+        new_st = start_paths(jnp.where(regen, next_sample, st["sample"]))
+        st = {k: _sel(regen, new_st[k], st[k]) for k in st}
+        fresh = fresh | regen
+
+        st = step(0, st)
+        return {"st": st, "L_acc": L_acc, "A_acc": A_acc, "done": done,
+                "fresh": fresh}
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    # the loop exits only after every lane is dead AND merged
+    return out["L_acc"], out["A_acc"]
+
+
+def _sel(mask, a, b):
+    m = mask
+    while m.ndim < a.ndim:
+        m = m[..., None]
+    return jnp.where(m, a, b)
