@@ -155,7 +155,8 @@ def image_texture_shader(name, image):
     return Shader(name, g)
 
 
-def instanced_scene(width=256, height=256, spp=32, grid=4):
+def instanced_scene(width=256, height=256, spp=32, grid=4, nlat=12,
+                    nlon=24):
     """Textured mesh scene with instancing — two-level TLAS/BLAS path
     (BASELINE config 3). One sphere geometry instanced grid x grid times
     over a checkered ground plane, UV image texture on the spheres."""
@@ -182,7 +183,7 @@ def instanced_scene(width=256, height=256, spp=32, grid=4):
     mat = image_texture_shader("spheremat", img)
     scene.add_shader(mat)
 
-    sphere = make_sphere_mesh((0, 0, 0), 1.0, 0, nlat=24, nlon=48)
+    sphere = make_sphere_mesh((0, 0, 0), 1.0, 0, nlat=nlat, nlon=nlon)
     sphere.set("smooth", np.ones(sphere.num_triangles, bool))
     # uv attribute from spherical coords for the image texture
     sphere.used_shaders = [mat]

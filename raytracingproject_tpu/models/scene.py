@@ -37,7 +37,15 @@ from raytracingproject_tpu.bvh import build as bvh_build
 from raytracingproject_tpu.utils import transform as tfm
 from raytracingproject_tpu.utils import log
 
-BRUTE_FORCE_MAX_PRIMS = 512
+# Dense-vs-traversal crossover measured on v5e: one dynamic row gather
+# over a 256k wavefront costs ~0.7 ms while a dense (8, N) triangle
+# block costs ~0.03 ms, so the gather-driven BVH only wins above ~10k
+# prims. Below this, everything runs through the tri-major dense kernel.
+BRUTE_FORCE_MAX_PRIMS = 16384
+# Instanced geometry whose flattened copy stays under the dense
+# threshold is baked to world space (the reference applies static
+# transforms similarly, object.cpp apply_static_transforms).
+AUTO_FLATTEN_MAX_PRIMS = 16384
 
 
 class SceneParams(Node):
@@ -170,11 +178,17 @@ class Scene:
         for oi, obj in enumerate(objects):
             geom_users.setdefault(id(obj.geometry), []).append(oi)
 
+        # total flattened size decides whether shared geometry is baked
+        # to world space (dense kernel) or instanced (TLAS/BLAS)
+        total_flat = sum(getattr(o.geometry, "num_triangles", 0)
+                        for o in objects)
+        flatten_all = total_flat <= AUTO_FLATTEN_MAX_PRIMS
+
         static_objs = []
         instanced_geoms = {}  # id(geom) -> (geom, [obj indices])
         for oi, obj in enumerate(objects):
             users = geom_users[id(obj.geometry)]
-            if len(users) == 1 and not obj.use_motion:
+            if (len(users) == 1 or flatten_all) and not obj.use_motion:
                 static_objs.append(oi)
             else:
                 instanced_geoms.setdefault(

@@ -28,9 +28,24 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 try:
-    from jax import shard_map  # jax >= 0.8
+    from jax import shard_map as _shard_map_impl  # jax >= 0.8
 except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map_impl
+
+
+def shard_map(f, mesh, in_specs, out_specs):
+    """Version-compat wrapper: replication checking is disabled (the
+    render kernel mixes replicated scene constants with sharded lane
+    state inside scans; kwarg is check_vma in jax >= 0.8, check_rep
+    before)."""
+    for kw in ({"check_vma": False}, {"check_rep": False}, {}):
+        try:
+            return _shard_map_impl(f, mesh=mesh, in_specs=in_specs,
+                                   out_specs=out_specs, **kw)
+        except TypeError as e:
+            if "unexpected keyword" not in str(e):
+                raise
+    raise RuntimeError("shard_map compat failed")
 
 from raytracingproject_tpu.ops import integrator as integ
 
@@ -77,9 +92,8 @@ def render_frame_sharded(kg, width, height, spp, mesh=None,
             L, A = integ.render_samples(kg, px, py, pidx, start, spp_shard)
             return (jax.lax.psum(L, "dp"), jax.lax.psum(A, "dp"))
 
-        fn = shard_map(shard_fn, mesh=mesh,
-                       in_specs=(P(), P(), P()), out_specs=(P(), P()),
-                       check_rep=False)
+        fn = shard_map(shard_fn, mesh,
+                       in_specs=(P(), P(), P()), out_specs=(P(), P()))
         px = jnp.asarray(px_np)
         py = jnp.asarray(py_np)
         L, A = jax.jit(fn)(px, py, py * fw + px)
@@ -94,10 +108,9 @@ def render_frame_sharded(kg, width, height, spp, mesh=None,
         return integ.render_samples(kg, px, py, pidx,
                                     jnp.uint32(sample_start), spp)
 
-    fn = shard_map(shard_fn, mesh=mesh,
+    fn = shard_map(shard_fn, mesh,
                    in_specs=(P("dp"), P("dp"), P("dp")),
-                   out_specs=(P("dp"), P("dp")),
-                   check_rep=False)
+                   out_specs=(P("dp"), P("dp")))
     px = jnp.asarray(px_np)
     py = jnp.asarray(py_np)
     L, A = jax.jit(fn)(px, py, py * fw + px)
