@@ -408,6 +408,7 @@ class Scene:
         obj_flags = np.zeros(nobj, np.uint32)
         obj_blo = np.zeros((nobj, 3), np.float32)
         obj_bhi = np.ones((nobj, 3), np.float32)
+        from raytracingproject_tpu.models.object import PATH_RAY_SHADOW
         for oi, obj in enumerate(objects):
             t = np.asarray(obj.transform, np.float32)
             inv = tfm.inverse(t)
@@ -418,7 +419,16 @@ class Scene:
             obj_itfm_gen[oi] = inv
             obj_color[oi] = np.asarray(obj.color, np.float32)
             obj_random[oi] = (obj.random_id & 0xFFFF) / 65535.0
-            obj_visibility[oi] = np.uint32(obj.visibility)
+            vis = np.uint32(obj.visibility)
+            # volume-only boundaries never block shadow rays (ref: the
+            # transparent-shadow fast path, kernel_shadow.h; full
+            # transparent-shadow accumulation lands with the ladder)
+            shaders = obj.geometry.used_shaders or [self.default_surface]
+            if all(s.has_volume and s.graph.links.get(
+                    (id(s.graph.output_node), "surface")) is None
+                   for s in shaders):
+                vis &= ~np.uint32(PATH_RAY_SHADOW)
+            obj_visibility[oi] = vis
             obj_flags[oi] = np.uint32(obj.flags())
             lo, hi = obj.geometry.compute_bounds()
             obj_blo[oi], obj_bhi[oi] = lo, hi

@@ -224,8 +224,10 @@ def make_path_kernel(kg, px, py, pixel_index):
             # channel (volume lanes never do a surface lobe pick)
             ds_res = vol_ops.sample_distance_homogeneous(
                 vc["sigma_t"], throughput, hit["t"], phase_v, lobe_u)
-            can_scatter = jnp.any(vc["sigma_s"] > 0.0, -1)
-            scattered = in_vol & ds_res["scatter"] & can_scatter
+            # NOTE: no sigma_s gate — a "scatter" event in a purely
+            # absorbing medium carries weight*sigma_s = 0 and terminates
+            # the lane, which IS the absorption estimator
+            scattered = in_vol & ds_res["scatter"]
             seg_t = jnp.where(scattered, ds_res["t_scatter"], hit["t"])
             # volume emission along the traversed segment
             L = jnp.where(in_vol[:, None],
@@ -369,10 +371,12 @@ def make_path_kernel(kg, px, py, pixel_index):
                 # (round-1 approx: attenuate over min(dist, light dist);
                 # full shadow volume marching lands with heterogeneous)
                 in_vol_sh = st["vol_shader"] >= 0
+                # camera visibility: the boundary must be FOUND here
+                # (volume-only objects are excluded from shadow rays)
                 sh_hit = _scene_intersect(
                     kg, sh_o, ls["D"], jnp.full((n,), 1e-5, jnp.float32),
                     jnp.where(can_light & in_vol_sh, sh_tmax, 1e-5),
-                    jnp.full((n,), ob.PATH_RAY_SHADOW, jnp.uint32))
+                    jnp.full((n,), ob.PATH_RAY_CAMERA, jnp.uint32))
                 # boundary surfaces belong to volume shaders -> not
                 # blockers; everything else blocks
                 bshader = ds["prim_table"][
