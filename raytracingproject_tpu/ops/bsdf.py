@@ -155,7 +155,7 @@ def _lobe_probs(c):
     return (wd / safe, wg / safe, wr / safe, wt / safe, tot)
 
 
-def bsdf_eval(c, N, I, omega_in, features=None):
+def bsdf_eval(c, N, I, omega_in, features=None, want_components=False):
     """Evaluate the full closure stack at direction omega_in.
 
     Returns (f_cos (N,3), pdf (N,)) — f includes |cos|; delta lobes
@@ -187,8 +187,10 @@ def bsdf_eval(c, N, I, omega_in, features=None):
     f_diff = (c["diffuse"] + c["subsurface"]) * (cos_i * um.M_1_PI * on)[..., None]
     pdf_diff = cos_i * um.M_1_PI
 
-    f = f_diff * jnp.where(reflect_side, 1.0, 0.0)[..., None]
+    f_diff_m = f_diff * jnp.where(reflect_side, 1.0, 0.0)[..., None]
+    f = f_diff_m
     pdf = pd * jnp.where(reflect_side, pdf_diff, 0.0)
+    comp = {"diffuse": f_diff_m} if want_components else None
 
     if has_glossy:
         alpha_g = jnp.maximum(c["glossy_roughness"] ** 2, 1e-7)
@@ -199,6 +201,8 @@ def bsdf_eval(c, N, I, omega_in, features=None):
         pdf_gloss = jnp.where(~glossy_delta & reflect_side, pdfg, 0.0)
         f = f + f_gloss
         pdf = pdf + pg * pdf_gloss
+        if want_components:
+            comp["glossy"] = f_gloss
 
     if has_refraction:
         alpha_r = jnp.maximum(c["refraction_roughness"] ** 2, 1e-7)
@@ -212,7 +216,11 @@ def bsdf_eval(c, N, I, omega_in, features=None):
         pdf_refr = jnp.where(~refr_delta & ~reflect_side, pdfr, 0.0)
         f = f + f_refr
         pdf = pdf + pr * pdf_refr
+        if want_components:
+            comp["transmission"] = f_refr
 
+    if want_components:
+        return f, pdf, comp
     return f, pdf
 
 

@@ -118,6 +118,8 @@ def make_path_kernel(kg, px, py, pixel_index):
         and "volume" not in ablate
 
     aux_names = tuple(kg.get("aux_passes", ()))
+    light_passes = bool(kg.get("light_passes", False))
+    LP_CATS = ("diffuse", "glossy", "transmission", "volume")
 
     def start_paths(samples_u32):
         # --- camera sample (ref: kernel_path.h:643-660) ---
@@ -164,6 +166,17 @@ def make_path_kernel(kg, px, py, pixel_index):
             state["aux_material_id"] = jnp.full((n,), -1.0, jnp.float32)
             state["aux_emission"] = jnp.zeros((n, 3), jnp.float32)
             state["aux_background"] = jnp.zeros((n, 3), jnp.float32)
+        if light_passes:
+            # per-category radiance split (ref: kernel_accumulate.h
+            # PathRadiance direct/indirect/color decomposition); the
+            # category is fixed by the FIRST bounce's lobe.
+            for cat in LP_CATS:
+                state[f"aux_{cat}_direct"] = jnp.zeros((n, 3), jnp.float32)
+                state[f"aux_{cat}_indirect"] = jnp.zeros((n, 3), jnp.float32)
+            state["aux_diffuse_color"] = jnp.zeros((n, 3), jnp.float32)
+            state["aux_glossy_color"] = jnp.zeros((n, 3), jnp.float32)
+            state["aux_transmission_color"] = jnp.zeros((n, 3), jnp.float32)
+            state["first_cat"] = jnp.full((n,), -1, jnp.int32)
         return state
 
     def bounce_body(_i, st):
@@ -312,6 +325,17 @@ def make_path_kernel(kg, px, py, pixel_index):
                 fh, sd.shader.astype(jnp.float32), st["aux_material_id"])
             st["aux_background"] = jnp.where(
                 (miss & first)[:, None], bg, st["aux_background"])
+        if light_passes:
+            st = dict(st)
+            fh0 = on_surface & (bounce == 0)
+            st["aux_diffuse_color"] = jnp.where(
+                fh0[:, None], closures["diffuse"] + closures["subsurface"],
+                st["aux_diffuse_color"])
+            st["aux_glossy_color"] = jnp.where(
+                fh0[:, None], closures["glossy"], st["aux_glossy_color"])
+            st["aux_transmission_color"] = jnp.where(
+                fh0[:, None], closures["refraction"],
+                st["aux_transmission_color"])
 
         # ---- surface emission with MIS (ref: indirect_primitive_emission)
         emis = closures["emission"]
@@ -324,6 +348,20 @@ def make_path_kernel(kg, px, py, pixel_index):
                            um.power_heuristic(st["pdf_prev"], pdf_light))
         contrib = _clamp_contrib(throughput * emis * w_emis[:, None], clamp_val)
         L = jnp.where((on_surface & has_emis)[:, None], L + contrib, L)
+        if light_passes:
+            # emission seen via a bounce-1 bsdf ray is DIRECT light of
+            # the first bounce category; deeper is INDIRECT
+            m_e = on_surface & has_emis
+            for ci, cat in enumerate(LP_CATS):
+                mc = m_e & (st["first_cat"] == ci)
+                st[f"aux_{cat}_direct"] = jnp.where(
+                    (mc & (bounce == 1))[:, None],
+                    st[f"aux_{cat}_direct"] + contrib,
+                    st[f"aux_{cat}_direct"])
+                st[f"aux_{cat}_indirect"] = jnp.where(
+                    (mc & (bounce > 1))[:, None],
+                    st[f"aux_{cat}_indirect"] + contrib,
+                    st[f"aux_{cat}_indirect"])
         if aux_names:
             st["aux_emission"] = jnp.where(
                 (on_surface & has_emis & (bounce == 0))[:, None], emis,
@@ -336,8 +374,13 @@ def make_path_kernel(kg, px, py, pixel_index):
                 if has_volume else sd.P
             ls = light_ops.sample_light(ds, P_nee, sel_u, lu, lv)
             l_eval = ls["eval"]  # tri emission already folded in
-            f_l, pdf_fwd = bsdf_ops.bsdf_eval(closures, sd.N, sd.I, ls["D"],
-                                              kg.get("features"))
+            if light_passes:
+                f_l, pdf_fwd, f_comp = bsdf_ops.bsdf_eval(
+                    closures, sd.N, sd.I, ls["D"], kg.get("features"),
+                    want_components=True)
+            else:
+                f_l, pdf_fwd = bsdf_ops.bsdf_eval(
+                    closures, sd.N, sd.I, ls["D"], kg.get("features"))
             if has_volume:
                 from raytracingproject_tpu.ops import volume as vol_ops2
                 cos_ph = um.dot(st["d"], ls["D"])
@@ -393,6 +436,32 @@ def make_path_kernel(kg, px, py, pixel_index):
                 blocked = jnp.where(in_vol_sh,
                                     sh_found & ~is_boundary, blocked)
             L = jnp.where((can_light & ~blocked)[:, None], L + contrib, L)
+            if light_passes:
+                lit = can_light & ~blocked
+                scale = l_eval * um.safe_divide(w_l, ls["pdf"], 0.0)[:, None]
+                first0 = bounce == 0
+                for ci, cat in enumerate(LP_CATS[:3]):
+                    fc = f_comp.get(cat)
+                    if fc is None:
+                        continue
+                    # bounce-0 NEE splits per lobe (DIRECT light)
+                    st[f"aux_{cat}_direct"] = jnp.where(
+                        (lit & first0)[:, None],
+                        st[f"aux_{cat}_direct"]
+                        + _clamp_contrib(throughput * fc * scale, clamp_val),
+                        st[f"aux_{cat}_direct"])
+                # deeper NEE lands in the first category's INDIRECT
+                for ci, cat in enumerate(LP_CATS):
+                    mc = lit & ~first0 & (st["first_cat"] == ci)
+                    st[f"aux_{cat}_indirect"] = jnp.where(
+                        mc[:, None], st[f"aux_{cat}_indirect"] + contrib,
+                        st[f"aux_{cat}_indirect"])
+                # volume scatter NEE at bounce 0
+                if has_volume:
+                    mv = lit & first0 & scattered
+                    st["aux_volume_direct"] = jnp.where(
+                        mv[:, None], st["aux_volume_direct"] + contrib,
+                        st["aux_volume_direct"])
 
         # ---- BSDF bounce (ref: kernel_path_surface_bounce) ----
         bs = bsdf_ops.bsdf_sample(closures, sd.N, sd.Ng, sd.I, bu, bv, lobe_u,
@@ -473,6 +542,15 @@ def make_path_kernel(kg, px, py, pixel_index):
             new_vol = jnp.where(entering, sd.shader,
                                 jnp.where(exiting, -1, st["vol_shader"]))
 
+        if light_passes:
+            cat_now = jnp.where(
+                (bs["label"] & bsdf_ops.LABEL_VOLUME_SCATTER) > 0, 3,
+                jnp.where((bs["label"] & bsdf_ops.LABEL_DIFFUSE) > 0, 0,
+                          jnp.where((bs["label"] & bsdf_ops.LABEL_GLOSSY) > 0,
+                                    1, 2)))
+            first_cat = jnp.where((bounce == 0) & alive,
+                                  cat_now, st["first_cat"])
+
         out = {
             "o": jnp.where(alive2[:, None], new_o, st["o"]),
             "d": jnp.where(alive2[:, None], bs["omega"], st["d"]),
@@ -494,6 +572,8 @@ def make_path_kernel(kg, px, py, pixel_index):
         }
         if has_volume:
             out["vol_shader"] = new_vol
+        if light_passes:
+            out["first_cat"] = first_cat
         for k in st:
             if k.startswith("aux_"):
                 out[k] = st[k]
@@ -519,8 +599,13 @@ def path_trace_sample(kg, px, py, pixel_index, sample):
 def render_samples(kg, px, py, pixel_index, sample_start, num_samples):
     """Accumulate `num_samples` consecutive samples (static count) for a
     pixel wavefront. Returns (radiance_sum (N,3), alpha_sum (N,)) — plus
-    a dict of accumulated aux passes when kg["aux_passes"] is set."""
-    aux_names = tuple(kg.get("aux_passes", ()))
+    a dict of accumulated aux passes when kg["aux_passes"] or
+    kg["light_passes"] is set."""
+    want_aux = bool(kg.get("aux_passes")) or bool(kg.get("light_passes"))
+
+    # first sample establishes the aux structure; remaining samples scan
+    L0, A0, aux0 = path_trace_sample(kg, px, py, pixel_index,
+                                     jnp.uint32(sample_start))
 
     def body(i, acc):
         L, A, aux_acc = acc
@@ -530,20 +615,8 @@ def render_samples(kg, px, py, pixel_index, sample_start, num_samples):
         aux_out = {k: aux_acc[k] + aux[k] for k in aux_acc}
         return (L + rad, A + alpha, aux_out)
 
-    n = px.shape[0]
-    aux_init = {}
-    if aux_names:
-        aux_init = {"normal": jnp.zeros((n, 3), jnp.float32),
-                    "albedo": jnp.zeros((n, 3), jnp.float32),
-                    "depth": jnp.zeros((n,), jnp.float32),
-                    "object_id": jnp.zeros((n,), jnp.float32),
-                    "material_id": jnp.zeros((n,), jnp.float32),
-                    "emission": jnp.zeros((n, 3), jnp.float32),
-                    "background": jnp.zeros((n, 3), jnp.float32)}
-    init = (jnp.zeros(px.shape + (3,), jnp.float32),
-            jnp.zeros(px.shape, jnp.float32), aux_init)
-    L, A, aux = jax.lax.fori_loop(0, num_samples, body, init)
-    if aux_names:
+    L, A, aux = jax.lax.fori_loop(1, num_samples, body, (L0, A0, aux0))
+    if want_aux:
         return L, A, aux
     return L, A
 

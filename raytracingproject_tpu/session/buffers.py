@@ -96,7 +96,10 @@ class RenderBuffers:
         if ptype in (film_mod.PASS_DEPTH, film_mod.PASS_OBJECT_ID,
                      film_mod.PASS_MATERIAL_ID, film_mod.PASS_NORMAL,
                      film_mod.PASS_UV, film_mod.PASS_DENOISING_NORMAL,
-                     film_mod.PASS_DENOISING_ALBEDO):
+                     film_mod.PASS_DENOISING_ALBEDO,
+                     film_mod.PASS_DIFFUSE_COLOR,
+                     film_mod.PASS_GLOSSY_COLOR,
+                     film_mod.PASS_TRANSMISSION_COLOR):
             return data * inv  # data passes: mean, no exposure
         return data * (inv * exposure)
 

@@ -132,6 +132,15 @@ class Session:
             self._kg["aux_passes"] = ("normal", "albedo", "depth",
                                       "object_id", "material_id",
                                       "emission", "background")
+        light_pass_types = {
+            fm.PASS_DIFFUSE_DIRECT, fm.PASS_DIFFUSE_INDIRECT,
+            fm.PASS_DIFFUSE_COLOR, fm.PASS_GLOSSY_DIRECT,
+            fm.PASS_GLOSSY_INDIRECT, fm.PASS_GLOSSY_COLOR,
+            fm.PASS_TRANSMISSION_DIRECT, fm.PASS_TRANSMISSION_INDIRECT,
+            fm.PASS_TRANSMISSION_COLOR, fm.PASS_VOLUME_DIRECT,
+            fm.PASS_VOLUME_INDIRECT}
+        if any(p.type in light_pass_types for p in self.scene.film.passes):
+            self._kg["light_passes"] = True
         self._render_fns = {}
         self.progress.set_render_start_time()
 
@@ -139,6 +148,17 @@ class Session:
         "normal": "normal", "depth": "depth", "object_id": "object_id",
         "material_id": "material_id", "emission": "emission",
         "background": "background",
+        "diffuse_direct": "diffuse_direct",
+        "diffuse_indirect": "diffuse_indirect",
+        "diffuse_color": "diffuse_color",
+        "glossy_direct": "glossy_direct",
+        "glossy_indirect": "glossy_indirect",
+        "glossy_color": "glossy_color",
+        "transmission_direct": "transmission_direct",
+        "transmission_indirect": "transmission_indirect",
+        "transmission_color": "transmission_color",
+        "volume_direct": "volume_direct",
+        "volume_indirect": "volume_indirect",
     }
 
     def _store_aux(self, aux_np, ys, xs):
