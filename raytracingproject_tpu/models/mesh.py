@@ -158,6 +158,71 @@ class Hair(Geometry):
         r = self.curve_radius[:, None]
         return (v - r).min(0), (v + r).max(0)
 
+    def tessellate_ribbons(self):
+        """Curves -> twisted triangle ribbons (host-side; the analog of
+        the reference's curve-to-mesh export paths — keeps hair on the
+        dense/BVH triangle pipeline that suits the TPU; true curve
+        intersection ref kernel/geom/geom_curve_intersect.h is a later
+        refinement). Returns a Mesh with per-curve ribbons, uv.v along
+        the strand, and the curve shader per triangle."""
+        verts, tris, uvs, shaders = [], [], [], []
+        keys = np.asarray(self.curve_keys, np.float32).reshape(-1, 3)
+        radius = np.asarray(self.curve_radius, np.float32)
+        base = 0
+        for ci in range(self.num_curves):
+            first = int(self.curve_first_key[ci])
+            nk = int(self.curve_num_keys[ci])
+            if nk < 2:
+                continue
+            pts = keys[first:first + nk]
+            rad = radius[first:first + nk]
+            tangents = np.gradient(pts, axis=0)
+            tangents /= np.maximum(
+                np.linalg.norm(tangents, axis=-1, keepdims=True), 1e-12)
+            # rotation-minimizing-ish side vectors
+            up = np.array([0.0, 0.0, 1.0])
+            if abs(tangents[0] @ up) > 0.9:
+                up = np.array([1.0, 0.0, 0.0])
+            side = np.cross(tangents[0], up)
+            sides = []
+            for k in range(nk):
+                side = side - tangents[k] * (side @ tangents[k])
+                nrm = np.linalg.norm(side)
+                if nrm < 1e-9:
+                    side = np.cross(tangents[k], up)
+                    nrm = max(np.linalg.norm(side), 1e-9)
+                side = side / nrm
+                sides.append(side.copy())
+            sides = np.asarray(sides)
+            left = pts - sides * rad[:, None]
+            right = pts + sides * rad[:, None]
+            v0 = base
+            for k in range(nk):
+                verts.append(left[k])
+                verts.append(right[k])
+            vparam = np.linspace(0.0, 1.0, nk)
+            for k in range(nk - 1):
+                a = v0 + 2 * k
+                tris.append([a, a + 1, a + 3])
+                tris.append([a, a + 3, a + 2])
+                uvs.append([[0, vparam[k]], [1, vparam[k]],
+                            [1, vparam[k + 1]]])
+                uvs.append([[0, vparam[k]], [1, vparam[k + 1]],
+                            [0, vparam[k + 1]]])
+                shaders.extend([int(self.curve_shader[ci])] * 2)
+            base += 2 * nk
+        m = Mesh(self.name + "_ribbons")
+        if not tris:
+            return m
+        m.set_mesh(np.asarray(verts, np.float32),
+                   np.asarray(tris, np.int32),
+                   shader=np.asarray(shaders, np.int32),
+                   smooth=np.ones(len(tris), bool))
+        m.attribute_set(ATTR_STD_UV, ATTR_ELEMENT_CORNER,
+                        np.asarray(uvs, np.float32))
+        m.used_shaders = self.used_shaders
+        return m
+
 
 def make_plane_mesh(p0, e0, e1, shader=0, name="plane"):
     """Convenience: quad from corner + two edge vectors."""

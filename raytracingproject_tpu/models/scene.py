@@ -198,6 +198,10 @@ class Scene:
         prim_shader, prim_smooth, prim_object = [], [], []
 
         def append_mesh(mesh, obj_idx, world_tfm=None):
+            from raytracingproject_tpu.models.mesh import Hair
+            if isinstance(mesh, Hair):
+                # curves ride the triangle pipeline as twisted ribbons
+                mesh = mesh.tessellate_ribbons()
             v = mesh.verts_array
             t = mesh.triangles_array
             if len(t) == 0:

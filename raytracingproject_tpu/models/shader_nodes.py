@@ -965,3 +965,292 @@ class NormalMapNode(ShaderNode):
             n = um.safe_normalize(um.from_local(c, t, b, ctx.N))
         n = um.safe_normalize(um.mix3(ctx.N, n, strength))
         return {"normal": n}
+
+
+# ===========================================================================
+# Extended texture / color nodes (second batch of the ~100-node library)
+# ===========================================================================
+
+class WaveTextureNode(ShaderNode):
+    """ref: nodes.h WaveTextureNode / svm_wave.h."""
+    NODE_NAME = "wave_texture"
+    INPUTS = [("vector", "vector", (0.0, 0.0, 0.0)),
+              ("scale", "float", 5.0),
+              ("distortion", "float", 0.0),
+              ("detail", "float", 2.0),
+              ("detail_scale", "float", 1.0)]
+    OUTPUTS = [("color", "color"), ("fac", "float")]
+    PARAMS = [S("wave_type", S.ENUM, "bands", {"bands": 0, "rings": 1}),
+              S("profile", S.ENUM, "sine", {"sine": 0, "saw": 1})]
+
+    def eval(self, ctx, inp):
+        link_v = inp["vector"]
+        p = ctx.generated if (link_v is None or (
+            isinstance(link_v, np.ndarray) and not link_v.any())) \
+            else _bc(ctx, link_v)
+        p = p * _bf(ctx, inp["scale"])[..., None]
+        if self.wave_type == "bands":
+            n = (p[..., 0] + p[..., 1] + p[..., 2]) * 10.0
+        else:
+            n = um.length(p) * 20.0
+        distortion = _bf(ctx, inp["distortion"])
+        detail = float(np.clip(np.mean(self.detail), 0.0, 16.0))
+        dscale = _bf(ctx, inp["detail_scale"])
+        n = n + distortion * (2.0 * tex.fractal_noise_3d(
+            p * dscale[..., None], detail) - 1.0)
+        if self.profile == "sine":
+            fac = 0.5 + 0.5 * jnp.sin(n)
+        else:
+            fac = n / (2.0 * np.pi)
+            fac = fac - jnp.floor(fac)
+        return {"color": jnp.repeat(fac[..., None], 3, -1), "fac": fac}
+
+
+class MusgraveTextureNode(ShaderNode):
+    """fBm-family fractal (ref: svm_musgrave.h; fBm variant)."""
+    NODE_NAME = "musgrave_texture"
+    INPUTS = [("vector", "vector", (0.0, 0.0, 0.0)),
+              ("scale", "float", 5.0),
+              ("detail", "float", 2.0),
+              ("dimension", "float", 2.0),
+              ("lacunarity", "float", 2.0)]
+    OUTPUTS = [("fac", "float")]
+
+    def eval(self, ctx, inp):
+        link_v = inp["vector"]
+        p = ctx.generated if (link_v is None or (
+            isinstance(link_v, np.ndarray) and not link_v.any())) \
+            else _bc(ctx, link_v)
+        p = p * _bf(ctx, inp["scale"])[..., None]
+        detail = float(np.clip(np.mean(self.detail), 0.0, 16.0))
+        dim = float(np.mean(self.dimension))
+        lac = float(max(np.mean(self.lacunarity), 1e-3))
+        h = max(lac, 1e-3) ** (-max(dim, 1e-4))
+        octaves = int(np.floor(detail)) + 1
+        value = jnp.zeros(ctx.batch_shape, jnp.float32)
+        amp, fscale = 1.0, 1.0
+        for _ in range(octaves):
+            value = value + amp * tex.perlin_3d(p * fscale)
+            amp *= h
+            fscale *= lac
+        return {"fac": value}
+
+
+class BrickTextureNode(ShaderNode):
+    """ref: nodes.h BrickTextureNode / svm_brick.h."""
+    NODE_NAME = "brick_texture"
+    INPUTS = [("vector", "vector", (0.0, 0.0, 0.0)),
+              ("color1", "color", (0.8, 0.8, 0.8)),
+              ("color2", "color", (0.2, 0.2, 0.2)),
+              ("mortar", "color", (0.0, 0.0, 0.0)),
+              ("scale", "float", 5.0),
+              ("mortar_size", "float", 0.02),
+              ("bias", "float", 0.0),
+              ("brick_width", "float", 0.5),
+              ("row_height", "float", 0.25)]
+    OUTPUTS = [("color", "color"), ("fac", "float")]
+    PARAMS = [S("offset_frequency", S.INT, 2),
+              S("offset", S.FLOAT, 0.5)]
+
+    def eval(self, ctx, inp):
+        link_v = inp["vector"]
+        p = ctx.generated if (link_v is None or (
+            isinstance(link_v, np.ndarray) and not link_v.any())) \
+            else _bc(ctx, link_v)
+        p = p * _bf(ctx, inp["scale"])[..., None]
+        bw = jnp.maximum(_bf(ctx, inp["brick_width"]), 1e-5)
+        rh = jnp.maximum(_bf(ctx, inp["row_height"]), 1e-5)
+        ms = _bf(ctx, inp["mortar_size"])
+        x, y = p[..., 0], p[..., 1]
+        row = jnp.floor(y / rh)
+        freq = max(int(self.offset_frequency), 1)
+        offs = jnp.where(jnp.mod(row, freq) != 0.0,
+                         float(self.offset) * bw, 0.0)
+        x = x + offs
+        brick = jnp.floor(x / bw)
+        xr = x - brick * bw
+        yr = y - row * rh
+        mortar = (xr < ms) | (yr < ms) | (xr > bw - ms) | (yr > rh - ms)
+        # per-brick random tint
+        h = rngu.hash_pcg2d(brick.astype(jnp.int32).astype(jnp.uint32),
+                            row.astype(jnp.int32).astype(jnp.uint32))
+        tint = rngu.uint_to_float_01(h) + _bf(ctx, inp["bias"])
+        c1 = _bc(ctx, inp["color1"])
+        c2 = _bc(ctx, inp["color2"])
+        cm = _bc(ctx, inp["mortar"])
+        brick_col = um.mix3(c1, c2, jnp.clip(tint, 0.0, 1.0))
+        color = jnp.where(mortar[..., None], cm, brick_col)
+        return {"color": color, "fac": mortar.astype(jnp.float32)}
+
+
+class SkyTextureNode(ShaderNode):
+    """Analytic daylight sky (simplified Preetham-style gradient + sun
+    glow; the reference's full Hosek/Nishita models land later —
+    ref: nodes.h SkyTextureNode)."""
+    NODE_NAME = "sky_texture"
+    INPUTS = [("vector", "vector", (0.0, 0.0, 0.0))]
+    OUTPUTS = [("color", "color")]
+    PARAMS = [S("sun_direction", S.VECTOR, (0.0, 0.0, 1.0)),
+              S("turbidity", S.FLOAT, 2.2),
+              S("ground_albedo", S.FLOAT, 0.3)]
+
+    def eval(self, ctx, inp):
+        link_v = inp["vector"]
+        if link_v is None or (isinstance(link_v, np.ndarray)
+                              and not link_v.any()):
+            d = -ctx.I
+        else:
+            d = um.safe_normalize(_bc(ctx, link_v))
+        sun = np.asarray(self.sun_direction, np.float32)
+        sun = sun / max(np.linalg.norm(sun), 1e-9)
+        cos_g = um.dot(d, jnp.asarray(sun))
+        elev = jnp.clip(d[..., 2], -1.0, 1.0)
+        t = float(self.turbidity)
+        horizon = jnp.asarray([0.8, 0.85, 1.0]) * (1.2 + 0.4 * (t - 2.0))
+        zenith = jnp.asarray([0.2, 0.45, 1.0]) * (1.1 - 0.1 * (t - 2.0))
+        grad = jnp.clip(elev, 0.0, 1.0)[..., None]
+        sky = horizon + (zenith - horizon) * jnp.sqrt(grad)
+        sun_glow = jnp.exp((cos_g - 1.0) * 60.0 / max(t, 1.0))[..., None] \
+            * jnp.asarray([1.0, 0.9, 0.7]) * 30.0
+        ground = jnp.asarray([0.3, 0.25, 0.2]) * float(self.ground_albedo)
+        color = jnp.where(elev[..., None] >= 0.0, sky + sun_glow, ground)
+        return {"color": color}
+
+
+class ColorRampNode(ShaderNode):
+    """ref: nodes.h RGBRampNode (linear interpolation ramp)."""
+    NODE_NAME = "color_ramp"
+    INPUTS = [("fac", "float", 0.5)]
+    OUTPUTS = [("color", "color"), ("alpha", "float")]
+
+    def __init__(self, name="", stops=None, **kwargs):
+        super().__init__(name, **kwargs)
+        # list of (position, (r, g, b, a)) sorted by position
+        self.stops = sorted(stops or [(0.0, (0, 0, 0, 1)),
+                                      (1.0, (1, 1, 1, 1))])
+
+    def eval(self, ctx, inp):
+        fac = jnp.clip(_bf(ctx, inp["fac"]), 0.0, 1.0)
+        pos = np.array([s[0] for s in self.stops], np.float32)
+        col = np.array([s[1] for s in self.stops], np.float32)
+        out = jnp.broadcast_to(jnp.asarray(col[0]),
+                               ctx.batch_shape + (4,))
+        for i in range(1, len(pos)):
+            t = jnp.clip((fac - pos[i - 1])
+                         / max(pos[i] - pos[i - 1], 1e-9), 0.0, 1.0)
+            seg = jnp.asarray(col[i - 1]) + t[..., None] \
+                * (jnp.asarray(col[i]) - jnp.asarray(col[i - 1]))
+            out = jnp.where((fac >= pos[i - 1])[..., None], seg, out)
+        return {"color": out[..., :3], "alpha": out[..., 3]}
+
+
+class HSVNode(ShaderNode):
+    """ref: nodes.h HSVNode (hue/saturation/value adjust)."""
+    NODE_NAME = "hsv"
+    INPUTS = [("hue", "float", 0.5), ("saturation", "float", 1.0),
+              ("value", "float", 1.0), ("fac", "float", 1.0),
+              ("color", "color", (0.8, 0.8, 0.8))]
+    OUTPUTS = [("color", "color")]
+
+    def eval(self, ctx, inp):
+        c = jnp.clip(_bc(ctx, inp["color"]), 0.0, None)
+        mx = jnp.max(c, -1)
+        mn = jnp.min(c, -1)
+        delta = mx - mn
+        # rgb -> hsv
+        safe = jnp.where(delta == 0, 1.0, delta)
+        r, g, b = c[..., 0], c[..., 1], c[..., 2]
+        h = jnp.where(mx == r, jnp.mod((g - b) / safe, 6.0),
+                      jnp.where(mx == g, (b - r) / safe + 2.0,
+                                (r - g) / safe + 4.0)) / 6.0
+        h = jnp.where(delta == 0, 0.0, h)
+        s = jnp.where(mx == 0, 0.0, delta / jnp.where(mx == 0, 1.0, mx))
+        v = mx
+        # adjust
+        h = jnp.mod(h + _bf(ctx, inp["hue"]) + 0.5, 1.0)
+        s = jnp.clip(s * _bf(ctx, inp["saturation"]), 0.0, 1.0)
+        v = v * _bf(ctx, inp["value"])
+        # hsv -> rgb
+        i = jnp.floor(h * 6.0)
+        f = h * 6.0 - i
+        p = v * (1.0 - s)
+        q = v * (1.0 - s * f)
+        tt = v * (1.0 - s * (1.0 - f))
+        i = i.astype(jnp.int32) % 6
+        r2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                        [v, q, p, p, tt, v])
+        g2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                        [tt, v, v, q, p, p])
+        b2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                        [p, p, tt, v, v, q])
+        out = jnp.stack([r2, g2, b2], -1)
+        fac = jnp.clip(_bf(ctx, inp["fac"]), 0.0, 1.0)[..., None]
+        return {"color": c + fac * (out - c)}
+
+
+class BrightContrastNode(ShaderNode):
+    NODE_NAME = "brightness_contrast"
+    INPUTS = [("color", "color", (0.8, 0.8, 0.8)),
+              ("bright", "float", 0.0), ("contrast", "float", 0.0)]
+    OUTPUTS = [("color", "color")]
+
+    def eval(self, ctx, inp):
+        c = _bc(ctx, inp["color"])
+        br = _bf(ctx, inp["bright"])[..., None]
+        ct = _bf(ctx, inp["contrast"])[..., None]
+        a = 1.0 + ct
+        b = br - ct * 0.5
+        return {"color": jnp.maximum(a * c + b, 0.0)}
+
+
+class BlackbodyNode(ShaderNode):
+    """Planckian locus approximation (ref: svm_blackbody.h)."""
+    NODE_NAME = "blackbody"
+    INPUTS = [("temperature", "float", 1500.0)]
+    OUTPUTS = [("color", "color")]
+
+    def eval(self, ctx, inp):
+        t = jnp.clip(_bf(ctx, inp["temperature"]), 800.0, 12000.0)
+        # rational approximation of normalized blackbody RGB
+        tt = t / 100.0
+        r = jnp.where(tt <= 66.0, 1.0,
+                      jnp.clip(1.2929 * jnp.power(
+                          jnp.maximum(tt - 60.0, 1e-3), -0.1332), 0.0, 1.0))
+        g = jnp.where(
+            tt <= 66.0,
+            jnp.clip(0.3900 * jnp.log(jnp.maximum(tt, 1e-3)) - 0.6318,
+                     0.0, 1.0),
+            jnp.clip(1.1298 * jnp.power(jnp.maximum(tt - 60.0, 1e-3),
+                                        -0.0755), 0.0, 1.0))
+        b = jnp.where(tt >= 66.0, 1.0,
+                      jnp.where(tt <= 19.0, 0.0,
+                                jnp.clip(0.5432 * jnp.log(jnp.maximum(
+                                    tt - 10.0, 1e-3)) - 1.1962, 0.0, 1.0)))
+        return {"color": jnp.stack([r, g, b], -1)}
+
+
+class WireframeNode(ShaderNode):
+    """Distance-to-edge factor (ref: nodes.h WireframeNode)."""
+    NODE_NAME = "wireframe"
+    INPUTS = [("size", "float", 0.01)]
+    OUTPUTS = [("fac", "float")]
+
+    def eval(self, ctx, inp):
+        # barycentric edge proximity from the interpolated uv of the hit
+        u = ctx.uv[..., 0]
+        v = ctx.uv[..., 1]
+        w = 1.0 - u - v
+        edge = jnp.minimum(jnp.minimum(jnp.abs(u), jnp.abs(v)), jnp.abs(w))
+        return {"fac": (edge < _bf(ctx, inp["size"])).astype(jnp.float32)}
+
+
+class CameraDataNode(ShaderNode):
+    NODE_NAME = "camera_data"
+    INPUTS = []
+    OUTPUTS = [("view_vector", "vector"), ("view_z_depth", "float"),
+               ("view_distance", "float")]
+
+    def eval(self, ctx, inp):
+        return {"view_vector": -ctx.I,
+                "view_z_depth": ctx.ray_length,
+                "view_distance": ctx.ray_length}

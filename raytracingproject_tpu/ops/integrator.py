@@ -122,18 +122,27 @@ def make_path_kernel(kg, px, py, pixel_index):
     LP_CATS = ("diffuse", "glossy", "transmission", "volume")
 
     def start_paths(samples_u32):
-        # --- camera sample (ref: kernel_path.h:643-660) ---
-        cu, cv = rng2_batch(
-            [rngu.PRNG_FILTER, rngu.PRNG_LENS, rngu.PRNG_TIME],
-            samples=samples_u32)
-        (fu, lens_u, time_u), (fv, lens_v, _) = cu, cv
-        ft = kg["filter_table"]
-        raster_x = px.astype(jnp.float32) + 0.5 \
-            + film_ops.filter_table_lookup(ft, fu)
-        raster_y = py.astype(jnp.float32) + 0.5 \
-            + film_ops.filter_table_lookup(ft, fv)
-        ray = cam_ops.camera_sample_ray(kg["cam"], raster_x, raster_y,
-                                        lens_u, lens_v, time_u)
+        if kg.get("ray_override") is not None:
+            # baking / custom primary rays (ref: kernel_bake.h — bake
+            # shoots probe rays at the surface instead of camera rays)
+            ro = kg["ray_override"]
+            ray = {"o": ro["o"], "d": ro["d"],
+                   "tmin": jnp.zeros((n,), jnp.float32),
+                   "tmax": ro.get("tmax", jnp.full((n,), 1e30, jnp.float32)),
+                   "time": jnp.zeros((n,), jnp.float32)}
+        else:
+            # --- camera sample (ref: kernel_path.h:643-660) ---
+            cu, cv = rng2_batch(
+                [rngu.PRNG_FILTER, rngu.PRNG_LENS, rngu.PRNG_TIME],
+                samples=samples_u32)
+            (fu, lens_u, time_u), (fv, lens_v, _) = cu, cv
+            ft = kg["filter_table"]
+            raster_x = px.astype(jnp.float32) + 0.5 \
+                + film_ops.filter_table_lookup(ft, fu)
+            raster_y = py.astype(jnp.float32) + 0.5 \
+                + film_ops.filter_table_lookup(ft, fv)
+            ray = cam_ops.camera_sample_ray(kg["cam"], raster_x, raster_y,
+                                            lens_u, lens_v, time_u)
         state = {
             "o": ray["o"], "d": ray["d"],
             "tmin": ray["tmin"], "tmax": ray["tmax"],
