@@ -589,6 +589,23 @@ class Scene:
             else:
                 lamp_arrays["lamp_pmf"][eid] = pmfs[ei]
 
+        # background importance map (ref: light.cpp:530-700
+        # device_update_background: equirect luminance -> marginal +
+        # conditional CDFs). Built whenever a background light entry
+        # exists and the bg shader is non-trivial.
+        bg_map = None
+        if bg_entry >= 0 and self.background.shader is not None:
+            bg_map = self._build_background_map()
+        if bg_map is None:
+            out_bg = {
+                "bg_marginal_cdf": np.array([0.0, 1.0], np.float32),
+                "bg_conditional_cdf": np.zeros((1, 2), np.float32),
+                "bg_pdf_map": np.zeros((1, 1), np.float32),
+                "__bg_map_res__": (0, 0),
+            }
+        else:
+            out_bg = bg_map
+
         out = {
             "light_dist_cdf": cdf.astype(np.float32),
             "light_dist_type": np.array([e[0] for e in entries], np.int32),
@@ -599,6 +616,7 @@ class Scene:
             "bg_pmf": np.float32(bg_pmf),
         }
         out.update(lamp_arrays)
+        out.update(out_bg)
 
         # fill light columns of the packed prim table + build lamp table
         from raytracingproject_tpu.ops import lookup as lk
@@ -634,6 +652,48 @@ class Scene:
         return out
 
     # ------------------------------------------------------------------
+    def _build_background_map(self, width=256, height=128):
+        """Evaluate the background shader on an equirect grid and build
+        sampling CDFs (ref: light.cpp background importance map)."""
+        import jax
+        import jax.numpy as jnp
+        from raytracingproject_tpu.ops import shade as shade_ops
+        from raytracingproject_tpu.models.image import TextureStore
+        tex_data, tex_sizes = self.image_manager.device_update()
+        store = TextureStore(jnp.asarray(tex_data), tex_sizes)
+        u = (np.arange(width) + 0.5) / width
+        v = (np.arange(height) + 0.5) / height
+        uu, vv = np.meshgrid(u, v)
+        from raytracingproject_tpu.utils import math as um_np
+        phi = np.pi * (1.0 - 2.0 * uu)
+        theta = np.pi * (vv - 0.5)
+        d = np.stack([np.cos(theta) * np.cos(phi),
+                      np.cos(theta) * np.sin(phi),
+                      np.sin(theta)], -1).reshape(-1, 3).astype(np.float32)
+        slot = self.background.shader.slot
+        rgb = np.asarray(jax.jit(lambda dd: shade_ops.eval_background(
+            self.shaders, slot, dd, textures=store))(jnp.asarray(d)))
+        lum = (0.2126 * rgb[:, 0] + 0.7152 * rgb[:, 1]
+               + 0.0722 * rgb[:, 2]).reshape(height, width)
+        if lum.max() <= 0 or lum.max() == lum.min():
+            return None  # constant background: uniform sampling is exact
+        sin_theta = np.maximum(np.cos(np.pi * (v - 0.5)), 1e-4)  # weight
+        weighted = lum * sin_theta[:, None] + 1e-8
+        cond = np.cumsum(weighted, axis=1)
+        row_int = cond[:, -1].copy()
+        cond = np.concatenate(
+            [np.zeros((height, 1)), cond / row_int[:, None]], axis=1)
+        marg = np.cumsum(row_int)
+        total = marg[-1]
+        marg = np.concatenate([[0.0], marg / total])
+        # solid-angle pdf map: p(dir) = lum*H*W / (total * 2 pi^2 sin)
+        pdf_map = (weighted * height * width
+                   / (total * 2.0 * np.pi * np.pi * sin_theta[:, None]))
+        return {"bg_marginal_cdf": marg.astype(np.float32),
+                "bg_conditional_cdf": cond.astype(np.float32),
+                "bg_pdf_map": pdf_map.astype(np.float32),
+                "__bg_map_res__": (height, width)}
+
     def make_kernel_globals(self, device_put=True):
         """Assemble the kg dict for ops/integrator.py; uploads arrays."""
         import jax
@@ -660,6 +720,8 @@ class Scene:
             "film_transparent": ds["film_transparent"],
             "num_area_lamps": num_area_lamps,
             "lamp_types": lamp_types,
+            "bg_map_res": tuple(self.dscene["arrays"].pop(
+                "__bg_map_res__", (0, 0))),
             "shader_has_volume": [bool(s.has_volume) for s in self.shaders],
             # volume-only shaders: surface acts as a transparent boundary
             "shader_volume_only": [

@@ -283,7 +283,17 @@ def make_path_kernel(kg, px, py, pixel_index):
             kg["shaders"], kg["background_shader"], st["d"],
             textures=kg["textures"], path_flag=st["path_flag"])
         if bg_pmf > 0.0:
-            pdf_bg = bg_pmf / um.M_4PI
+            bg_h, bg_w = ds["bg_pdf_map"].shape
+            if bg_h > 1:
+                # importance-map pdf of the escaped direction
+                # (ref: kernel_light.h background_map_pdf)
+                bu, bvv = um.direction_to_equirectangular(st["d"])
+                row = jnp.clip((bvv * bg_h).astype(jnp.int32), 0, bg_h - 1)
+                col = jnp.clip((bu * bg_w).astype(jnp.int32), 0, bg_w - 1)
+                pdf_bg = bg_pmf * ds["bg_pdf_map"].reshape(-1)[
+                    row * bg_w + col]
+            else:
+                pdf_bg = bg_pmf / um.M_4PI
             w_bg = jnp.where(st["singular_prev"], 1.0,
                              um.power_heuristic(st["pdf_prev"], pdf_bg))
         else:
@@ -383,6 +393,13 @@ def make_path_kernel(kg, px, py, pixel_index):
                 if has_volume else sd.P
             ls = light_ops.sample_light(ds, P_nee, sel_u, lu, lv)
             l_eval = ls["eval"]  # tri emission already folded in
+            if bg_pmf > 0.0:
+                # background-light NEE evaluates the bg shader along the
+                # sampled direction (ref: background light eval)
+                bg_l = shade_ops.eval_background(
+                    kg["shaders"], kg["background_shader"], ls["D"],
+                    textures=kg["textures"], path_flag=st["path_flag"])
+                l_eval = jnp.where(ls["is_bg"][:, None], bg_l, l_eval)
             if light_passes:
                 f_l, pdf_fwd, f_comp = bsdf_ops.bsdf_eval(
                     closures, sd.N, sd.I, ls["D"], kg.get("features"),

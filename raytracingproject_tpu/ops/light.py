@@ -119,8 +119,29 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None):
         (rc * jnp.cos(phic))[:, None] * t_d + (rc * jnp.sin(phic))[:, None] * b_d
         + zc[:, None] * (-ldir))
 
-    # background: uniform sphere (importance map lands with full ladder)
-    D_bg = sph
+    # background: equirect importance map when available (ref:
+    # kernel_light.h background_map_sample), else uniform sphere
+    bg_h, bg_w = dscene["bg_pdf_map"].shape
+    has_bg_map = bg_h > 1
+    if has_bg_map:
+        from raytracingproject_tpu.utils import rng as rngu
+        row = lk.searchsorted_cdf(dscene["bg_marginal_cdf"], u1)
+        cond = lk.lookup_rows(dscene["bg_conditional_cdf"], row,
+                              method="gather")        # (N, W+1)
+        col = jnp.sum(u2[:, None] >= cond[:, 1:-1], -1).astype(jnp.int32)
+        # uniform jitter inside the texel (pdf is piecewise constant)
+        jbits = rngu.hash_pcg2d(
+            jnp.asarray(u1 * 16777216.0, jnp.uint32),
+            jnp.asarray(u2 * 16777216.0, jnp.uint32))
+        ju = rngu.uint_to_float_01(jbits)
+        jv = rngu.uint_to_float_01(rngu.hash_pcg(jbits))
+        bu = (col.astype(jnp.float32) + ju) / bg_w
+        bvv = (row.astype(jnp.float32) + jv) / bg_h
+        D_bg = um.equirectangular_to_direction(bu, bvv)
+        pdf_bg_map = dscene["bg_pdf_map"].reshape(-1)[
+            jnp.clip(row * bg_w + col, 0, bg_h * bg_w - 1)]
+    else:
+        D_bg = sph
 
     # ---------------- combine position-based lights ----------------
     P_l = jnp.where(is_tri[:, None], P_tri,
@@ -147,7 +168,8 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None):
     inv_sph_area = 1.0 / (4.0 * um.M_PI * jnp.maximum(lsize * lsize, 1e-12))
     pdf_sphere = d2 * inv_sph_area  # approx: sphere-area pdf to SA
     pdf_distant = 1.0 / (um.M_2PI * jnp.maximum(1.0 - cos_max, 1e-9))
-    pdf_bg = 1.0 / um.M_4PI
+    pdf_bg = pdf_bg_map if has_bg_map \
+        else jnp.full_like(dist, 1.0 / um.M_4PI)
 
     delta_point = is_point & (lsize <= 0.0)
     delta_spot = is_spot & (lsize <= 0.0)
