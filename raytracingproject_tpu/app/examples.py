@@ -290,3 +290,53 @@ def furnace_scene(width=64, height=64, albedo=1.0, bounces=16):
     scene.integrator.set("sample_clamp_indirect", 0.0)
     scene.integrator.set("min_bounce", 6)
     return scene
+
+
+def sss_shader(name, color=(0.9, 0.3, 0.2), radius=(10.0, 5.0, 3.0),
+               scale=1.0):
+    g = ShaderGraph()
+    s = g.add(sn.SubsurfaceScatteringNode(
+        name + "_sss", color=color, radius=radius, scale=scale))
+    g.connect(s, "bssrdf", g.output_node, "surface")
+    return Shader(name, g)
+
+
+def sss_furnace(width=24, height=24, albedo=1.0, radius=0.3):
+    """Unit-albedo random-walk SSS sphere in a unit furnace: must stay
+    at 1 (entry + walk + exit energy conservation)."""
+    scene = Scene()
+    scene.camera.set("matrix", tfm.look_at((0, -5, 0), (0, 0, 0), (0, 0, 1)))
+    scene.camera.set("fov", 0.6)
+    scene.camera.set("width", width)
+    scene.camera.set("height", height)
+    mat = sss_shader("skin", color=(albedo, albedo, albedo),
+                     radius=(radius, radius, radius), scale=1.0)
+    scene.add_shader(mat)
+    sph = make_sphere_mesh((0, 0, 0), 1.0, 0, nlat=20, nlon=40)
+    sph.set("smooth", np.ones(sph.num_triangles, bool))
+    sph.used_shaders = [mat]
+    scene.add_object(Object("sphere", sph))
+    bg = background_shader("furnace_bg", (1.0, 1.0, 1.0), 1.0)
+    scene.background.shader = bg
+    scene.integrator.set("max_bounce", 48)
+    scene.integrator.set("sample_clamp_indirect", 0.0)
+    scene.integrator.set("min_bounce", 24)
+    scene.integrator.set("max_transmission_bounce", 48)
+    scene.integrator.set("max_diffuse_bounce", 48)
+    return scene
+
+
+def sss_cornell(width=128, height=128, spp=32):
+    """Cornell with an SSS sphere (BASELINE config 5 second half)."""
+    scene = cornell_box(width, height, spp, spheres=None)
+    mat = sss_shader("wax", color=(0.8, 0.5, 0.3),
+                     radius=(40.0, 20.0, 10.0))
+    scene.add_shader(mat)
+    s1 = make_sphere_mesh((278, 280, 120), 110, 0, nlat=20, nlon=40,
+                          name="sss_sphere")
+    s1.set("smooth", np.ones(s1.num_triangles, bool))
+    s1.used_shaders = [mat]
+    scene.add_object(Object("sss_sphere", s1))
+    scene.integrator.set("max_bounce", 12)
+    scene.integrator.set("max_transmission_bounce", 24)
+    return scene

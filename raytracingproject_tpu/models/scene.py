@@ -743,6 +743,8 @@ class Scene:
                 "has_diffuse_roughness": any(s.has_diffuse_roughness
                                              for s in self.shaders),
                 "has_volume": any(s.has_volume for s in self.shaders),
+                "has_subsurface": any(getattr(s, "has_subsurface", False)
+                                      for s in self.shaders),
                 "has_emission": any(s.has_surface_emission
                                     for s in self.shaders),
             },

@@ -197,6 +197,7 @@ class Shader(Node):
         self.has_glossy = False
         self.has_refraction = False
         self.has_diffuse_roughness = False
+        self.has_subsurface = False
 
         def linked(node, sock):
             return self.graph.links.get((id(node), sock)) is not None
@@ -214,8 +215,12 @@ class Shader(Node):
             if isinstance(node, sn.DiffuseBsdfNode):
                 if linked(node, "roughness") or float(node.roughness) > 0.0:
                     self.has_diffuse_roughness = True
+            if isinstance(node, sn.SubsurfaceScatteringNode):
+                self.has_subsurface = True
             if isinstance(node, sn.PrincipledBsdfNode):
                 self.has_glossy = True
+                if linked(node, "subsurface") or float(node.subsurface) > 0:
+                    self.has_subsurface = True
                 if linked(node, "transmission") or float(node.transmission) > 0:
                     self.has_refraction = True
                 if linked(node, "alpha") or float(node.alpha) < 1.0:

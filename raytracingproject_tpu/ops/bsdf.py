@@ -143,10 +143,12 @@ def _oren_nayar_factor(wo, wi, roughness):
     return a + b * jnp.maximum(cos_phi, 0.0) * sin_alpha * tan_beta
 
 
-def _lobe_probs(c):
+def _lobe_probs(c, include_sss=True):
     """Lobe pick probabilities from mean closure weights
-    (ref: shader_bsdf_pick sample_weight)."""
-    wd = jnp.mean(jnp.abs(c["diffuse"]) + jnp.abs(c["subsurface"]), -1)
+    (ref: shader_bsdf_pick sample_weight). include_sss=False when the
+    random-walk integrator handles the subsurface lobe separately."""
+    wd = jnp.mean(jnp.abs(c["diffuse"])
+                  + (jnp.abs(c["subsurface"]) if include_sss else 0.0), -1)
     wg = jnp.mean(jnp.abs(c["glossy"]), -1)
     wr = jnp.mean(jnp.abs(c["refraction"]), -1)
     wt = jnp.mean(jnp.abs(c["transparent"]), -1)
@@ -169,22 +171,25 @@ def bsdf_eval(c, N, I, omega_in, features=None, want_components=False):
     has_refraction = ft.get("has_refraction", True)
     has_diffuse_rough = ft.get("has_diffuse_roughness", True)
 
+    has_sss_walk = ft.get("has_subsurface", False)
     t, b = um.make_orthonormals(N)
     wo = um.to_local(I, t, b, N)
     wi = um.to_local(omega_in, t, b, N)
 
-    pd, pg, pr, pt, tot = _lobe_probs(c)
+    pd, pg, pr, pt, tot = _lobe_probs(c, include_sss=not has_sss_walk)
 
     reflect_side = wi[..., 2] > 0.0
 
-    # diffuse
+    # diffuse (subsurface folds in as diffuse ONLY when the random walk
+    # is not active, ref: the fallback diffuse approximation)
     cos_i = jnp.maximum(wi[..., 2], 0.0)
     if has_diffuse_rough:
         on = jnp.where(c["diffuse_roughness"] > 1e-4,
                        _oren_nayar_factor(wo, wi, c["diffuse_roughness"]), 1.0)
     else:
         on = 1.0
-    f_diff = (c["diffuse"] + c["subsurface"]) * (cos_i * um.M_1_PI * on)[..., None]
+    sss_part = 0.0 if has_sss_walk else c["subsurface"]
+    f_diff = (c["diffuse"] + sss_part) * (cos_i * um.M_1_PI * on)[..., None]
     pdf_diff = cos_i * um.M_1_PI
 
     f_diff_m = f_diff * jnp.where(reflect_side, 1.0, 0.0)[..., None]
@@ -239,7 +244,8 @@ def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe, features=None):
     t, b = um.make_orthonormals(N)
     wo = um.to_local(I, t, b, N)
 
-    pd, pg, pr, pt, tot = _lobe_probs(c)
+    pd, pg, pr, pt, tot = _lobe_probs(
+        c, include_sss=not ft.get("has_subsurface", False))
     cdf_d = pd
     cdf_g = pd + pg
     cdf_r = pd + pg + pr

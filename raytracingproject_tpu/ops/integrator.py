@@ -116,6 +116,9 @@ def make_path_kernel(kg, px, py, pixel_index):
     features = kg.get("features") or {}
     has_volume = bool(features.get("has_volume", False)) \
         and "volume" not in ablate
+    has_sss = bool(features.get("has_subsurface", False)) \
+        and "sss" not in ablate
+    has_medium = has_volume or has_sss
 
     aux_names = tuple(kg.get("aux_passes", ()))
     light_passes = bool(kg.get("light_passes", False))
@@ -166,6 +169,11 @@ def make_path_kernel(kg, px, py, pixel_index):
             # single-level volume tracking (ref: volume stack,
             # kernel_types.h:1035; nested media follow with ray-marcher)
             state["vol_shader"] = jnp.full((n,), -1, jnp.int32)
+        if has_sss:
+            # random-walk SSS medium (ref: kernel_subsurface.h random
+            # walk; the walk reuses the volume scattering machinery)
+            state["in_sss"] = jnp.zeros((n,), bool)
+            state["sss_sigma_t"] = jnp.zeros((n, 3), jnp.float32)
         # aux pass collection (ref: kernel_passes.h; first-hit data)
         if aux_names:
             state["aux_normal"] = jnp.zeros((n, 3), jnp.float32)
@@ -220,28 +228,46 @@ def make_path_kernel(kg, px, py, pixel_index):
         throughput = st["throughput"]
 
         # ---- volume segment (ref: kernel_path.h do_volume; homogeneous
-        # closed-form, kernel_volume.h) ----
+        # closed-form, kernel_volume.h; SSS walk rides the same machinery,
+        # ref: kernel_subsurface.h random walk) ----
         scattered = jnp.zeros((n,), bool)
-        if has_volume:
+        if has_medium:
             from raytracingproject_tpu.ops import volume as vol_ops
             from raytracingproject_tpu.ops.shade import ShaderData
-            in_vol = alive & (st["vol_shader"] >= 0)
-            vctx = ShaderData(
+            in_vol = alive & (st["vol_shader"] >= 0) if has_volume \
+                else jnp.zeros((n,), bool)
+            vctx = None if not has_volume else ShaderData(
                 P=st["o"], N=-st["d"], Ng=-st["d"], Ns=-st["d"], I=-st["d"],
                 uv=jnp.zeros((n, 2)), generated=st["o"], P_object=st["o"],
                 time=st["time"], ray_length=hit["t"],
                 ray_depth=bounce,
                 path_flag=st["path_flag"],
-                prim=hit["prim"], shader=st["vol_shader"],
+                prim=hit["prim"], shader=st.get("vol_shader"),
                 object_index=hit["object"],
                 object_color=jnp.zeros((n, 3)),
                 object_location=jnp.zeros((n, 3)),
                 object_random=jnp.zeros((n,)),
                 backfacing=jnp.zeros((n,), bool),
                 textures=kg["textures"], batch_shape=(n,))
-            vc = vol_ops.eval_volume_closures(
-                kg["shaders"], kg["shader_has_volume"], st["vol_shader"],
-                n, vctx)
+            if has_volume:
+                vc = vol_ops.eval_volume_closures(
+                    kg["shaders"], kg["shader_has_volume"],
+                    st["vol_shader"], n, vctx)
+            else:
+                from raytracingproject_tpu.ops import closures as _clv
+                vc = _clv.empty_volume_closures((n,))
+            if has_sss:
+                # pure-scattering walk medium: sigma_s = sigma_t (the
+                # entry already applied the subsurface color; albedo-1
+                # walk conserves energy)
+                in_sss = alive & st["in_sss"]
+                vc = dict(vc)
+                vc["sigma_t"] = jnp.where(in_sss[:, None],
+                                          st["sss_sigma_t"], vc["sigma_t"])
+                vc["sigma_s"] = jnp.where(in_sss[:, None],
+                                          st["sss_sigma_t"], vc["sigma_s"])
+                vc["anisotropy"] = jnp.where(in_sss, 0.0, vc["anisotropy"])
+                in_vol = in_vol | in_sss
             # rng: PHASE pair's v for distance; TERMINATE pair's v for
             # channel (volume lanes never do a surface lobe pick)
             ds_res = vol_ops.sample_distance_homogeneous(
@@ -327,6 +353,25 @@ def make_path_kernel(kg, px, py, pixel_index):
                     jnp.clip(sd.shader, 0, len(kg["shaders"]) - 1)]
             closures["transparent"] = closures["transparent"] \
                 + vol_only[:, None]
+        if has_sss:
+            # SSS walk EXIT: any surface hit while inside ends the walk
+            # as a unit diffuse transmission on the outside of the
+            # boundary (ref: random-walk exit, kernel_subsurface.h)
+            sss_exit = on_surface & st["in_sss"]
+            from raytracingproject_tpu.ops import closures as _cls
+            for k in _cls.CLOSURE_VEC_KEYS:
+                if k == "subsurface_radius":
+                    continue
+                base_v = jnp.ones((n, 3), jnp.float32) if k == "diffuse" \
+                    else jnp.zeros((n, 3), jnp.float32)
+                closures[k] = jnp.where(sss_exit[:, None], base_v,
+                                        closures[k])
+            closures["diffuse_roughness"] = jnp.where(
+                sss_exit, 0.0, closures["diffuse_roughness"])
+            # the outside of the boundary is the -N side (ray arrives
+            # from within): flip the shading frame for exit lanes
+            sd.N = jnp.where(sss_exit[:, None], -sd.N, sd.N)
+            sd.Ng = jnp.where(sss_exit[:, None], -sd.Ng, sd.Ng)
 
         # ---- aux passes: first camera-hit data ----
         if aux_names:
@@ -390,7 +435,7 @@ def make_path_kernel(kg, px, py, pixel_index):
         # volume NEE ref: kernel_path_volume.h) ----
         if has_lights:
             P_nee = jnp.where(scattered[:, None], P_scatter, sd.P) \
-                if has_volume else sd.P
+                if has_medium else sd.P
             ls = light_ops.sample_light(ds, P_nee, sel_u, lu, lv)
             l_eval = ls["eval"]  # tri emission already folded in
             if bg_pmf > 0.0:
@@ -407,7 +452,7 @@ def make_path_kernel(kg, px, py, pixel_index):
             else:
                 f_l, pdf_fwd = bsdf_ops.bsdf_eval(
                     closures, sd.N, sd.I, ls["D"], kg.get("features"))
-            if has_volume:
+            if has_medium:
                 from raytracingproject_tpu.ops import volume as vol_ops2
                 cos_ph = um.dot(st["d"], ls["D"])
                 ph = vol_ops2.hg_phase_eval(cos_ph, vol_g)
@@ -423,9 +468,9 @@ def make_path_kernel(kg, px, py, pixel_index):
             # shadow ray (no normal offset for volume scatter points)
             off = jnp.where(um.dot(ls["D"], sd.Ng)[:, None] > 0,
                             sd.Ng, -sd.Ng) * RAY_EPS
-            if has_volume:
+            if has_medium:
                 off = jnp.where(scattered[:, None], 0.0, off)
-            sh_o = P_nee + off if has_volume else sd.P + off
+            sh_o = P_nee + off if has_medium else sd.P + off
             sh_tmax = jnp.where(ls["dist"] >= um.RAY_TMAX * 0.5,
                                 jnp.float32(um.RAY_TMAX),
                                 ls["dist"] * (1.0 - 1e-3) - RAY_EPS)
@@ -492,7 +537,7 @@ def make_path_kernel(kg, px, py, pixel_index):
         # ---- BSDF bounce (ref: kernel_path_surface_bounce) ----
         bs = bsdf_ops.bsdf_sample(closures, sd.N, sd.Ng, sd.I, bu, bv, lobe_u,
                                   kg.get("features"))
-        if has_volume:
+        if has_medium:
             from raytracingproject_tpu.ops import volume as vol_ops3
             ph_dir, ph_pdf = vol_ops3.hg_phase_sample(st["d"], vol_g, bu, bv)
             bs = dict(bs)
@@ -506,6 +551,36 @@ def make_path_kernel(kg, px, py, pixel_index):
             bs["label"] = jnp.where(scattered,
                                     bsdf_ops.LABEL_VOLUME_SCATTER,
                                     bs["label"])
+
+        if has_sss:
+            # SSS walk ENTRY (ref: kernel_subsurface.h random walk entry):
+            # pick the subsurface lobe vs the rest, dive in with a
+            # cosine-weighted direction through the surface; the walk is
+            # a pure-scattering medium with sigma_t = 1/radius (the
+            # closure color is applied once, here).
+            sss_w = jnp.mean(jnp.abs(closures["subsurface"]), -1)
+            _pd, _pg, _pr, _pt, rest_w = bsdf_ops._lobe_probs(
+                closures, include_sss=False)
+            p_entry = um.safe_divide(sss_w, sss_w + rest_w, 0.0)
+            entry = on_surface & ~st["in_sss"] & (phase_v < p_entry) \
+                & (sss_w > 1e-12)
+            d_in, pdf_in = um.sample_cos_hemisphere(-sd.N, bu, bv)
+            bs = dict(bs)
+            bs["omega"] = jnp.where(entry[:, None], d_in, bs["omega"])
+            bs["f_cos"] = jnp.where(entry[:, None],
+                                    closures["subsurface"] * pdf_in[:, None],
+                                    bs["f_cos"])
+            bs["pdf"] = jnp.where(entry, pdf_in * jnp.maximum(p_entry, 1e-12),
+                                  bs["pdf"])
+            bs["valid"] = jnp.where(entry, pdf_in > 0.0, bs["valid"])
+            bs["label"] = jnp.where(entry, bsdf_ops.LABEL_TRANSMIT,
+                                    bs["label"])
+            # non-entry lanes keep their (1 - p_entry) discrete weight
+            keep = on_surface & ~st["in_sss"] & ~entry & (sss_w > 1e-12)
+            bs["pdf"] = jnp.where(keep,
+                                  bs["pdf"] * jnp.maximum(1.0 - p_entry,
+                                                          1e-12),
+                                  bs["pdf"])
 
         new_throughput = throughput * bs["f_cos"] \
             * um.safe_divide(1.0, bs["pdf"], 0.0)[:, None]
@@ -544,7 +619,7 @@ def make_path_kernel(kg, px, py, pixel_index):
         out_side = um.dot(bs["omega"], sd.Ng) > 0.0
         off = jnp.where(out_side[:, None], sd.Ng, -sd.Ng) * RAY_EPS
         new_o = sd.P + off
-        if has_volume:
+        if has_medium:
             new_o = jnp.where(scattered[:, None], P_scatter, new_o)
         new_flag = jnp.where(
             is_transp, st["path_flag"],  # transparent keeps path type
@@ -553,10 +628,11 @@ def make_path_kernel(kg, px, py, pixel_index):
             | jnp.where(is_gloss, jnp.uint32(ob.PATH_RAY_GLOSSY | ob.PATH_RAY_REFLECT), 0)
             | jnp.where(is_trans, jnp.uint32(ob.PATH_RAY_TRANSMIT), 0)
             | jnp.where(is_sing, jnp.uint32(ob.PATH_RAY_SINGULAR), 0))
-        if has_volume:
+        if has_medium:
             new_flag = jnp.where(
                 scattered, st["path_flag"]
                 | jnp.uint32(ob.PATH_RAY_VOLUME_SCATTER), new_flag)
+        if has_volume:
             # volume entry/exit at transmissive surface crossings
             # (ref: kernel_volume.h volume stack enter/exit)
             shader_vol = jnp.asarray(
@@ -598,6 +674,11 @@ def make_path_kernel(kg, px, py, pixel_index):
         }
         if has_volume:
             out["vol_shader"] = new_vol
+        if has_sss:
+            radius = jnp.clip(closures["subsurface_radius"], 1e-5, 1e8)
+            out["in_sss"] = ((st["in_sss"] & ~sss_exit) | entry) & alive2
+            out["sss_sigma_t"] = jnp.where(entry[:, None], 1.0 / radius,
+                                           st["sss_sigma_t"])
         if light_passes:
             out["first_cat"] = first_cat
         for k in st:
