@@ -186,10 +186,15 @@ class Session:
         key = num_samples
         if key not in self._render_fns:
             kg = self._kg
+            # path regeneration keeps lanes occupied; the fixed grid is
+            # required when aux/light passes are collected
+            use_regen = not kg.get("aux_passes") \
+                and not kg.get("light_passes")
+            renderer = integ.render_samples_regen if use_regen \
+                else integ.render_samples
 
             def fn(px, py, pidx, start):
-                return integ.render_samples(kg, px, py, pidx, start,
-                                            num_samples)
+                return renderer(kg, px, py, pidx, start, num_samples)
             self._render_fns[key] = jax.jit(fn)
         return self._render_fns[key]
 

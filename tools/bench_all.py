@@ -32,6 +32,7 @@ def main():
         ("dof_motion_adaptive", lambda: examples.dof_motion_scene(W, H, SPP)),
         ("volume_smoke", lambda: examples.smoke_cornell(W, H, SPP,
                                                         density=0.004)),
+        ("sss_wax", lambda: examples.sss_cornell(W, H, SPP)),
     ]
     for name, make in configs:
         t0 = time.time()
