@@ -162,9 +162,11 @@ class Scene:
             "tex_sizes": tex_sizes,
             "background_shader": bg_slot,
             "use_brute": packed.pop("__use_brute__"),
+            "has_instances": packed.pop("__has_instances__"),
             "film_transparent": bool(self.background.transparent),
         }
         dscene.pop("__use_brute__", None)
+        dscene.pop("__has_instances__", None)
         self.need_update = False
         return self.dscene
 
@@ -459,7 +461,18 @@ class Scene:
 
         use_brute = (not has_instances) and P <= BRUTE_FORCE_MAX_PRIMS
         packed["__use_brute__"] = use_brute
+        packed["__has_instances__"] = has_instances
         packed["tri_verts_world"] = packed["tri_verts"]  # valid when static
+
+        # single-fetch traversal tables (ops/intersect.py packed layout)
+        from raytracingproject_tpu.ops import intersect as isect_mod
+        nodes_packed, leaf_blocks = isect_mod.pack_traversal_tables(
+            bvh_bounds, bvh_children, packed["tri_verts"],
+            instance_w2o=packed["instance_w2o"],
+            instance_blas_root=packed["instance_blas_root"],
+            instance_object=packed["instance_object"])
+        packed["bvh_nodes_packed"] = nodes_packed
+        packed["bvh_leaf_blocks"] = leaf_blocks
 
         # ---- wide lookup tables (ops/lookup.py layout contract) ----
         from raytracingproject_tpu.ops import lookup as lk
@@ -717,6 +730,7 @@ class Scene:
             "textures": tex,
             "background_shader": ds["background_shader"],
             "use_brute": ds["use_brute"],
+            "has_instances": ds.get("has_instances", False),
             "film_transparent": ds["film_transparent"],
             "num_area_lamps": num_area_lamps,
             "lamp_types": lamp_types,

@@ -40,6 +40,16 @@ def _scene_intersect(kg, o, d, tmin, tmax, visibility, shadow=False):
         return isect.intersect_brute(
             ds["tri_verts_world"], ds["prim_object_packed"], o, d, tmin, tmax,
             visibility=visibility, object_visibility=ds["object_visibility"])
+    if "bvh_nodes_packed" in ds:
+        # single-fetch packed traversal (2 row fetches/iteration)
+        return isect.intersect_bvh_packed(
+            ds["bvh_nodes_packed"], ds["bvh_leaf_blocks"], o, d, tmin, tmax,
+            has_instances=bool(kg.get("has_instances", False)),
+            o_world=o, d_world=d,
+            prim_object=ds["prim_object_packed"],
+            visibility=visibility,
+            object_visibility=ds["object_visibility"],
+            shadow_any_hit=shadow)
     return isect.intersect_bvh(
         ds["bvh_bounds"], ds["bvh_children"], ds["tri_verts"],
         ds["prim_object_packed"], o, d, tmin, tmax,

@@ -396,3 +396,279 @@ def shadow_blocked_brute(tri_verts, prim_object, o, d, tmin, tmax,
         else (v0b, e1b, e2b, pob)
     blocked, _ = jax.lax.scan(body, jnp.zeros((n,), bool), xs)
     return blocked
+
+
+# ===========================================================================
+# Packed single-fetch traversal (round-1.5 of the BVH path)
+# ===========================================================================
+#
+# The baseline lockstep traversal costs ~10 dynamic row fetches per
+# iteration (bounds, children, 8 leaf triangles). On TPU a row fetch is
+# ~0.7 ms per 256k-lane wavefront REGARDLESS of width (docs/PERF.md), so
+# the packed layout collapses everything to TWO fetches per iteration:
+#
+#   nodes_packed (M, 20) f32 : bounds(12) + child0/child1 as EXACT small
+#                              floats + per-child instance flags + pad
+#   leaf_blocks  (L, 80) f32 : 8 triangles x (v0, e1, e2) + 8 prim ids
+#                              as floats; instance leaves reuse the row:
+#                              w2o(12) + blas_root + object as floats
+#
+# All payloads are FINITE floats with magnitude < 2^24 so they survive
+# the one-hot MXU lookup (0 x Inf/NaN would poison the row sum —
+# docs/PERF.md). Packed child encoding: >= 0 inner node index; < 0 leaf
+# -(1 + leaf_row*16 + count); the instance flag is its own column.
+
+LEAF_BLOCK_TRIS = 8
+LEAF_BLOCK_COLS = 80
+NODE_COLS = 20
+_BIG = 1e30  # finite stand-in for +/-inf bounds
+
+
+def intersect_bvh_packed(nodes_packed, leaf_blocks, o, d, tmin, tmax,
+                         has_instances=False, o_world=None, d_world=None,
+                         prim_object=None, visibility=None,
+                         object_visibility=None, shadow_any_hit=False):
+    """Lockstep traversal over the packed layout: 2 row fetches per
+    iteration. Semantics identical to intersect_bvh."""
+    n = o.shape[0]
+    t_best0 = jnp.minimum(tmax, RAY_TMAX)
+    state = {
+        "node": jnp.zeros((n,), jnp.int32),
+        "sp": jnp.zeros((n,), jnp.int32),
+        "stack": jnp.zeros((n, STACK_DEPTH), jnp.int32),
+        "t": t_best0,
+        "prim": jnp.full((n,), -1, jnp.int32),
+        "u": jnp.zeros((n,), jnp.float32),
+        "v": jnp.zeros((n,), jnp.float32),
+        "obj": jnp.full((n,), -1, jnp.int32),
+        "o_cur": o, "d_cur": d,
+        "cur_obj": jnp.full((n,), -1, jnp.int32),
+    }
+    # stack entries carry the instance flag at bit 30 of the magnitude
+    INST_BIT = jnp.int32(1 << 29)
+
+    def cond(s):
+        return jnp.any(s["node"] != DONE)
+
+    def pop(s, lane_mask):
+        sp = s["sp"]
+        has = sp > 0
+        nsp = jnp.where(lane_mask & has, sp - 1, sp)
+        popped = s["stack"][jnp.arange(n), jnp.maximum(nsp, 0)]
+        node = jnp.where(lane_mask, jnp.where(has, popped, DONE), s["node"])
+        return node, nsp
+
+    def body(s):
+        node = s["node"]
+        if has_instances:
+            restoring = node == RESTORE
+            s = dict(s)
+            s["o_cur"] = jnp.where(restoring[:, None], o_world, s["o_cur"])
+            s["d_cur"] = jnp.where(restoring[:, None], d_world, s["d_cur"])
+            s["cur_obj"] = jnp.where(restoring, -1, s["cur_obj"])
+            node2, nsp = pop(s, restoring)
+            s["node"] = node2
+            s["sp"] = nsp
+            node = node2
+
+        active = node != DONE
+        # decode the per-lane node id: bit 29 of magnitude = instance leaf
+        neg = node < 0
+        mag = jnp.where(neg, -node - 1, 0)
+        is_inst_node = (mag & INST_BIT) > 0 if has_instances \
+            else jnp.zeros((n,), bool)
+        mag = mag & (INST_BIT - 1)
+        is_inner = active & ~neg & (node != DONE) & (node != RESTORE)
+        is_leaf = active & neg
+
+        from raytracingproject_tpu.ops import lookup as lk
+        nrow = lk.lookup_rows(
+            nodes_packed,
+            jnp.where(is_inner,
+                      jnp.clip(node, 0, nodes_packed.shape[0] - 1), 0))
+        c0 = jnp.round(nrow[:, 12]).astype(jnp.int32)
+        c1 = jnp.round(nrow[:, 13]).astype(jnp.int32)
+        c0_inst = nrow[:, 14] > 0.5
+        c1_inst = nrow[:, 15] > 0.5
+
+        def child_to_node(c, inst):
+            # leaf children carry the instance flag into the node id
+            if not has_instances:
+                return c
+            return jnp.where(inst & (c < 0), -((-c - 1) | INST_BIT) - 1, c)
+
+        c0n = child_to_node(c0, c0_inst)
+        c1n = child_to_node(c1, c1_inst)
+
+        inv_d = _safe_inv(s["d_cur"])
+        h0, t0 = _slab_test(nrow[:, 0:3], nrow[:, 3:6], s["o_cur"], inv_d,
+                            tmin, s["t"])
+        h1, t1 = _slab_test(nrow[:, 6:9], nrow[:, 9:12], s["o_cur"], inv_d,
+                            tmin, s["t"])
+        h0 &= is_inner
+        h1 &= is_inner
+
+        near_first = t0 <= t1
+        near = jnp.where(near_first, c0n, c1n)
+        far = jnp.where(near_first, c1n, c0n)
+        both = h0 & h1
+        one_hit = h0 ^ h1
+        only = jnp.where(h0, c0n, c1n)
+
+        sp = s["sp"]
+        stack = s["stack"]
+        stack = stack.at[jnp.arange(n), jnp.minimum(sp, STACK_DEPTH - 1)].set(
+            jnp.where(both, far,
+                      stack[jnp.arange(n), jnp.minimum(sp, STACK_DEPTH - 1)]))
+        sp = jnp.where(both, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+
+        next_node = jnp.where(both, near,
+                              jnp.where(one_hit, only, DONE))
+
+        # FETCH 2: leaf block row
+        leaf_row_idx = mag // 16
+        count = mag % 16
+        is_inst_leaf = is_leaf & is_inst_node
+        lrow = lk.lookup_rows(
+            leaf_blocks, jnp.where(is_leaf,
+                                   jnp.clip(leaf_row_idx, 0,
+                                            leaf_blocks.shape[0] - 1), 0))
+
+        t_best, prim_best = s["t"], s["prim"]
+        u_best, v_best, obj_best = s["u"], s["v"], s["obj"]
+        tri_leaf = is_leaf & ~is_inst_leaf
+        ox, oy, oz = s["o_cur"][:, 0], s["o_cur"][:, 1], s["o_cur"][:, 2]
+        dx, dy, dz = s["d_cur"][:, 0], s["d_cur"][:, 1], s["d_cur"][:, 2]
+        for k in range(LEAF_BLOCK_TRIS):
+            base = k * 9
+            v0x, v0y, v0z = lrow[:, base], lrow[:, base + 1], lrow[:, base + 2]
+            e1x, e1y, e1z = lrow[:, base + 3], lrow[:, base + 4], lrow[:, base + 5]
+            e2x, e2y, e2z = lrow[:, base + 6], lrow[:, base + 7], lrow[:, base + 8]
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv = jnp.where(jnp.abs(det) > 1e-12,
+                            1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+            uu = (tx * px + ty * py + tz * pz) * inv
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            vv = (dx * qx + dy * qy + dz * qz) * inv
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+            hit = ((jnp.abs(det) > 1e-12) & (uu >= 0.0) & (uu <= 1.0)
+                   & (vv >= 0.0) & (uu + vv <= 1.0)
+                   & (tt > tmin) & (tt < t_best)
+                   & tri_leaf & (k < count))
+            pidx = jnp.round(lrow[:, 72 + k]).astype(jnp.int32)
+            pobj = jnp.where(s["cur_obj"] >= 0, s["cur_obj"],
+                             prim_object[jnp.maximum(pidx, 0)]
+                             if prim_object is not None else -1)
+            if visibility is not None and object_visibility is not None:
+                hit &= (object_visibility[jnp.maximum(pobj, 0)]
+                        & visibility) > 0
+            t_best = jnp.where(hit, tt, t_best)
+            prim_best = jnp.where(hit, pidx, prim_best)
+            u_best = jnp.where(hit, uu, u_best)
+            v_best = jnp.where(hit, vv, v_best)
+            obj_best = jnp.where(hit, pobj, obj_best)
+
+        o_cur, d_cur, cur_obj = s["o_cur"], s["d_cur"], s["cur_obj"]
+        if has_instances:
+            w2o = lrow[:, 0:12].reshape(n, 3, 4)
+            blas = jnp.round(lrow[:, 12]).astype(jnp.int32)
+            iobj = jnp.round(lrow[:, 13]).astype(jnp.int32)
+            o_l = (w2o[:, :, :3] @ o_world[..., None])[..., 0] + w2o[:, :, 3]
+            d_l = (w2o[:, :, :3] @ d_world[..., None])[..., 0]
+            o_cur = jnp.where(is_inst_leaf[:, None], o_l, o_cur)
+            d_cur = jnp.where(is_inst_leaf[:, None], d_l, d_cur)
+            cur_obj = jnp.where(is_inst_leaf, iobj, cur_obj)
+            stack = stack.at[jnp.arange(n),
+                             jnp.minimum(sp, STACK_DEPTH - 1)].set(
+                jnp.where(is_inst_leaf, RESTORE,
+                          stack[jnp.arange(n),
+                                jnp.minimum(sp, STACK_DEPTH - 1)]))
+            sp = jnp.where(is_inst_leaf, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+            next_node = jnp.where(is_inst_leaf, blas, next_node)
+
+        if shadow_any_hit:
+            done_lane = prim_best >= 0
+            next_node = jnp.where(done_lane, DONE, next_node)
+            sp = jnp.where(done_lane, 0, sp)
+
+        s2 = {"node": next_node, "sp": sp, "stack": stack,
+              "t": t_best, "prim": prim_best, "u": u_best, "v": v_best,
+              "obj": obj_best, "o_cur": o_cur, "d_cur": d_cur,
+              "cur_obj": cur_obj}
+        needs_pop = active & (next_node == DONE)
+        node3, nsp = pop(s2, needs_pop)
+        s2["node"] = jnp.where(active, node3, DONE)
+        s2["sp"] = jnp.where(active, nsp, s2["sp"])
+        return s2
+
+    out = jax.lax.while_loop(cond, body, state)
+    hit_mask = out["t"] < t_best0
+    return {"t": out["t"],
+            "prim": jnp.where(hit_mask, out["prim"], -1),
+            "u": out["u"], "v": out["v"],
+            "object": jnp.where(hit_mask, out["obj"], -1)}
+
+
+def pack_traversal_tables(bvh_bounds, bvh_children, tri_verts,
+                          instance_w2o=None, instance_blas_root=None,
+                          instance_object=None):
+    """Host-side repack of (bounds, children, prim-ordered tris) into
+    the single-fetch layout consumed by intersect_bvh_packed. Leaf
+    references are re-encoded from prim ranges to leaf-block rows; every
+    payload is a finite float exactly representable in f32."""
+    import numpy as np
+    m = len(bvh_bounds)
+    nodes = np.zeros((m, NODE_COLS), np.float32)
+    b = np.array(bvh_bounds, np.float32, copy=True)
+    b = np.clip(np.nan_to_num(b, posinf=_BIG, neginf=-_BIG), -_BIG, _BIG)
+    nodes[:, 0:12] = b
+
+    leaf_rows = []
+
+    def encode_child(child):
+        """-> (float code, instance flag float)."""
+        child = int(child)
+        if child >= 0:
+            assert child < (1 << 24)
+            return float(child), 0.0
+        v = -child - 1
+        is_inst = bool(v >> 30)
+        v &= (1 << 30) - 1
+        start, count = v >> 4, v & 15
+        if is_inst:
+            row = np.zeros(LEAF_BLOCK_COLS, np.float32)
+            row[0:12] = np.asarray(instance_w2o[start],
+                                   np.float32).reshape(12)
+            row[12] = float(int(instance_blas_root[start]))
+            row[13] = float(int(instance_object[start]))
+            leaf_rows.append(row)
+            code = 1 + (len(leaf_rows) - 1) * 16 + 1
+            assert code < (1 << 24)
+            return float(-code), 1.0
+        row = np.zeros(LEAF_BLOCK_COLS, np.float32)
+        cnt = min(count, LEAF_BLOCK_TRIS)
+        for k in range(cnt):
+            tv = tri_verts[start + k]
+            row[k * 9:k * 9 + 3] = tv[0]
+            row[k * 9 + 3:k * 9 + 6] = tv[1] - tv[0]
+            row[k * 9 + 6:k * 9 + 9] = tv[2] - tv[0]
+            row[72 + k] = float(start + k)
+        for k in range(cnt, LEAF_BLOCK_TRIS):
+            row[72 + k] = -1.0
+        leaf_rows.append(row)
+        code = 1 + (len(leaf_rows) - 1) * 16 + cnt
+        assert code < (1 << 24)
+        return float(-code), 0.0
+
+    for i in range(m):
+        nodes[i, 12], nodes[i, 14] = encode_child(bvh_children[i][0])
+        nodes[i, 13], nodes[i, 15] = encode_child(bvh_children[i][1])
+    if not leaf_rows:
+        leaf_rows.append(np.zeros(LEAF_BLOCK_COLS, np.float32))
+    return nodes, np.asarray(leaf_rows, np.float32)
