@@ -33,7 +33,7 @@ def main():
     py = jnp.asarray(yy.reshape(-1), jnp.int32)
     pidx = py * W + px
 
-    spp_chunk = 16
+    spp_chunk = 32
     fn = jax.jit(lambda a, b, c, s: integ.render_samples_regen(
         kg, a, b, c, s, spp_chunk))
     # warmup / compile
