@@ -62,6 +62,9 @@ def main(argv=None):
         import os
         os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
+    if args.device == "cpu":
+        # env var alone is not honored once a PJRT plugin registered
+        jax.config.update("jax_platforms", "cpu")
     if args.list_devices:
         for d in jax.devices():
             print(f"{d.id}: {d.device_kind} ({d.platform})")
