@@ -340,3 +340,40 @@ def sss_cornell(width=128, height=128, spp=32):
     scene.integrator.set("max_bounce", 12)
     scene.integrator.set("max_transmission_bounce", 24)
     return scene
+
+
+def het_volume_shader(name, scale=2.0, density=1.0, anisotropy=0.0):
+    """Heterogeneous (noise-density) scattering medium."""
+    g = ShaderGraph()
+    tex = g.add(sn.NoiseTextureNode(name + "_noise", scale=scale, detail=1.0))
+    m = g.add(sn.MathNode(name + "_mul", math_type="multiply",
+                          value2=density))
+    v = g.add(sn.PrincipledVolumeNode(
+        name + "_vol", color=(1.0, 1.0, 1.0), anisotropy=anisotropy,
+        absorption_color=(1.0, 1.0, 1.0)))
+    g.connect(tex, "fac", m, "value1")
+    g.connect(m, "value", v, "density")
+    g.connect(v, "volume", g.output_node, "volume")
+    return Shader(name, g)
+
+
+def het_volume_furnace(width=20, height=20, density=1.0):
+    """Noise-density pure-scattering volume in a unit furnace: delta
+    tracking must conserve energy (render == 1)."""
+    scene = Scene()
+    scene.camera.set("matrix", tfm.look_at((0, -6, 0), (0, 0, 0), (0, 0, 1)))
+    scene.camera.set("fov", 0.5)
+    scene.camera.set("width", width)
+    scene.camera.set("height", height)
+    vol = het_volume_shader("fog", scale=1.5, density=density)
+    scene.add_shader(vol)
+    box = make_box_mesh((-1, -1, -1), (1, 1, 1), 0, "fog_box")
+    box.used_shaders = [vol]
+    scene.add_object(Object("fog", box))
+    bg = background_shader("furnace_bg", (1.0, 1.0, 1.0), 1.0)
+    scene.background.shader = bg
+    scene.integrator.set("max_bounce", 32)
+    scene.integrator.set("sample_clamp_indirect", 0.0)
+    scene.integrator.set("min_bounce", 16)
+    scene.integrator.set("volume_max_steps", 32)
+    return scene

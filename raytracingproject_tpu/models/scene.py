@@ -665,6 +665,60 @@ class Scene:
         return out
 
     # ------------------------------------------------------------------
+    def _estimate_volume_majorants(self):
+        """Per-shader extinction majorants for delta tracking
+        (ref: the heterogeneous volume step-size heuristics). Sampled on
+        a coarse world grid over the shader's user objects x2 safety."""
+        import numpy as _np
+        out = _np.zeros(max(len(self.shaders), 1), _np.float32)
+        het = [getattr(s, "has_heterogeneous_volume", False)
+               for s in self.shaders]
+        if not any(het):
+            return out
+        import jax.numpy as jnp
+        from raytracingproject_tpu.ops.shade import ShaderData
+        from raytracingproject_tpu.models.image import TextureStore
+        tex_data, tex_sizes = self.image_manager.device_update()
+        store = TextureStore(jnp.asarray(tex_data), tex_sizes)
+        for slot, s in enumerate(self.shaders):
+            if not het[slot]:
+                if getattr(s, "has_volume", False):
+                    out[slot] = 0.0
+                continue
+            los, his = [], []
+            for obj in self.objects:
+                if s in (obj.geometry.used_shaders or []):
+                    lo, hi = obj.compute_bounds()
+                    los.append(lo); his.append(hi)
+            if not los:
+                out[slot] = 1.0
+                continue
+            lo = _np.min(los, axis=0); hi = _np.max(his, axis=0)
+            g = _np.linspace(0, 1, 6)
+            gx, gy, gz = _np.meshgrid(g, g, g)
+            P = lo + _np.stack([gx, gy, gz], -1).reshape(-1, 3) * (hi - lo)
+            n = len(P)
+            Pj = jnp.asarray(P.astype(_np.float32))
+            ctx = ShaderData(
+                P=Pj, N=Pj, Ng=Pj, Ns=Pj, I=Pj,
+                uv=jnp.zeros((n, 2)), generated=Pj, P_object=Pj,
+                time=jnp.zeros(n), ray_length=jnp.ones(n),
+                ray_depth=jnp.zeros(n, jnp.int32),
+                path_flag=jnp.zeros(n, jnp.uint32),
+                prim=jnp.zeros(n, jnp.int32),
+                shader=jnp.full(n, slot, jnp.int32),
+                object_index=jnp.zeros(n, jnp.int32),
+                object_color=jnp.zeros((n, 3)),
+                object_location=jnp.zeros((n, 3)),
+                object_random=jnp.zeros(n),
+                backfacing=jnp.zeros(n, bool),
+                textures=store, batch_shape=(n,))
+            v = s.evaluate_volume(ctx)
+            if v is None:
+                continue
+            out[slot] = float(_np.max(_np.asarray(v["sigma_t"]))) * 2.0                 + 1e-3
+        return out
+
     def _build_background_map(self, width=256, height=128):
         """Evaluate the background shader on an equirect grid and build
         sampling CDFs (ref: light.cpp background importance map)."""
@@ -737,6 +791,11 @@ class Scene:
             "bg_map_res": tuple(self.dscene["arrays"].pop(
                 "__bg_map_res__", (0, 0))),
             "shader_has_volume": [bool(s.has_volume) for s in self.shaders],
+            "shader_het_volume": [
+                bool(getattr(s, "has_heterogeeous_volume", False)
+                     or getattr(s, "has_heterogeneous_volume", False))
+                for s in self.shaders],
+            "shader_sigma_max": self._estimate_volume_majorants(),
             # volume-only shaders: surface acts as a transparent boundary
             "shader_volume_only": [
                 bool(s.has_volume
@@ -759,6 +818,9 @@ class Scene:
                 "has_volume": any(s.has_volume for s in self.shaders),
                 "has_subsurface": any(getattr(s, "has_subsurface", False)
                                       for s in self.shaders),
+                "has_heterogeneous": any(
+                    getattr(s, "has_heterogeneous_volume", False)
+                    for s in self.shaders),
                 "has_emission": any(s.has_surface_emission
                                     for s in self.shaders),
             },

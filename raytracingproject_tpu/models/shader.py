@@ -198,6 +198,7 @@ class Shader(Node):
         self.has_refraction = False
         self.has_diffuse_roughness = False
         self.has_subsurface = False
+        self.has_heterogeneous_volume = False
 
         def linked(node, sock):
             return self.graph.links.get((id(node), sock)) is not None
@@ -231,6 +232,8 @@ class Shader(Node):
             if isinstance(node, (sn.ScatterVolumeNode, sn.AbsorptionVolumeNode,
                                  sn.PrincipledVolumeNode)):
                 self.has_volume = True
+                if (linked(node, "density") or linked(node, "color")):
+                    self.has_heterogeneous_volume = True
         if self.graph.links.get((id(self.graph.output_node), "volume")):
             self.has_volume = True
         return self

@@ -128,6 +128,7 @@ def make_path_kernel(kg, px, py, pixel_index):
         and "volume" not in ablate
     has_sss = bool(features.get("has_subsurface", False)) \
         and "sss" not in ablate
+    has_het = has_volume and bool(features.get("has_heterogeneous", False))
     has_medium = has_volume or has_sss
 
     aux_names = tuple(kg.get("aux_passes", ()))
@@ -286,6 +287,52 @@ def make_path_kernel(kg, px, py, pixel_index):
             # absorbing medium carries weight*sigma_s = 0 and terminates
             # the lane, which IS the absorption estimator
             scattered = in_vol & ds_res["scatter"]
+            if has_het:
+                # heterogeneous lanes: spectral delta tracking
+                # (ref: kernel_volume.h heterogeneous; ops/volume.py)
+                het_by_shader = jnp.asarray(
+                    np.array(kg["shader_het_volume"], bool))
+                smax_by_shader = jnp.asarray(
+                    np.array(kg["shader_sigma_max"], np.float32))
+                safe_vs = jnp.clip(st.get("vol_shader"), 0,
+                                   len(kg["shaders"]) - 1)
+                het_lane = in_vol & het_by_shader[safe_vs]
+                smax = smax_by_shader[safe_vs]
+
+                def _eval_sigma(Pw):
+                    from raytracingproject_tpu.ops.shade import \
+                        ShaderData as _SD
+                    c2 = _SD(
+                        P=Pw, N=-st["d"], Ng=-st["d"], Ns=-st["d"],
+                        I=-st["d"], uv=jnp.zeros((n, 2)), generated=Pw,
+                        P_object=Pw, time=st["time"], ray_length=hit["t"],
+                        ray_depth=bounce, path_flag=st["path_flag"],
+                        prim=hit["prim"], shader=st.get("vol_shader"),
+                        object_index=hit["object"],
+                        object_color=jnp.zeros((n, 3)),
+                        object_location=jnp.zeros((n, 3)),
+                        object_random=jnp.zeros((n,)),
+                        backfacing=jnp.zeros((n,), bool),
+                        textures=kg["textures"], batch_shape=(n,))
+                    vcp = vol_ops.eval_volume_closures(
+                        kg["shaders"], kg["shader_has_volume"],
+                        st.get("vol_shader"), n, c2)
+                    return vcp["sigma_t"], vcp["sigma_s"]
+
+                lane_seed = rngu.hash_pcg3d(
+                    pixel_index.astype(jnp.uint32), st["sample"],
+                    bounce.astype(jnp.uint32))
+                steps = min(max(int(kint["volume_max_steps"]), 4), 32)
+                wres = vol_ops.woodcock_sample(
+                    _eval_sigma, st["o"], st["d"], hit["t"],
+                    jnp.where(het_lane, smax, 1e-12), lane_seed,
+                    steps=steps)
+                scattered = jnp.where(het_lane, wres["scatter"] & in_vol,
+                                      scattered)
+                ds_res = dict(ds_res)
+                ds_res["t_scatter"] = jnp.where(het_lane, wres["t"],
+                                                ds_res["t_scatter"])
+
             seg_t = jnp.where(scattered, ds_res["t_scatter"], hit["t"])
             # volume emission along the traversed segment
             L = jnp.where(in_vol[:, None],
@@ -295,6 +342,9 @@ def make_path_kernel(kg, px, py, pixel_index):
                 scattered[:, None],
                 ds_res["weight_scatter"] * vc["sigma_s"],
                 ds_res["weight_pass"])
+            if has_het:
+                # delta-tracking weight already folds albedo + nulls
+                w_seg = jnp.where(het_lane[:, None], wres["weight"], w_seg)
             throughput = jnp.where(in_vol[:, None], throughput * w_seg,
                                    throughput)
             P_scatter = st["o"] + st["d"] * ds_res["t_scatter"][:, None]

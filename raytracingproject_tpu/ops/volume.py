@@ -12,6 +12,7 @@ into the bounce loop of ops/integrator.py.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from raytracingproject_tpu.utils import math as um
@@ -104,3 +105,65 @@ def emission_integral(v_emission, sigma_t, t):
     int_0^t e * exp(-sigma_t s) ds (ref: kernel_volume_emission_integrate)."""
     st = jnp.maximum(sigma_t, 1e-12)
     return v_emission * (1.0 - jnp.exp(-sigma_t * t[..., None])) / st
+
+
+def woodcock_sample(eval_sigma, o, d, t_max, sigma_max, u_seed, steps=32):
+    """Delta (Woodcock) tracking for heterogeneous media
+    (ref: kernel_volume.h heterogeneous integration — redesigned as
+    fixed-iteration null-collision tracking, which is the
+    wavefront-friendly unbiased form).
+
+    eval_sigma(P) -> (sigma_t (N,3), sigma_s (N,3)) at world positions.
+    sigma_max: (N,) per-lane majorant (host-estimated upper bound of the
+    channel-max extinction). u_seed: (N,) uint32 per-lane decorrelation.
+
+    Returns dict(scatter (N,), t (N,), weight (N,3)) where weight folds
+    the single-scatter albedo at the accepted point; pass-through lanes
+    carry weight 1 (null collisions are free).
+    """
+    from raytracingproject_tpu.utils import rng as rngu
+    n = o.shape[0]
+    inv_smax = 1.0 / jnp.maximum(sigma_max, 1e-12)
+
+    def body(i, st):
+        t, done, scat, weight, t_hit = st
+        h = rngu.hash_pcg3d(u_seed, jnp.uint32(i),
+                            jnp.uint32(0x9E3779B9))
+        u1 = rngu.uint_to_float_01(h)
+        u2 = rngu.uint_to_float_01(rngu.hash_pcg(h))
+        step = -jnp.log(jnp.maximum(1.0 - u1, 1e-12)) * inv_smax
+        t_new = t + step
+        escaped = t_new >= t_max
+        P = o + d * t_new[:, None]
+        sig_t, sig_s = eval_sigma(P)
+        # channel-max extinction for acceptance; color handled in weight
+        sig_mag = jnp.max(sig_t, -1)
+        p_acc = jnp.clip(sig_mag * inv_smax, 0.0, 1.0)
+        tentative = (~done) & (~escaped)
+        accept = tentative & (u2 < p_acc)
+        null = tentative & ~accept
+        # real collision: per-channel weight sigma_s_c / sig_mag
+        # (shared monochrome acceptance reweighted per channel)
+        w_hit = um.safe_divide(sig_s, jnp.maximum(sig_mag, 1e-12)[:, None],
+                               0.0)
+        weight = jnp.where(accept[:, None], weight * w_hit, weight)
+        # null collision: per-channel (1 - sigma_t_c/smax)/(1 - p_acc)
+        # keeps colored extinction unbiased (spectral delta tracking)
+        w_null = um.safe_divide(1.0 - sig_t * inv_smax[:, None],
+                                jnp.maximum(1.0 - p_acc, 1e-6)[:, None],
+                                1.0)
+        weight = jnp.where(null[:, None], weight * w_null, weight)
+        scat = scat | accept
+        done = done | accept | escaped
+        t = jnp.where(done, t, t_new)
+        t_hit = jnp.where(accept, t_new, t_hit)
+        return (t, done, scat, weight, t_hit)
+
+    init = (jnp.zeros((n,), jnp.float32), jnp.zeros((n,), bool),
+            jnp.zeros((n,), bool), jnp.ones((n, 3), jnp.float32),
+            jnp.full((n,), um.RAY_TMAX, jnp.float32))
+    t, done, scat, weight, t_hit = jax.lax.fori_loop(0, steps, body, init)
+    # lanes that used all steps without deciding: treat as pass-through
+    # (bias bounded by sigma_max * t_max >> steps scenarios; steps is
+    # sized from volume_max_steps)
+    return {"scatter": scat, "t": t_hit, "weight": weight}

@@ -99,3 +99,34 @@ class TestVolumeRender:
                         node.set("absorption_color", (0.0, 0.0, 0.0))
         img1 = render(withvol, 20, 20, 8)
         assert img1.mean() < img0.mean() * 0.9
+
+
+class TestHeterogeneous:
+    def test_majorant_estimated(self):
+        scene = examples.het_volume_furnace(12, 12)
+        scene.device_update()
+        kg = scene.make_kernel_globals()
+        assert kg["features"]["has_heterogeneous"]
+        smax = np.asarray(kg["shader_sigma_max"])
+        assert smax.max() > 0.5  # density up to ~1 -> majorant ~2x
+
+    def test_het_furnace_conserves_energy(self):
+        """Delta tracking through a noise-density scattering medium in a
+        unit furnace must stay at 1 (null collisions + albedo weights)."""
+        scene = examples.het_volume_furnace(16, 16, density=1.0)
+        img = render(scene, 16, 16, spp=32)
+        assert np.isfinite(img).all()
+        assert abs(float(img.mean()) - 1.0) < 0.05, img.mean()
+
+    def test_het_denser_darkens_cornell(self):
+        base = examples.smoke_cornell(16, 16, spp=8, density=0.004)
+        img_h = render(base, 16, 16, 8)
+        scene = examples.smoke_cornell(16, 16, spp=8, density=0.004)
+        # swap the homogeneous smoke for an absorbing noise volume
+        vol = examples.het_volume_shader("smoke2", scale=0.01, density=0.01)
+        for s in scene.shaders:
+            if s.name == "smoke":
+                s.graph = vol.graph
+        img = render(scene, 16, 16, 8)
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.01
