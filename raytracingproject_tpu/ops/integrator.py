@@ -461,6 +461,17 @@ def make_path_kernel(kg, px, py, pixel_index):
                 fh0[:, None], closures["refraction"],
                 st["aux_transmission_color"])
 
+        # ---- holdout (ref: kernel_path.h holdout: camera-ray hits on
+        # holdout materials punch a hole — alpha 0 with transparent
+        # film, black otherwise; lane terminates) ----
+        hold_w = jnp.clip(jnp.mean(closures["holdout"], -1), 0.0, 1.0)
+        is_camera_hit = (st["path_flag"] & ob.PATH_RAY_CAMERA) > 0
+        holdout_m = on_surface & is_camera_hit & (hold_w > 0.0)
+        if kg["film_transparent"]:
+            alpha = jnp.where(holdout_m, alpha * (1.0 - hold_w), alpha)
+        alive = alive & ~(holdout_m & (hold_w >= 1.0 - 1e-6))
+        on_surface = on_surface & alive
+
         # ---- surface emission with MIS (ref: indirect_primitive_emission)
         emis = closures["emission"]
         has_emis = jnp.any(emis > 0.0, axis=-1)

@@ -154,3 +154,33 @@ class TestFeatureLadder:
         scene.camera.set("focaldistance", 800.0)
         img_dof, _ = render(scene, 24, 24, 4)
         assert np.isfinite(img_dof).all() and img_dof.mean() > 0.01
+
+
+class TestHoldout:
+    def test_holdout_punches_alpha(self):
+        from raytracingproject_tpu.models import Shader, ShaderGraph
+        from raytracingproject_tpu.models import shader_nodes as sn
+        scene = examples.cornell_box(20, 20, spp=4)
+        scene.background.set("transparent", True)
+        g = ShaderGraph()
+        h = g.add(sn.HoldoutNode("h"))
+        g.connect(h, "holdout", g.output_node, "surface")
+        hold = Shader("holdout_mat", g)
+        scene.add_shader(hold)
+        # make the short box a holdout object
+        for o in scene.objects:
+            if o.name == "short_box":
+                o.geometry.used_shaders = [hold]
+        scene.device_update()
+        kg = scene.make_kernel_globals()
+        import jax
+        yy, xx = np.mgrid[0:20, 0:20]
+        px = jnp.asarray(xx.reshape(-1), jnp.int32)
+        py = jnp.asarray(yy.reshape(-1), jnp.int32)
+        L, A = jax.jit(lambda a, b, c: integ.render_samples(
+            kg, a, b, c, 0, 4))(px, py, py * 20 + px)
+        alpha = np.asarray(A).reshape(20, 20) / 4
+        # the short box region (lower-left-ish) has alpha ~0; walls ~1
+        assert alpha.min() < 0.05
+        assert alpha.max() > 0.95
+        assert (alpha < 0.5).mean() > 0.03  # a visible hole exists
