@@ -299,34 +299,47 @@ class Scene:
         # ---- concatenate blocks with offsets ----
         # node order: [TLAS (if any)] [block0] [block1] ...
         # first compute prim bases and node bases (TLAS size known later)
-        instance_rows = []  # (w2o 3x4, blas_block, object_idx)
+        instance_rows = []  # (w2o 3x4, blas_block, object_idx, motion)
         if has_instances:
             if blocks and "object" in blocks[0] and len(static_verts):
-                instance_rows.append((tfm.identity(), 0, -1))
+                instance_rows.append((tfm.identity(), 0, -1, None))
             for gid, (geom, users) in instanced_geoms.items():
                 for oi in users:
                     obj = objects[oi]
+                    motion = None
+                    if obj.use_motion:
+                        # decomposed object->world endpoints for in-
+                        # traversal shutter interpolation
+                        motion = (tfm.decompose(obj.motion_start),
+                                  tfm.decompose(obj.motion_end))
                     instance_rows.append(
                         (tfm.inverse(np.asarray(obj.transform, np.float32)),
-                         geom_blas[gid], oi))
+                         geom_blas[gid], oi, motion))
 
         # TLAS over instance world bounds
         tlas = None
         if has_instances:
             ilo, ihi = [], []
-            for w2o, bi, oi in instance_rows:
+            for w2o, bi, oi, motion in instance_rows:
                 blo, bhi = blocks[bi]["root_lo"], blocks[bi]["root_hi"]
-                if oi >= 0:
-                    o2w = np.asarray(objects[oi].transform, np.float32)
-                else:
-                    o2w = tfm.identity()
                 corners = np.array([[x, y, z]
                                     for x in (blo[0], bhi[0])
                                     for y in (blo[1], bhi[1])
                                     for z in (blo[2], bhi[2])], np.float32)
-                wc = tfm.transform_point(o2w, corners)
-                ilo.append(wc.min(0))
-                ihi.append(wc.max(0))
+                tfms = []
+                if oi >= 0:
+                    obj = objects[oi]
+                    tfms.append(np.asarray(obj.transform, np.float32))
+                    if obj.use_motion:
+                        # shutter-union bounds (start/mid/end)
+                        tfms.append(np.asarray(obj.motion_start, np.float32))
+                        tfms.append(np.asarray(obj.motion_end, np.float32))
+                else:
+                    tfms.append(tfm.identity())
+                wcs = np.concatenate(
+                    [tfm.transform_point(t, corners) for t in tfms])
+                ilo.append(wcs.min(0))
+                ihi.append(wcs.max(0))
             tlas = bvh_build.build_bvh(np.array(ilo), np.array(ihi),
                                        max_leaf_size=1)
 
@@ -420,6 +433,15 @@ class Scene:
             inv = tfm.inverse(t)
             merged = oi in static_objs
             # packed-space transforms: identity for merged (world verts)
+            if not merged and obj.use_motion:
+                # shading transforms use the shutter-center transform
+                # (hit-time-exact normals land with full motion shading)
+                import jax.numpy as _jnpm
+                d0 = tfm.decompose(obj.motion_start)
+                d1 = tfm.decompose(obj.motion_end)
+                t = np.asarray(tfm.motion_interpolate(
+                    _jnpm.asarray(d0), _jnpm.asarray(d1), 0.5))
+                inv = tfm.inverse(t)
             obj_tfm[oi] = tfm.identity() if merged else t
             obj_itfm[oi] = tfm.identity() if merged else inv
             obj_itfm_gen[oi] = inv
@@ -454,6 +476,7 @@ class Scene:
                 [node_bases[r[1]] for r in instance_rows], np.int32)
             packed["instance_object"] = np.array(
                 [r[2] for r in instance_rows], np.int32)
+            packed["__instance_motion__"] = [r[3] for r in instance_rows]
         else:
             packed["instance_w2o"] = np.zeros((1, 3, 4), np.float32)
             packed["instance_blas_root"] = np.zeros(1, np.int32)
@@ -470,7 +493,8 @@ class Scene:
             bvh_bounds, bvh_children, packed["tri_verts"],
             instance_w2o=packed["instance_w2o"],
             instance_blas_root=packed["instance_blas_root"],
-            instance_object=packed["instance_object"])
+            instance_object=packed["instance_object"],
+            instance_motion=packed.pop("__instance_motion__", None))
         packed["bvh_nodes_packed"] = nodes_packed
         packed["bvh_leaf_blocks"] = leaf_blocks
 
@@ -785,6 +809,7 @@ class Scene:
             "background_shader": ds["background_shader"],
             "use_brute": ds["use_brute"],
             "has_instances": ds.get("has_instances", False),
+            "has_motion": any(o.use_motion for o in self.objects),
             "film_transparent": ds["film_transparent"],
             "num_area_lamps": num_area_lamps,
             "lamp_types": lamp_types,

@@ -34,7 +34,8 @@ from raytracingproject_tpu.models import object as ob
 RAY_EPS = 1e-4
 
 
-def _scene_intersect(kg, o, d, tmin, tmax, visibility, shadow=False):
+def _scene_intersect(kg, o, d, tmin, tmax, visibility, shadow=False,
+                     time=None):
     ds = kg["dscene"]
     if kg["use_brute"]:
         return isect.intersect_brute(
@@ -49,7 +50,8 @@ def _scene_intersect(kg, o, d, tmin, tmax, visibility, shadow=False):
             prim_object=ds["prim_object_packed"],
             visibility=visibility,
             object_visibility=ds["object_visibility"],
-            shadow_any_hit=shadow)
+            shadow_any_hit=shadow, time=time,
+            has_motion=bool(kg.get("has_motion", False)))
     return isect.intersect_bvh(
         ds["bvh_bounds"], ds["bvh_children"], ds["tri_verts"],
         ds["prim_object_packed"], o, d, tmin, tmax,
@@ -232,7 +234,7 @@ def make_path_kernel(kg, px, py, pixel_index):
                                 jnp.uint32(ob.PATH_RAY_TRANSMIT),
                                 jnp.uint32(ob.PATH_RAY_GLOSSY))))
         hit = _scene_intersect(kg, st["o"], st["d"], st["tmin"], st["tmax"],
-                               vis_ray)
+                               vis_ray, time=st["time"])
         found = hit["prim"] >= 0
 
         L = st["L"]

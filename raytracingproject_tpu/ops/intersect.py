@@ -427,7 +427,8 @@ _BIG = 1e30  # finite stand-in for +/-inf bounds
 def intersect_bvh_packed(nodes_packed, leaf_blocks, o, d, tmin, tmax,
                          has_instances=False, o_world=None, d_world=None,
                          prim_object=None, visibility=None,
-                         object_visibility=None, shadow_any_hit=False):
+                         object_visibility=None, shadow_any_hit=False,
+                         time=None, has_motion=False):
     """Lockstep traversal over the packed layout: 2 row fetches per
     iteration. Semantics identical to intersect_bvh."""
     n = o.shape[0]
@@ -579,6 +580,16 @@ def intersect_bvh_packed(nodes_packed, leaf_blocks, o, d, tmin, tmax,
             w2o = lrow[:, 0:12].reshape(n, 3, 4)
             blas = jnp.round(lrow[:, 12]).astype(jnp.int32)
             iobj = jnp.round(lrow[:, 13]).astype(jnp.int32)
+            if has_motion and time is not None:
+                # object motion blur: interpolate the decomposed
+                # object->world transform at the lane's shutter time and
+                # invert on the fly (ref: object_fetch_transform_motion)
+                from raytracingproject_tpu.utils import transform as _tfm
+                moving = lrow[:, 14] > 0.5
+                o2w_t = _tfm.motion_interpolate(lrow[:, 16:32],
+                                                lrow[:, 32:48], time)
+                w2o_t = _tfm.quick_inverse_jnp(o2w_t)
+                w2o = jnp.where(moving[:, None, None], w2o_t, w2o)
             o_l = (w2o[:, :, :3] @ o_world[..., None])[..., 0] + w2o[:, :, 3]
             d_l = (w2o[:, :, :3] @ d_world[..., None])[..., 0]
             o_cur = jnp.where(is_inst_leaf[:, None], o_l, o_cur)
@@ -617,7 +628,7 @@ def intersect_bvh_packed(nodes_packed, leaf_blocks, o, d, tmin, tmax,
 
 def pack_traversal_tables(bvh_bounds, bvh_children, tri_verts,
                           instance_w2o=None, instance_blas_root=None,
-                          instance_object=None):
+                          instance_object=None, instance_motion=None):
     """Host-side repack of (bounds, children, prim-ordered tris) into
     the single-fetch layout consumed by intersect_bvh_packed. Leaf
     references are re-encoded from prim ranges to leaf-block rows; every
@@ -647,6 +658,12 @@ def pack_traversal_tables(bvh_bounds, bvh_children, tri_verts,
                                    np.float32).reshape(12)
             row[12] = float(int(instance_blas_root[start]))
             row[13] = float(int(instance_object[start]))
+            if instance_motion is not None \
+                    and instance_motion[start] is not None:
+                d0, d1 = instance_motion[start]
+                row[14] = 1.0
+                row[16:32] = d0
+                row[32:48] = d1
             leaf_rows.append(row)
             code = 1 + (len(leaf_rows) - 1) * 16 + 1
             assert code < (1 << 24)

@@ -205,3 +205,33 @@ def motion_interpolate(decomp_a, decomp_b, t):
     # breaks the fp32 accuracy contract for transforms.
     m = jnp.matmul(rot, sm, precision="highest")
     return jnp.concatenate([m, trans[..., None]], axis=-1)
+
+
+def quick_inverse_jnp(m):
+    """Batched inverse of affine (..., 3, 4) transforms (jnp).
+    ref: transform_quick_inverse — adjugate/determinant 3x3 + -R^-1 t."""
+    r = m[..., :3, :3]
+    t = m[..., :3, 3]
+    c00 = r[..., 1, 1] * r[..., 2, 2] - r[..., 1, 2] * r[..., 2, 1]
+    c01 = r[..., 1, 2] * r[..., 2, 0] - r[..., 1, 0] * r[..., 2, 2]
+    c02 = r[..., 1, 0] * r[..., 2, 1] - r[..., 1, 1] * r[..., 2, 0]
+    det = r[..., 0, 0] * c00 + r[..., 0, 1] * c01 + r[..., 0, 2] * c02
+    inv_det = jnp.where(jnp.abs(det) > 1e-18,
+                        1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    adj = jnp.stack([
+        jnp.stack([c00,
+                   r[..., 0, 2] * r[..., 2, 1] - r[..., 0, 1] * r[..., 2, 2],
+                   r[..., 0, 1] * r[..., 1, 2] - r[..., 0, 2] * r[..., 1, 1]],
+                  -1),
+        jnp.stack([c01,
+                   r[..., 0, 0] * r[..., 2, 2] - r[..., 0, 2] * r[..., 2, 0],
+                   r[..., 0, 2] * r[..., 1, 0] - r[..., 0, 0] * r[..., 1, 2]],
+                  -1),
+        jnp.stack([c02,
+                   r[..., 0, 1] * r[..., 2, 0] - r[..., 0, 0] * r[..., 2, 1],
+                   r[..., 0, 0] * r[..., 1, 1] - r[..., 0, 1] * r[..., 1, 0]],
+                  -1),
+    ], -2)
+    rinv = adj * inv_det[..., None, None]
+    tinv = -(rinv @ t[..., None])[..., 0]
+    return jnp.concatenate([rinv, tinv[..., None]], -1)

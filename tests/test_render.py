@@ -184,3 +184,53 @@ class TestHoldout:
         assert alpha.min() < 0.05
         assert alpha.max() > 0.95
         assert (alpha < 0.5).mean() > 0.03  # a visible hole exists
+
+
+class TestObjectMotionBlur:
+    def test_moving_object_blurs(self):
+        """An object translated over the shutter must smear along its
+        path; the static version must not (ref: object motion blur,
+        blender_object.cpp:422 motion step sync)."""
+        from raytracingproject_tpu.models import Object
+        from raytracingproject_tpu.models.mesh import make_box_mesh
+        from raytracingproject_tpu.utils import transform as tfm
+
+        def build(mode):
+            scene = examples.cornell_box(32, 32, spp=16)
+            if mode == "none":
+                return scene
+            box = make_box_mesh((240, 240, 180), (320, 320, 260), 0,
+                                "mover")
+            box.used_shaders = [examples.diffuse_shader("mover_mat",
+                                                        (0.9, 0.9, 0.2))]
+            scene.add_shader(box.used_shaders[0])
+            obj = Object("mover", box)
+            if mode == "moving":
+                obj.set("use_motion", True)
+                obj.set("motion_start", tfm.translate(-90, 0, 0))
+                obj.set("motion_end", tfm.translate(90, 0, 0))
+            scene.add_object(obj)
+            return scene
+
+        img_non, _ = render(build("none"), 32, 32, 16)
+        img_mov, _ = render(build("moving"), 32, 32, 16)
+        img_sta, _ = render(build("static"), 32, 32, 16)
+        assert np.isfinite(img_mov).all()
+
+        # the mover's footprint = pixels it changes vs the empty scene
+        def footprint_cols(img):
+            d = np.abs(img - img_non).max(-1)
+            cols = np.nonzero((d > 0.08).any(axis=0))[0]
+            return cols
+        cols_mov = footprint_cols(img_mov)
+        cols_sta = footprint_cols(img_sta)
+        assert len(cols_sta) > 0 and len(cols_mov) > 0
+        span_mov = cols_mov.max() - cols_mov.min()
+        span_sta = cols_sta.max() - cols_sta.min()
+        assert span_mov >= span_sta + 3, (span_mov, span_sta,
+                                          cols_mov, cols_sta)
+        # kg flags exercised the motion path
+        s = build("moving")
+        s.device_update()
+        kg = s.make_kernel_globals()
+        assert kg["has_motion"] and kg["has_instances"]
