@@ -179,9 +179,11 @@ def make_path_kernel(kg, px, py, pixel_index):
             "sample": samples_u32,
         }
         if has_volume:
-            # single-level volume tracking (ref: volume stack,
-            # kernel_types.h:1035; nested media follow with ray-marcher)
+            # two-level volume stack (ref: volume stack,
+            # kernel_types.h:1035): current medium + one enclosing
+            # medium (covers glass-in-smoke etc.; deeper nesting later)
             state["vol_shader"] = jnp.full((n,), -1, jnp.int32)
+            state["vol_outer"] = jnp.full((n,), -1, jnp.int32)
         if has_sss:
             # random-walk SSS medium (ref: kernel_subsurface.h random
             # walk; the walk reuses the volume scattering machinery)
@@ -714,8 +716,15 @@ def make_path_kernel(kg, px, py, pixel_index):
             crossing = (is_trans | is_transp) & on_surface & alive2
             entering = crossing & shader_vol & ~sd.backfacing
             exiting = crossing & sd.backfacing
+            # push/pop the 2-level stack (ref: kernel_volume_stack_*)
+            exit_cur = exiting & (sd.shader == st["vol_shader"])
+            exit_outer = exiting & ~exit_cur & (sd.shader == st["vol_outer"])
+            new_outer = jnp.where(entering, st["vol_shader"],
+                                  jnp.where(exit_cur | exit_outer, -1,
+                                            st["vol_outer"]))
             new_vol = jnp.where(entering, sd.shader,
-                                jnp.where(exiting, -1, st["vol_shader"]))
+                                jnp.where(exit_cur, st["vol_outer"],
+                                          st["vol_shader"]))
 
         if light_passes:
             cat_now = jnp.where(
@@ -747,6 +756,7 @@ def make_path_kernel(kg, px, py, pixel_index):
         }
         if has_volume:
             out["vol_shader"] = new_vol
+            out["vol_outer"] = new_outer
         if has_sss:
             radius = jnp.clip(closures["subsurface_radius"], 1e-5, 1e8)
             out["in_sss"] = ((st["in_sss"] & ~sss_exit) | entry) & alive2

@@ -130,3 +130,28 @@ class TestHeterogeneous:
         img = render(scene, 16, 16, 8)
         assert np.isfinite(img).all()
         assert img.mean() > 0.01
+
+
+class TestNestedVolumes:
+    def test_object_inside_fog_restores_medium(self):
+        """A ray passing through a transparent box inside fog must be
+        back inside the fog after exiting the box (2-level stack)."""
+        from raytracingproject_tpu.models import Object, Shader, ShaderGraph
+        from raytracingproject_tpu.models import shader_nodes as sn
+        from raytracingproject_tpu.models.mesh import make_box_mesh
+        scene = examples.volume_furnace(16, 16, density=0.8)
+        # transparent box inside the fog
+        g = ShaderGraph()
+        t = g.add(sn.TransparentBsdfNode("t"))
+        g.connect(t, "bsdf", g.output_node, "surface")
+        tr = Shader("clear", g)
+        scene.add_shader(tr)
+        inner = make_box_mesh((-0.4, -0.4, -0.4), (0.4, 0.4, 0.4), 0,
+                              "inner")
+        inner.used_shaders = [tr]
+        scene.add_object(Object("inner", inner))
+        img = render(scene, 16, 16, spp=48)
+        assert np.isfinite(img).all()
+        # pure-scattering albedo-1 fog + lossless transparent box in a
+        # unit furnace must still conserve energy
+        assert abs(float(img.mean()) - 1.0) < 0.05, img.mean()
