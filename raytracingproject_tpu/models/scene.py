@@ -810,6 +810,8 @@ class Scene:
             "use_brute": ds["use_brute"],
             "has_instances": ds.get("has_instances", False),
             "has_motion": any(o.use_motion for o in self.objects),
+            "has_shadow_catcher": any(o.is_shadow_catcher
+                                      for o in self.objects),
             "film_transparent": ds["film_transparent"],
             "num_area_lamps": num_area_lamps,
             "lamp_types": lamp_types,

@@ -126,6 +126,7 @@ def make_path_kernel(kg, px, py, pixel_index):
     if "nee" in ablate:
         has_lights = False
     features = kg.get("features") or {}
+    has_catcher = bool(kg.get("has_shadow_catcher", False))
     has_volume = bool(features.get("has_volume", False)) \
         and "volume" not in ablate
     has_sss = bool(features.get("has_subsurface", False)) \
@@ -581,6 +582,25 @@ def make_path_kernel(kg, px, py, pixel_index):
                                     contrib)
                 blocked = jnp.where(in_vol_sh,
                                     sh_found & ~is_boundary, blocked)
+            if has_catcher:
+                # shadow catcher (ref: OBJECT_FLAG_SHADOW_CATCHER,
+                # simplified pre-Cycles-X semantics): camera hits on
+                # catcher objects produce a shadow matte — alpha is the
+                # blocked fraction of NEE light, color contributes
+                # nothing, and the lane ends.
+                from raytracingproject_tpu.ops import lookup as _lkc
+                oflags = _lkc.lookup_rows(
+                    ds["object_table"],
+                    jnp.maximum(hit["object"], 0))[:, _lkc.OT_FLAGS]
+                is_catch = on_surface & is_camera_hit \
+                    & ((oflags.astype(jnp.int32)
+                        & ob.OBJECT_FLAG_SHADOW_CATCHER) > 0)
+                shadowed = is_catch & (blocked | ~ls["valid"])
+                if kg["film_transparent"]:
+                    alpha = jnp.where(is_catch,
+                                      shadowed.astype(jnp.float32), alpha)
+                alive = alive & ~is_catch
+                can_light = can_light & ~is_catch
             L = jnp.where((can_light & ~blocked)[:, None], L + contrib, L)
             if light_passes:
                 lit = can_light & ~blocked

@@ -234,3 +234,42 @@ class TestObjectMotionBlur:
         s.device_update()
         kg = s.make_kernel_globals()
         assert kg["has_motion"] and kg["has_instances"]
+
+
+class TestShadowCatcher:
+    def test_catcher_matte(self):
+        """A shadow-catcher ground under a box lit by a distant sun:
+        alpha captures the shadow footprint, lit areas are alpha 0."""
+        from raytracingproject_tpu.models import (Scene, Light, Object)
+        from raytracingproject_tpu.models.mesh import (make_plane_mesh,
+                                                       make_box_mesh)
+        from raytracingproject_tpu.utils import transform as tfm
+        scene = Scene()
+        scene.camera.set("matrix", tfm.look_at((0, -10, 8), (0, 0, 0),
+                                               (0, 0, 1)))
+        scene.camera.set("fov", 0.7)
+        scene.camera.set("width", 24)
+        scene.camera.set("height", 24)
+        scene.background.set("transparent", True)
+        ground = make_plane_mesh((-8, -8, 0), (16, 0, 0), (0, 16, 0))
+        gobj = Object("ground", ground, is_shadow_catcher=True)
+        scene.add_object(gobj)
+        box = make_box_mesh((-1, -1, 2), (1, 1, 4))
+        scene.add_object(Object("box", box))
+        scene.add_light(Light("sun", light_type="distant",
+                              dir=(0, 0, -1), strength=(5, 5, 5),
+                              angle=0.02))
+        scene.device_update()
+        kg = scene.make_kernel_globals()
+        assert kg["has_shadow_catcher"]
+        yy, xx = np.mgrid[0:24, 0:24]
+        px = jnp.asarray(xx.reshape(-1), jnp.int32)
+        py = jnp.asarray(yy.reshape(-1), jnp.int32)
+        L, A = jax.jit(lambda a, b, c: integ.render_samples(
+            kg, a, b, c, 0, 8))(px, py, py * 24 + px)
+        alpha = np.asarray(A).reshape(24, 24) / 8
+        # shadow footprint directly under the box -> alpha ~1 there,
+        # lit ground elsewhere -> alpha ~0
+        assert alpha.max() > 0.7
+        shadow_frac = (alpha > 0.5).mean()
+        assert 0.005 < shadow_frac < 0.5, shadow_frac
