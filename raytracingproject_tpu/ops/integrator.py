@@ -138,7 +138,12 @@ def make_path_kernel(kg, px, py, pixel_index):
     light_passes = bool(kg.get("light_passes", False))
     LP_CATS = ("diffuse", "glossy", "transmission", "volume")
 
-    def start_paths(samples_u32):
+    def start_paths(samples_u32, samples_cam=None):
+        # samples_cam: branched-path mode pins the camera dims to the
+        # AA sample while the path dims advance per branch
+        # (ref: kernel_path_branched.h splitting structure)
+        if samples_cam is None:
+            samples_cam = samples_u32
         if kg.get("ray_override") is not None:
             # baking / custom primary rays (ref: kernel_bake.h — bake
             # shoots probe rays at the surface instead of camera rays)
@@ -151,7 +156,7 @@ def make_path_kernel(kg, px, py, pixel_index):
             # --- camera sample (ref: kernel_path.h:643-660) ---
             cu, cv = rng2_batch(
                 [rngu.PRNG_FILTER, rngu.PRNG_LENS, rngu.PRNG_TIME],
-                samples=samples_u32)
+                samples=samples_cam)
             (fu, lens_u, time_u), (fv, lens_v, _) = cu, cv
             ft = kg["filter_table"]
             raster_x = px.astype(jnp.float32) + 0.5 \
@@ -890,3 +895,36 @@ def _sel(mask, a, b):
     while m.ndim < a.ndim:
         m = m[..., None]
     return jnp.where(m, a, b)
+
+
+def render_samples_branched(kg, px, py, pixel_index, aa_start, num_aa,
+                            branch):
+    """Branched-path mode (ref: kernel_path_branched.h): each AA sample
+    reuses its camera/filter/lens dims across `branch` shading branches
+    whose per-bounce dims advance independently — few camera samples,
+    many shading samples, the reference's variance trade.
+
+    Returns (L_sum, A_sum) over num_aa x branch total samples.
+    """
+    start_paths, step = make_path_kernel(kg, px, py, pixel_index)
+    n = px.shape[0]
+    max_bounce = int(kg["kint"]["max_bounce"])
+
+    def one(aa, k, acc):
+        L, A = acc
+        s_cam = jnp.broadcast_to(
+            jnp.uint32(aa_start) + aa.astype(jnp.uint32), (n,))
+        s_path = jnp.broadcast_to(
+            (jnp.uint32(aa_start) + aa.astype(jnp.uint32))
+            * jnp.uint32(branch) + k.astype(jnp.uint32), (n,))
+        st = start_paths(s_path, samples_cam=s_cam)
+        fin = jax.lax.fori_loop(0, max_bounce + 1,
+                                lambda i, s: step(i, s), st)
+        return (L + fin["L"], A + fin["alpha"])
+
+    def aa_body(aa, acc):
+        return jax.lax.fori_loop(
+            0, branch, lambda k, a: one(aa, k, a), acc)
+
+    init = (jnp.zeros((n, 3), jnp.float32), jnp.zeros((n,), jnp.float32))
+    return jax.lax.fori_loop(0, num_aa, aa_body, init)

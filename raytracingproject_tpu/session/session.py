@@ -190,11 +190,25 @@ class Session:
             # required when aux/light passes are collected
             use_regen = not kg.get("aux_passes") \
                 and not kg.get("light_passes")
-            renderer = integ.render_samples_regen if use_regen \
-                else integ.render_samples
+            branched = int(kg["kint"]["method"]) == 1
+            if branched:
+                branch = max(int(kg["kint"].get("diffuse_samples", 1))
+                             if False else 1,
+                             int(self.scene.integrator.diffuse_samples),
+                             int(self.scene.integrator.glossy_samples),
+                             int(self.scene.integrator.mesh_light_samples))
+                branch = max(min(branch, num_samples), 1)
 
-            def fn(px, py, pidx, start):
-                return renderer(kg, px, py, pidx, start, num_samples)
+                def fn(px, py, pidx, start):
+                    num_aa = max(num_samples // branch, 1)
+                    return integ.render_samples_branched(
+                        kg, px, py, pidx, start, num_aa, branch)
+            else:
+                renderer = integ.render_samples_regen if use_regen \
+                    else integ.render_samples
+
+                def fn(px, py, pidx, start):
+                    return renderer(kg, px, py, pidx, start, num_samples)
             self._render_fns[key] = jax.jit(fn)
         return self._render_fns[key]
 

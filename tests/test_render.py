@@ -273,3 +273,27 @@ class TestShadowCatcher:
         assert alpha.max() > 0.7
         shadow_frac = (alpha > 0.5).mean()
         assert 0.005 < shadow_frac < 0.5, shadow_frac
+
+
+class TestBranchedPath:
+    def test_branched_matches_path_mean(self):
+        """Branched mode (AA x branch) converges to the same image as
+        plain path tracing with equal total samples."""
+        scene = examples.cornell_box(16, 16, spp=16)
+        scene.device_update()
+        kg = scene.make_kernel_globals()
+        yy, xx = np.mgrid[0:16, 0:16]
+        px = jnp.asarray(xx.reshape(-1), jnp.int32)
+        py = jnp.asarray(yy.reshape(-1), jnp.int32)
+        pidx = py * 16 + px
+        Lp, _ = jax.jit(lambda a, b, c: integ.render_samples(
+            kg, a, b, c, 0, 16))(px, py, pidx)
+        Lb, _ = jax.jit(lambda a, b, c: integ.render_samples_branched(
+            kg, a, b, c, 0, 4, 4))(px, py, pidx)
+        imp = np.asarray(Lp).reshape(16, 16, 3) / 16
+        imb = np.asarray(Lb).reshape(16, 16, 3) / 16
+        assert np.isfinite(imb).all()
+        assert abs(imp.mean() - imb.mean()) < 0.08 * max(imp.mean(), 1e-6)
+        # per-pixel agreement within Monte Carlo noise
+        close = np.isclose(imp, imb, atol=0.6, rtol=0.6).mean()
+        assert close > 0.9
