@@ -192,9 +192,7 @@ class Session:
                 and not kg.get("light_passes")
             branched = int(kg["kint"]["method"]) == 1
             if branched:
-                branch = max(int(kg["kint"].get("diffuse_samples", 1))
-                             if False else 1,
-                             int(self.scene.integrator.diffuse_samples),
+                branch = max(int(self.scene.integrator.diffuse_samples),
                              int(self.scene.integrator.glossy_samples),
                              int(self.scene.integrator.mesh_light_samples))
                 branch = max(min(branch, num_samples), 1)

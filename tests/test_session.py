@@ -152,3 +152,16 @@ class TestSharding:
     def test_graft_dryrun_multichip(self):
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
+
+
+class TestBranchedSession:
+    def test_branched_method_renders(self):
+        scene = examples.cornell_box(16, 16, spp=8)
+        scene.integrator.set("method", "branched_path")
+        scene.integrator.set("diffuse_samples", 4)
+        sess = Session(scene, SessionParams(samples=8,
+                                            progressive_refine_chunk=8))
+        sess.reset()
+        img = sess.render()
+        assert np.isfinite(img).all()
+        assert img[..., :3].mean() > 0.02
