@@ -204,6 +204,8 @@ def make_path_kernel(kg, px, py, pixel_index):
             state["aux_material_id"] = jnp.full((n,), -1.0, jnp.float32)
             state["aux_emission"] = jnp.zeros((n, 3), jnp.float32)
             state["aux_background"] = jnp.zeros((n, 3), jnp.float32)
+            if "ao" in aux_names:
+                state["aux_ao"] = jnp.zeros((n, 3), jnp.float32)
         if light_passes:
             # per-category radiance split (ref: kernel_accumulate.h
             # PathRadiance direct/indirect/color decomposition); the
@@ -442,6 +444,30 @@ def make_path_kernel(kg, px, py, pixel_index):
             # from within): flip the shading frame for exit lanes
             sd.N = jnp.where(sss_exit[:, None], -sd.N, sd.N)
             sd.Ng = jnp.where(sss_exit[:, None], -sd.Ng, sd.Ng)
+
+        # ---- AO pass (ref: kernel_path.h kernel_path_ao): one cosine
+        # hemisphere occlusion probe at the camera hit ----
+        if aux_names and "ao" in aux_names:
+            ao_u, ao_v = rng2_batch(
+                [jnp.uint32(rngu.PRNG_BASE_NUM - 1)],
+                samples=st["sample"])
+            ao_dir, _pdf_ao = um.sample_cos_hemisphere(
+                sd.N, ao_u[0], ao_v[0])
+            ao_dist = float(kint["ao_distance"])
+            ao_off = jnp.where(um.dot(ao_dir, sd.Ng)[:, None] > 0,
+                               sd.Ng, -sd.Ng) * RAY_EPS
+            ao_blocked = _shadow_blocked(
+                kg, sd.P + ao_off, ao_dir,
+                jnp.full((n,), 1e-5, jnp.float32),
+                jnp.full((n,), min(ao_dist, 1e30), jnp.float32))
+            ao_first = on_surface & (bounce == 0)
+            st = dict(st)
+            st["aux_ao"] = jnp.where(
+                ao_first[:, None],
+                jnp.where(ao_blocked, 0.0,
+                          float(kint["ao_factor"]))[:, None]
+                * jnp.ones(3),
+                st["aux_ao"])
 
         # ---- aux passes: first camera-hit data ----
         if aux_names:

@@ -127,11 +127,13 @@ class Session:
         aux_wanted = {fm.PASS_NORMAL, fm.PASS_DEPTH, fm.PASS_OBJECT_ID,
                       fm.PASS_MATERIAL_ID, fm.PASS_EMISSION,
                       fm.PASS_BACKGROUND, fm.PASS_DENOISING_NORMAL,
-                      fm.PASS_DENOISING_ALBEDO}
+                      fm.PASS_DENOISING_ALBEDO, fm.PASS_AO}
         if any(p.type in aux_wanted for p in self.scene.film.passes):
-            self._kg["aux_passes"] = ("normal", "albedo", "depth",
-                                      "object_id", "material_id",
-                                      "emission", "background")
+            aux = ["normal", "albedo", "depth", "object_id",
+                   "material_id", "emission", "background"]
+            if any(p.type == fm.PASS_AO for p in self.scene.film.passes):
+                aux.append("ao")
+            self._kg["aux_passes"] = tuple(aux)
         light_pass_types = {
             fm.PASS_DIFFUSE_DIRECT, fm.PASS_DIFFUSE_INDIRECT,
             fm.PASS_DIFFUSE_COLOR, fm.PASS_GLOSSY_DIRECT,
@@ -148,6 +150,7 @@ class Session:
         "normal": "normal", "depth": "depth", "object_id": "object_id",
         "material_id": "material_id", "emission": "emission",
         "background": "background",
+        "ao": "ao",
         "diffuse_direct": "diffuse_direct",
         "diffuse_indirect": "diffuse_indirect",
         "diffuse_color": "diffuse_color",

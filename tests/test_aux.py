@@ -78,3 +78,19 @@ class TestAdaptive:
         assert "Device scene memory" in rep
         assert "prim_table" in rep
         assert "Msamples/s" in rep
+
+
+class TestAO:
+    def test_ao_pass(self):
+        scene = examples.cornell_box(20, 20, spp=4)
+        scene.integrator.set("ao_distance", 200.0)
+        scene.film.set_passes([fm.PASS_COMBINED, fm.PASS_AO])
+        sess = Session(scene, SessionParams(samples=4))
+        sess.reset()
+        sess.render()
+        ao = sess.buffers.get_pass_rect(fm.PASS_AO)
+        assert np.isfinite(ao).all()
+        # open wall areas bright, crevices near boxes darker
+        assert ao.max() > 0.8
+        assert ao.min() < 0.6
+        assert 0.2 < ao.mean() < 1.0
