@@ -68,10 +68,17 @@ def rasterize_uv(mesh, width, height):
     return prim, bu, bv
 
 
-def bake(scene, obj, width, height, spp=16, probe_offset=1e-3):
-    """Bake the combined lighting of `obj` into a (H, W, 4) image
-    (rgb + coverage mask). Probe rays start just off the surface and
-    look back at it, then the normal integrator takes over."""
+def bake(scene, obj, width, height, spp=16, probe_offset=1e-3,
+         mode="combined", ao_distance=1e10):
+    """Bake `obj` into a (H, W, 4) image (rgb + coverage mask).
+
+    mode (ref: bake.cpp shader type switch / kernel_bake.h):
+      "combined" — probe rays through the full integrator (real GI);
+      "ao"       — cosine-hemisphere occlusion probes within
+                   `ao_distance` (ref: kernel_bake.h AO bake);
+      "normal"   — world-space shading normal remapped to [0, 1]
+                   (no rays traced).
+    """
     import jax
     import jax.numpy as jnp
     from raytracingproject_tpu.ops import integrator as integ
@@ -100,12 +107,50 @@ def bake(scene, obj, width, height, spp=16, probe_offset=1e-3):
     N = fn_ @ itt.T
     N /= np.maximum(np.linalg.norm(N, axis=-1, keepdims=True), 1e-12)
 
+    img = np.zeros((height, width, 4), np.float32)
+    img[ys, xs, 3] = 1.0
+    if mode == "normal":
+        img[ys, xs, :3] = N * 0.5 + 0.5
+        return img
+
     # scale-aware probe distance
     lo, hi = mesh.compute_bounds()
     eps = max(float(np.max(hi - lo)), 1.0) * probe_offset
 
     scene.device_update()
     kg = scene.make_kernel_globals()
+
+    if mode == "ao":
+        from raytracingproject_tpu.utils import math as um
+        from raytracingproject_tpu.utils import rng as rngu
+
+        o_np = (P + N * eps).astype(np.float32)
+        n_np = N.astype(np.float32)
+
+        def ao_fn(o, nrm):
+            m = o.shape[0]
+            lane = jnp.arange(m, dtype=jnp.uint32)
+
+            def body(i, acc):
+                h = rngu.hash_pcg3d(lane, jnp.uint32(i),
+                                    jnp.uint32(0x51ED270B))
+                u1 = rngu.uint_to_float_01(h)
+                u2 = rngu.uint_to_float_01(rngu.hash_pcg(h))
+                d, _pdf = um.sample_cos_hemisphere(nrm, u1, u2)
+                blocked = integ._shadow_blocked(
+                    kg, o, d, jnp.full((m,), 1e-5, jnp.float32),
+                    jnp.full((m,), min(float(ao_distance), 1e30),
+                             jnp.float32))
+                return acc + jnp.where(blocked, 0.0, 1.0)
+
+            acc = jax.lax.fori_loop(
+                0, spp, body, jnp.zeros((m,), jnp.float32))
+            return acc / spp
+
+        ao = np.asarray(jax.jit(ao_fn)(jnp.asarray(o_np),
+                                       jnp.asarray(n_np)))
+        img[ys, xs, :3] = ao[:, None]
+        return img
 
     # pad to a lane-friendly multiple
     pad = (-n) % 1024
@@ -120,8 +165,5 @@ def bake(scene, obj, width, height, spp=16, probe_offset=1e-3):
     out = jax.jit(lambda a, b, c: integ.render_samples(
         kg, a, b, c, 0, spp))(px, py, jnp.asarray(pidx, jnp.int32))
     L = np.asarray(out[0])[:n] / spp
-
-    img = np.zeros((height, width, 4), np.float32)
     img[ys, xs, :3] = L
-    img[ys, xs, 3] = 1.0
     return img

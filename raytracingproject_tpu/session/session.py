@@ -94,6 +94,11 @@ class Session:
             self._thread.join()
             self._thread = None
 
+    def set_pause(self, pause=True):
+        """Pause/resume the render between progressive chunks
+        (ref: session.cpp set_pause + pause_cond wait loop)."""
+        self.progress.set_pause(pause)
+
     def render(self):
         """Synchronous full render; returns display RGBA (H, W, 4)."""
         self._run()
@@ -279,6 +284,7 @@ class Session:
         chunk_parity = 0
         while True:
             self.progress.check_cancel()
+            self.progress.wait_if_paused()
             ts = self.tile_manager.next()
             if ts is None:
                 break

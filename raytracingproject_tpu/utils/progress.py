@@ -38,7 +38,27 @@ class Progress:
             self.render_start_time = self.start_time
             self.time_limit = 0.0
             self.sync_time = 0.0
+            self.paused = False
             self.update_cb = None
+
+    # --- pause (ref: util_progress.h set_pause / Session pause loop) ---
+    def set_pause(self, pause=True):
+        with self._lock:
+            self.paused = bool(pause)
+
+    def wait_if_paused(self, poll=0.02):
+        """Block while paused; pause time is excluded from render time.
+        Raises CancelledError if cancelled while paused."""
+        if not getattr(self, "paused", False):
+            return
+        t0 = time.monotonic()
+        prev = self.status
+        self.set_status("Paused", self.substatus)
+        while getattr(self, "paused", False):
+            self.check_cancel()
+            time.sleep(poll)
+        self.add_skip_time(time.monotonic() - t0)
+        self.set_status(prev, self.substatus)
 
     # --- cancel / error (ref: util_progress.h:52-118) ---
     def set_cancel(self, message="Cancelled"):

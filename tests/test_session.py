@@ -165,3 +165,31 @@ class TestBranchedSession:
         img = sess.render()
         assert np.isfinite(img).all()
         assert img[..., :3].mean() > 0.02
+
+
+class TestPause:
+    def test_pause_blocks_then_resumes(self):
+        import threading, time
+        scene = examples.cornell_box(12, 12, spp=4)
+        sess = Session(scene, SessionParams(samples=4,
+                                            progressive_refine_chunk=2))
+        sess.reset()
+        first_chunk = threading.Event()
+        sess.update_render_cb = lambda img, s: first_chunk.set()
+        sess.set_pause(False)
+        sess.start()
+        assert first_chunk.wait(timeout=120)
+        sess.set_pause(True)
+        # give the loop a moment to reach the pause gate
+        deadline = time.monotonic() + 30
+        while (sess.progress.status != "Paused"
+               and time.monotonic() < deadline
+               and sess.buffers.num_samples < 4):
+            time.sleep(0.02)
+        paused_at = sess.buffers.num_samples
+        time.sleep(0.3)
+        assert sess.buffers.num_samples == paused_at  # no progress paused
+        sess.set_pause(False)
+        sess.wait()
+        assert sess.buffers.num_samples == 4
+        assert not sess.progress.error
