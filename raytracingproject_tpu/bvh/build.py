@@ -254,3 +254,44 @@ def _mt_intersect_np(tri, o, d):
         return None, 0, 0
     t = (e2 @ qvec) * inv
     return (t, u, v) if t > 0 else (None, 0, 0)
+
+
+def refit_bvh(bvh, lo, hi):
+    """Refit node bounds in place for deformed primitive AABBs with
+    UNCHANGED topology (ref: bvh/bvh.cpp BVH::refit,
+    bvh/bvh2.cpp BVH2::refit_node) — the cheap update path for
+    animation/deformation between frames.
+
+    Both the NumPy and native builders allocate child nodes after their
+    parent, so node ids are topologically sorted and one reverse sweep
+    visits children before parents (bottom-up).
+    """
+    lo = np.asarray(lo, np.float32).reshape(-1, 3)
+    hi = np.asarray(hi, np.float32).reshape(-1, 3)
+    m = bvh.num_nodes
+    node_lo = np.zeros((m, 3), np.float32)
+    node_hi = np.zeros((m, 3), np.float32)
+    order = bvh.prim_order
+    for i in range(m - 1, -1, -1):
+        b = bvh.bounds[i]
+        for k in (0, 1):
+            c = int(bvh.children[i, k])
+            if c >= 0:
+                clo, chi = node_lo[c], node_hi[c]
+            else:
+                start, count = decode_leaf(c)
+                if count == 0:
+                    clo = np.full(3, np.inf, np.float32)
+                    chi = np.full(3, -np.inf, np.float32)
+                else:
+                    prims = order[start:start + count]
+                    clo = lo[prims].min(0)
+                    chi = hi[prims].max(0)
+            b[6 * k:6 * k + 3] = clo
+            b[6 * k + 3:6 * k + 6] = chi
+        node_lo[i] = np.minimum(b[0:3], b[6:9])
+        node_hi[i] = np.maximum(b[3:6], b[9:12])
+    if len(lo):
+        bvh.root_bound_lo = lo.min(0)
+        bvh.root_bound_hi = hi.max(0)
+    return bvh

@@ -250,3 +250,63 @@ class TestPackedTraversal:
         close = np.isclose(Li, Lf, atol=5e-2, rtol=0.2).all(-1)
         assert close.mean() > 0.98, close.mean()
         assert abs(Li.mean() - Lf.mean()) < 0.02
+
+
+class TestRefit:
+    def _golden_hits(self, bvh, tris, o, d):
+        ts, prims = [], []
+        for i in range(len(o)):
+            t, p, _u, _v = bb.intersect_ray_np(
+                bvh, tris[bvh.prim_order], o[i], d[i])
+            ts.append(t)
+            prims.append(p)
+        return np.array(ts), np.array(prims)
+
+    def _check_deformed(self, n, seed, use_native):
+        tris = random_tris(n, seed=seed)
+        bvh = bb.build_bvh(tris.min(1), tris.max(1), use_native=use_native)
+        rng = np.random.default_rng(seed + 7)
+        # deform: non-uniform per-vertex jitter + global stretch
+        tris2 = (tris * np.array([1.3, 0.8, 1.1], np.float32)
+                 + rng.uniform(-0.5, 0.5, tris.shape).astype(np.float32))
+        bb.refit_bvh(bvh, tris2.min(1), tris2.max(1))
+        # refit tree must find the same closest hits as a fresh build
+        fresh = bb.build_bvh(tris2.min(1), tris2.max(1))
+        o = rng.uniform(-16, 16, (64, 3)).astype(np.float32)
+        d = rng.normal(size=(64, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        t_r, p_r = self._golden_hits(bvh, tris2, o, d)
+        t_f, p_f = self._golden_hits(fresh, tris2, o, d)
+        np.testing.assert_allclose(t_r, t_f, rtol=1e-5, atol=1e-5)
+        # ordered indices differ between trees; compare original prim ids
+        orig_r = np.where(p_r >= 0, bvh.prim_order[p_r], -1)
+        orig_f = np.where(p_f >= 0, fresh.prim_order[p_f], -1)
+        np.testing.assert_array_equal(orig_r, orig_f)
+
+    def test_refit_matches_rebuild_numpy(self):
+        self._check_deformed(300, seed=11, use_native=False)
+
+    def test_refit_matches_rebuild_native(self):
+        self._check_deformed(3000, seed=12, use_native=True)
+
+    def test_refit_bounds_contain_prims(self):
+        tris = random_tris(128, seed=13)
+        bvh = bb.build_bvh(tris.min(1), tris.max(1))
+        tris2 = tris + 3.0
+        bb.refit_bvh(bvh, tris2.min(1), tris2.max(1))
+        ordered = tris2[bvh.prim_order]
+        stack = [(0, None)]
+        while stack:
+            node, bound = stack.pop()
+            if node < 0:
+                start, count = bb.decode_leaf(node)
+                if count and bound is not None:
+                    lo, hi = bound
+                    seg = ordered[start:start + count]
+                    assert (seg.min((0, 1)) >= lo - 1e-4).all()
+                    assert (seg.max((0, 1)) <= hi + 1e-4).all()
+                continue
+            b = bvh.bounds[node]
+            c = bvh.children[node]
+            stack.append((int(c[0]), (b[0:3], b[3:6])))
+            stack.append((int(c[1]), (b[6:9], b[9:12])))
