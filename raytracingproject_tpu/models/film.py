@@ -43,6 +43,8 @@ PASS_ADAPTIVE_AUX = "adaptive_aux"
 PASS_SAMPLE_COUNT = "sample_count"
 PASS_MIST = "mist"
 PASS_DENOISING_NORMAL = "denoising_normal"
+PASS_AOV_COLOR = "aov_color"
+PASS_AOV_VALUE = "aov_value"
 PASS_DENOISING_ALBEDO = "denoising_albedo"
 
 PASS_CHANNELS = {
@@ -56,6 +58,7 @@ PASS_CHANNELS = {
     PASS_VOLUME_DIRECT: 3, PASS_VOLUME_INDIRECT: 3,
     PASS_CRYPTOMATTE: 4, PASS_ADAPTIVE_AUX: 4, PASS_SAMPLE_COUNT: 1,
     PASS_MIST: 1, PASS_DENOISING_NORMAL: 3, PASS_DENOISING_ALBEDO: 3,
+    PASS_AOV_COLOR: 3, PASS_AOV_VALUE: 1,
 }
 
 FILTER_BOX = 0
@@ -97,7 +100,8 @@ class Film(Node):
         self.passes = [Pass(PASS_COMBINED)]
 
     def set_passes(self, types):
-        self.passes = [Pass(t) for t in types]
+        self.passes = [t if isinstance(t, Pass) else Pass(t)
+                       for t in types]
         if PASS_COMBINED not in [p.type for p in self.passes]:
             self.passes.insert(0, Pass(PASS_COMBINED))
         self.tag_modified("passes")

@@ -114,7 +114,11 @@ class ShaderGraph:
             order.append(n)
 
         visit(self.output_node)
-        # also include dangling nodes feeding nothing (harmless, skipped)
+        # AOV outputs are sinks that don't feed the output node
+        # (ref: render/graph.cpp keeps OutputAOVNode alive in clean())
+        for n in self.nodes:
+            if getattr(n, "IS_AOV_SINK", False):
+                visit(n)
         return order
 
     def evaluate(self, ctx):
@@ -122,6 +126,8 @@ class ShaderGraph:
         view). Returns dict with 'surface' closures, 'volume' closures,
         'displacement' vector."""
         values = {}
+        aovs = {}
+        result = None
         for node in self.topo_order():
             inp = {}
             for (iname, itype, _d) in node.INPUTS:
@@ -137,15 +143,19 @@ class ShaderGraph:
                 values[(id(node), oname)] = out[oname]
             if node is self.output_node:
                 surf = inp.get("surface")
-                vol = inp.get("volume")
-                return {
+                result = {
                     "surface": surf if surf is not None
                     else cl.empty_closures(ctx.batch_shape),
-                    "volume": vol,
+                    "volume": inp.get("volume"),
                     "displacement": inp.get("displacement"),
+                    "aov": aovs,
                 }
-        return {"surface": cl.empty_closures(ctx.batch_shape),
-                "volume": None, "displacement": None}
+            if getattr(node, "IS_AOV_SINK", False):
+                aovs[node.aov_name] = out["__aov__"]
+        if result is None:
+            result = {"surface": cl.empty_closures(ctx.batch_shape),
+                      "volume": None, "displacement": None, "aov": aovs}
+        return result
 
     def finalize(self):
         """Graph cleanup pass (ref: ShaderGraph::finalize — constant
@@ -182,6 +192,10 @@ class Shader(Node):
 
     def evaluate_surface(self, ctx):
         return self.graph.evaluate(ctx)["surface"]
+
+    def aov_names(self):
+        return [n.aov_name for n in self.graph.nodes
+                if getattr(n, "IS_AOV_SINK", False)]
 
     def evaluate_volume(self, ctx):
         return self.graph.evaluate(ctx)["volume"]

@@ -1254,3 +1254,26 @@ class CameraDataNode(ShaderNode):
         return {"view_vector": -ctx.I,
                 "view_z_depth": ctx.ray_length,
                 "view_distance": ctx.ray_length}
+
+
+class OutputAOVNode(ShaderNode):
+    """Arbitrary Output Variable sink (ref: render/nodes.h OutputAOVNode,
+    svm_aov.h svm_node_aov_color/value). The written value is captured
+    at the first camera hit into a custom film pass of the same name."""
+    NODE_NAME = "aov_output"
+    INPUTS = [("color", "color", (0.0, 0.0, 0.0)),
+              ("value", "float", 0.0)]
+    OUTPUTS = []
+    IS_AOV_SINK = True
+
+    def __init__(self, name="", aov_name="aov", aov_type="color", **kw):
+        super().__init__(name, **kw)
+        self.aov_name = aov_name
+        self.aov_type = aov_type
+
+    def eval(self, ctx, inp):
+        if self.aov_type == "value":
+            v = _bf(ctx, inp["value"])
+            return {"__aov__": jnp.broadcast_to(
+                v[..., None], ctx.batch_shape + (3,))}
+        return {"__aov__": _bc(ctx, inp["color"])}

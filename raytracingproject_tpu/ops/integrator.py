@@ -135,6 +135,7 @@ def make_path_kernel(kg, px, py, pixel_index):
     has_medium = has_volume or has_sss
 
     aux_names = tuple(kg.get("aux_passes", ()))
+    aov_names = tuple(n[4:] for n in aux_names if n.startswith("aov:"))
     light_passes = bool(kg.get("light_passes", False))
     LP_CATS = ("diffuse", "glossy", "transmission", "volume")
 
@@ -206,6 +207,8 @@ def make_path_kernel(kg, px, py, pixel_index):
             state["aux_background"] = jnp.zeros((n, 3), jnp.float32)
             if "ao" in aux_names:
                 state["aux_ao"] = jnp.zeros((n, 3), jnp.float32)
+            for nm in aov_names:
+                state["aux_aov:" + nm] = jnp.zeros((n, 3), jnp.float32)
         if light_passes:
             # per-category radiance split (ref: kernel_accumulate.h
             # PathRadiance direct/indirect/color decomposition); the
@@ -415,8 +418,15 @@ def make_path_kernel(kg, px, py, pixel_index):
             from raytracingproject_tpu.ops import closures as _cl
             closures = _cl.empty_closures((n,))
             closures["diffuse"] = jnp.full((n, 3), 0.8)
+            aovs = {}
         else:
-            closures = shade_ops.eval_shaders(kg["shaders"], sd, sd.shader)
+            if aov_names:
+                closures, aovs = shade_ops.eval_shaders(
+                    kg["shaders"], sd, sd.shader, aov_names=aov_names)
+            else:
+                closures = shade_ops.eval_shaders(
+                    kg["shaders"], sd, sd.shader)
+                aovs = {}
         if has_volume:
             # volume-only materials: boundary surfaces pass straight
             # through (ref: volume boundaries are transparent hits)
@@ -485,6 +495,11 @@ def make_path_kernel(kg, px, py, pixel_index):
                 fh, sd.shader.astype(jnp.float32), st["aux_material_id"])
             st["aux_background"] = jnp.where(
                 (miss & first)[:, None], bg, st["aux_background"])
+            for nm in aov_names:
+                st["aux_aov:" + nm] = jnp.where(
+                    fh[:, None], aovs.get(
+                        nm, jnp.zeros((n, 3), jnp.float32)),
+                    st["aux_aov:" + nm])
         if light_passes:
             st = dict(st)
             fh0 = on_surface & (bounce == 0)

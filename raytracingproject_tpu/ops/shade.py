@@ -160,20 +160,32 @@ def shader_setup(dscene, hit, ray_o, ray_d, time=None, ray_depth=None,
     return sd
 
 
-def eval_shaders(shaders, sd, shader_id):
+def eval_shaders(shaders, sd, shader_id, aov_names=()):
     """Evaluate every scene shader on the wavefront, select per lane.
 
     shaders: list of models.shader.Shader (slot i == index i).
     Returns the fixed-slot closure union. Cost is O(num_shaders) masked
     evals; keep wavefronts material-sorted for dense lanes.
+
+    aov_names: custom AOV pass names to collect (ref: svm_aov.h) —
+    when non-empty, returns (closures, {name: (N, 3)}).
     """
     from raytracingproject_tpu.ops import closures as cl
     out = cl.empty_closures(sd.batch_shape)
+    aovs = {nm: jnp.zeros(sd.batch_shape + (3,), jnp.float32)
+            for nm in aov_names}
     for slot, shader in enumerate(shaders):
-        c = shader.evaluate_surface(sd)
+        res = shader.graph.evaluate(sd)
+        c = res["surface"]
         m = shader_id == slot
         for k in out:
             out[k] = jnp.where(_m(m, out[k]), c[k], out[k])
+        for nm in aov_names:
+            v = res.get("aov", {}).get(nm)
+            if v is not None:
+                aovs[nm] = jnp.where(m[..., None], v, aovs[nm])
+    if aov_names:
+        return out, aovs
     return out
 
 

@@ -39,6 +39,15 @@ class BufferParams:
             off += p.channels
         return -1
 
+    def pass_offset_name(self, name):
+        """Offset of a pass by its (possibly custom/AOV) name."""
+        off = 0
+        for p in self.passes:
+            if p.name == name:
+                return off, p.channels
+            off += p.channels
+        return -1, 0
+
     def modified(self, other):
         return (self.width, self.height, self.full_x, self.full_y,
                 [p.type for p in self.passes]) != \
@@ -102,6 +111,18 @@ class RenderBuffers:
                      film_mod.PASS_TRANSMISSION_COLOR):
             return data * inv  # data passes: mean, no exposure
         return data * (inv * exposure)
+
+    def get_pass_rect_name(self, name):
+        """Pass pixels by custom pass name (AOVs); mean over samples."""
+        off, c = self.params.pass_offset_name(name)
+        if off < 0:
+            return None
+        data = self.buffer[..., off:off + c]
+        if self.per_pixel_samples is not None:
+            inv = (1.0 / np.maximum(self.per_pixel_samples, 1))[..., None]
+        else:
+            inv = 1.0 / max(self.num_samples, 1)
+        return data * inv
 
     def get_display_rgba(self, exposure=1.0):
         comb = self.get_pass_rect(film_mod.PASS_COMBINED, exposure)

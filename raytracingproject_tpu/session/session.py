@@ -133,11 +133,15 @@ class Session:
                       fm.PASS_MATERIAL_ID, fm.PASS_EMISSION,
                       fm.PASS_BACKGROUND, fm.PASS_DENOISING_NORMAL,
                       fm.PASS_DENOISING_ALBEDO, fm.PASS_AO}
-        if any(p.type in aux_wanted for p in self.scene.film.passes):
+        aov_pass_names = [p.name for p in self.scene.film.passes
+                          if p.type in (fm.PASS_AOV_COLOR,
+                                        fm.PASS_AOV_VALUE)]
+        if any(p.type in aux_wanted for p in self.scene.film.passes)                 or aov_pass_names:
             aux = ["normal", "albedo", "depth", "object_id",
                    "material_id", "emission", "background"]
             if any(p.type == fm.PASS_AO for p in self.scene.film.passes):
                 aux.append("ao")
+            aux += ["aov:" + nm for nm in aov_pass_names]
             self._kg["aux_passes"] = tuple(aux)
         light_pass_types = {
             fm.PASS_DIFFUSE_DIRECT, fm.PASS_DIFFUSE_INDIRECT,
@@ -187,6 +191,15 @@ class Session:
             off = bp.pass_offset(ptype)
             if off >= 0 and name in aux_np:
                 self.buffers.buffer[ys, xs, off:off + 3] += aux_np[name]
+        # custom AOV passes, matched by pass *name* (ref: svm_aov.h)
+        for name in aux_np:
+            if not name.startswith("aov:"):
+                continue
+            off, ch = bp.pass_offset_name(name[4:])
+            if off < 0:
+                continue
+            data = aux_np[name]
+            self.buffers.buffer[ys, xs, off:off + ch] += data[:, :ch]
 
     def _get_render_fn(self, num_samples):
         import jax

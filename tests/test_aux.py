@@ -94,3 +94,36 @@ class TestAO:
         assert ao.max() > 0.8
         assert ao.min() < 0.6
         assert 0.2 < ao.mean() < 1.0
+
+
+class TestAOV:
+    def test_aov_color_and_value_passes(self):
+        from raytracingproject_tpu.models.shader_nodes import OutputAOVNode
+        scene = examples.cornell_box(16, 16, spp=2)
+        # attach AOV sinks to the white wall material
+        white = next(s for s in scene.shaders if s.name == "white")
+        aovc = OutputAOVNode("aovc", aov_name="my_color", aov_type="color")
+        aovc.set("color", (0.2, 0.5, 0.9))
+        white.graph.add(aovc)
+        aovv = OutputAOVNode("aovv", aov_name="my_value", aov_type="value")
+        aovv.set("value", 0.75)
+        white.graph.add(aovv)
+        scene.film.set_passes([
+            fm.PASS_COMBINED,
+            fm.Pass(fm.PASS_AOV_COLOR, name="my_color"),
+            fm.Pass(fm.PASS_AOV_VALUE, name="my_value")])
+        sess = Session(scene, SessionParams(samples=2))
+        sess.reset()
+        sess.render()
+        col = sess.buffers.get_pass_rect_name("my_color")
+        val = sess.buffers.get_pass_rect_name("my_value")
+        assert col is not None and val is not None
+        # pixels where EVERY sample's first hit was the white material
+        # carry the full AOV (edge pixels mix materials across samples,
+        # averaging the AOV exactly like any other pass)
+        hit_white = col[..., 2] > 0.7
+        assert hit_white.mean() > 0.2
+        np.testing.assert_allclose(
+            col[hit_white], np.array([0.2, 0.5, 0.9]) *
+            np.ones((hit_white.sum(), 3)), atol=0.05)
+        np.testing.assert_allclose(val[hit_white][:, 0], 0.75, atol=0.05)
