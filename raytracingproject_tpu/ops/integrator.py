@@ -209,6 +209,8 @@ def make_path_kernel(kg, px, py, pixel_index):
                 state["aux_ao"] = jnp.zeros((n, 3), jnp.float32)
             for nm in aov_names:
                 state["aux_aov:" + nm] = jnp.zeros((n, 3), jnp.float32)
+            if "mist" in aux_names:
+                state["aux_mist"] = jnp.zeros((n,), jnp.float32)
         if light_passes:
             # per-category radiance split (ref: kernel_accumulate.h
             # PathRadiance direct/indirect/color decomposition); the
@@ -500,6 +502,16 @@ def make_path_kernel(kg, px, py, pixel_index):
                     fh[:, None], aovs.get(
                         nm, jnp.zeros((n, 3), jnp.float32)),
                     st["aux_aov:" + nm])
+            if "mist" in aux_names:
+                # ref: kernel_passes.h kernel_write_data_passes mist:
+                # pow(clamp((t - start) * inv_depth), falloff); misses
+                # saturate to 1 (fully in the mist)
+                mp = kg["mist"]
+                mist_f = jnp.power(
+                    jnp.clip((hit["t"] - mp[0]) * mp[1], 0.0, 1.0), mp[2])
+                st["aux_mist"] = jnp.where(fh, mist_f, st["aux_mist"])
+                st["aux_mist"] = jnp.where(miss & first, 1.0,
+                                           st["aux_mist"])
         if light_passes:
             st = dict(st)
             fh0 = on_surface & (bounce == 0)

@@ -132,7 +132,8 @@ class Session:
         aux_wanted = {fm.PASS_NORMAL, fm.PASS_DEPTH, fm.PASS_OBJECT_ID,
                       fm.PASS_MATERIAL_ID, fm.PASS_EMISSION,
                       fm.PASS_BACKGROUND, fm.PASS_DENOISING_NORMAL,
-                      fm.PASS_DENOISING_ALBEDO, fm.PASS_AO}
+                      fm.PASS_DENOISING_ALBEDO, fm.PASS_AO,
+                      fm.PASS_MIST}
         aov_pass_names = [p.name for p in self.scene.film.passes
                           if p.type in (fm.PASS_AOV_COLOR,
                                         fm.PASS_AOV_VALUE)]
@@ -141,6 +142,13 @@ class Session:
                    "material_id", "emission", "background"]
             if any(p.type == fm.PASS_AO for p in self.scene.film.passes):
                 aux.append("ao")
+            if any(p.type == fm.PASS_MIST for p in self.scene.film.passes):
+                aux.append("mist")
+                film = self.scene.film
+                self._kg["mist"] = (
+                    float(film.mist_start),
+                    1.0 / max(float(film.mist_depth), 1e-12),
+                    float(film.mist_falloff))
             aux += ["aov:" + nm for nm in aov_pass_names]
             self._kg["aux_passes"] = tuple(aux)
         light_pass_types = {
@@ -160,6 +168,7 @@ class Session:
         "material_id": "material_id", "emission": "emission",
         "background": "background",
         "ao": "ao",
+        "mist": "mist",
         "diffuse_direct": "diffuse_direct",
         "diffuse_indirect": "diffuse_indirect",
         "diffuse_color": "diffuse_color",

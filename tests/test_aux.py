@@ -127,3 +127,30 @@ class TestAOV:
             col[hit_white], np.array([0.2, 0.5, 0.9]) *
             np.ones((hit_white.sum(), 3)), atol=0.05)
         np.testing.assert_allclose(val[hit_white][:, 0], 0.75, atol=0.05)
+
+
+class TestMist:
+    def test_mist_pass_monotone_with_depth(self):
+        scene = examples.cornell_box(16, 16, spp=2)
+        scene.film.set("mist_start", 0.0)
+        scene.film.set("mist_depth", 2000.0)
+        scene.film.set("mist_falloff", 1.0)
+        scene.film.set_passes([fm.PASS_COMBINED, fm.PASS_DEPTH,
+                               fm.PASS_MIST])
+        # 1 sample: every pixel is purely hit or miss, so the formula
+        # comparison is exact (multi-sample pixels average hit+miss)
+        sess = Session(scene, SessionParams(samples=1))
+        sess.reset()
+        sess.render()
+        mist = sess.buffers.get_pass_rect(fm.PASS_MIST)[..., 0]
+        depth = sess.buffers.get_pass_rect(fm.PASS_DEPTH)[..., 0]
+        assert (mist >= 0).all() and (mist <= 1).all()
+        hit = depth > 0
+        assert hit.mean() > 0.8
+        # linear falloff from 0: mist == clamp(depth / mist_depth)
+        np.testing.assert_allclose(
+            mist[hit], np.clip(depth[hit] / 2000.0, 0.0, 1.0), atol=1e-3)
+        # camera rays escaping the open box front saturate to 1
+        if (~hit).any():
+            np.testing.assert_allclose(mist[~hit], 1.0, atol=1e-5)
+        assert mist[hit].std() > 0.01  # depth variation in the box
