@@ -171,6 +171,64 @@ class Scene:
         return self.dscene
 
     # ------------------------------------------------------------------
+    def _displace_mesh(self, mesh, v, vn, t, uv_attr):
+        """True displacement at sync time (ref: render/geometry.cpp
+        displacement step + kernel/geom displacement eval; redesigned as
+        a host-side traced graph eval over all vertices at once).
+
+        Evaluates the material's displacement output at every vertex in
+        OBJECT space and offsets the mesh, then recomputes smooth
+        normals. Procedural textures only (image slots are uploaded
+        after geometry packing)."""
+        dshader = next((sh for sh in mesh.used_shaders
+                        if sh.has_displacement()), None)
+        if dshader is None or len(v) == 0:
+            return v, vn
+        import jax.numpy as jnp
+        from raytracingproject_tpu.ops.shade import ShaderData
+        nv = len(v)
+        # per-vertex uv (corner uvs: last-writer-wins scatter)
+        uv = np.zeros((nv, 2), np.float32)
+        if uv_attr is not None:
+            if uv_attr.element == "corner":
+                uv[t.reshape(-1)] = uv_attr.data.reshape(-1, 2)[
+                    : t.size]
+            else:
+                uv[:] = uv_attr.data[:nv]
+        lo, hi = v.min(0), v.max(0)
+        gen = (v - lo) / np.maximum(hi - lo, 1e-12)
+        vj = jnp.asarray(v, jnp.float32)
+        nj = jnp.asarray(vn, jnp.float32)
+        zeros = jnp.zeros((nv, 3), jnp.float32)
+        ctx = ShaderData(
+            P=vj, N=nj, Ng=nj, Ns=nj, I=nj,
+            uv=jnp.asarray(uv), generated=jnp.asarray(gen, jnp.float32),
+            P_object=vj,
+            time=jnp.zeros(nv, jnp.float32),
+            ray_length=jnp.zeros(nv, jnp.float32),
+            ray_depth=jnp.zeros(nv, jnp.int32),
+            path_flag=jnp.zeros(nv, jnp.uint32),
+            prim=jnp.zeros(nv, jnp.int32),
+            shader=jnp.full(nv, max(dshader.slot, 0), jnp.int32),
+            object_index=jnp.zeros(nv, jnp.int32),
+            object_color=zeros, object_location=zeros,
+            object_random=jnp.zeros(nv, jnp.float32),
+            backfacing=jnp.zeros(nv, bool),
+            textures=None, batch_shape=(nv,))
+        disp = dshader.graph.evaluate(ctx)["displacement"]
+        if disp is None:
+            return v, vn
+        v2 = v + np.asarray(disp, np.float32)
+        # recompute area-weighted smooth vertex normals
+        fn = np.cross(v2[t[:, 1]] - v2[t[:, 0]], v2[t[:, 2]] - v2[t[:, 0]])
+        vn2 = np.zeros_like(v2)
+        for k in range(3):
+            np.add.at(vn2, t[:, k], fn)
+        ln = np.linalg.norm(vn2, axis=-1, keepdims=True)
+        vn2 = np.where(ln > 1e-12, vn2 / np.maximum(ln, 1e-12), vn)
+        return v2.astype(np.float32), vn2.astype(np.float32)
+
+    # ------------------------------------------------------------------
     def _pack_geometry(self):
         objects = self.objects
         nobj = max(len(objects), 1)
@@ -214,6 +272,7 @@ class Scene:
             else:
                 vn = vn_attr.data
             uv_attr = mesh.attribute_get("std_uv")
+            v, vn = self._displace_mesh(mesh, v, vn, t, uv_attr)
             if world_tfm is not None:
                 v = tfm.transform_point(world_tfm, v)
                 itt = np.linalg.inv(tfm.to_4x4(world_tfm))[:3, :3].T

@@ -193,6 +193,14 @@ class Shader(Node):
     def evaluate_surface(self, ctx):
         return self.graph.evaluate(ctx)["surface"]
 
+    def has_displacement(self):
+        """True when the graph output's displacement socket is linked and
+        the method requests true displacement (ref: Shader::has_displacement
+        + displacement_method)."""
+        linked = (id(self.graph.output_node),
+                  "displacement") in self.graph.links
+        return linked and self.get_enum_int("displacement_method") in (1, 2)
+
     def aov_names(self):
         return [n.aov_name for n in self.graph.nodes
                 if getattr(n, "IS_AOV_SINK", False)]

@@ -1277,3 +1277,22 @@ class OutputAOVNode(ShaderNode):
             return {"__aov__": jnp.broadcast_to(
                 v[..., None], ctx.batch_shape + (3,))}
         return {"__aov__": _bc(ctx, inp["color"])}
+
+
+class DisplacementNode(ShaderNode):
+    """Height-to-vector displacement (ref: render/nodes.h DisplacementNode,
+    svm_displace.h svm_node_set_displacement). Feed its output into the
+    graph output's 'displacement' socket; meshes whose material uses
+    displacement_method 'true'/'both' are displaced at scene sync."""
+    NODE_NAME = "displacement"
+    INPUTS = [("height", "float", 0.0),
+              ("midlevel", "float", 0.5),
+              ("scale", "float", 1.0),
+              ("normal", "normal", (0.0, 0.0, 0.0))]
+    OUTPUTS = [("displacement", "vector")]
+
+    def eval(self, ctx, inp):
+        nrm = _normal(ctx, inp["normal"])
+        h = (_bf(ctx, inp["height"]) - _bf(ctx, inp["midlevel"])) \
+            * _bf(ctx, inp["scale"])
+        return {"displacement": nrm * h[..., None]}
