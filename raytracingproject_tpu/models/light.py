@@ -44,6 +44,8 @@ class Light(Node):
         # spot
         S("spot_angle", S.FLOAT, np.pi / 4.0),
         S("spot_smooth", S.FLOAT, 0.0),
+        # IES photometric profile (raw LM-63 text; empty = none)
+        S("ies", S.STRING, ""),
         # common
         S("cast_shadow", S.BOOLEAN, True),
         S("use_mis", S.BOOLEAN, True),

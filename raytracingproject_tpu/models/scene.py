@@ -735,6 +735,20 @@ class Scene:
         lt[:, lk.LT_SPOT_ANGLE] = lamp_arrays["lamp_spot_angle"]
         lt[:, lk.LT_SPOT_SMOOTH] = lamp_arrays["lamp_spot_smooth"]
         lt[:, lk.LT_PMF] = lamp_arrays["lamp_pmf"]
+        # IES profiles: per-lamp resampled grid rows (ref: light.cpp
+        # device_update_ies; util_ies.cpp), flag column = row index + 1
+        from raytracingproject_tpu.utils import ies as ies_util
+        ies_rows = []
+        for li, light in enumerate(self.lights):
+            txt = str(getattr(light, "ies", "") or "")
+            if txt.strip():
+                grid = ies_util.load_ies_grid(txt)
+                lt[li, lk.LT_IES] = float(len(ies_rows) + 1)
+                ies_rows.append(grid.reshape(-1))
+        out["lamp_ies"] = (np.stack(ies_rows).astype(np.float32)
+                           if ies_rows else
+                           np.zeros((0, ies_util.IES_RES_H *
+                                     ies_util.IES_RES_V), np.float32))
         out["lamp_table"] = lt
         # flat (D, 4) entry table: [type, id, pmf, pad]
         if D:

@@ -198,6 +198,41 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None):
     spot_att = jnp.where(cos_spot > spot_cos_max,
                          jnp.where(lspot_smooth > 0.0, spot_att, 1.0), 0.0)
     eval_spot = eval_point * spot_att[:, None]
+
+    # ---- IES photometric attenuation (ref: kernel_light.h IES path +
+    # util_ies.cpp; fixed-grid bilinear fetch — one wide-row lookup,
+    # then 4 one-hot reductions, no dynamic gathers) ----
+    if dscene["lamp_ies"].shape[0]:
+        from raytracingproject_tpu.utils.ies import IES_RES_H, IES_RES_V
+        ies_idx = lrow[:, lk.LT_IES].astype(jnp.int32)
+        grid = lk.lookup_rows(dscene["lamp_ies"],
+                              jnp.maximum(ies_idx - 1, 0))  # (N, H*V)
+        to_p = -D                      # direction lamp -> shading point
+        tref, bref = um.make_orthonormals(ldir)
+        ct = jnp.clip(um.dot(ldir, to_p), -1.0, 1.0)
+        theta = jnp.arccos(ct)                     # [0, pi] off lamp axis
+        phi = jnp.arctan2(um.dot(bref, to_p), um.dot(tref, to_p))
+        phi = jnp.where(phi < 0.0, phi + um.M_2PI, phi)
+        fv = theta / um.M_PI * (IES_RES_V - 1)
+        fh = phi / um.M_2PI * IES_RES_H
+        v0 = jnp.clip(jnp.floor(fv).astype(jnp.int32), 0, IES_RES_V - 1)
+        v1 = jnp.minimum(v0 + 1, IES_RES_V - 1)
+        wv = fv - v0.astype(jnp.float32)
+        h0 = jnp.floor(fh).astype(jnp.int32) % IES_RES_H
+        h1 = (h0 + 1) % IES_RES_H
+        wh = fh - jnp.floor(fh)
+        cols = jnp.arange(IES_RES_H * IES_RES_V, dtype=jnp.int32)
+
+        def fetch(hh, vv):
+            idx = hh * IES_RES_V + vv
+            return jnp.sum(
+                jnp.where(cols[None, :] == idx[:, None], grid, 0.0), -1)
+
+        f = ((1 - wv) * ((1 - wh) * fetch(h0, v0) + wh * fetch(h1, v0))
+             + wv * ((1 - wh) * fetch(h0, v1) + wh * fetch(h1, v1)))
+        ies_att = jnp.where(ies_idx > 0, f, 1.0)
+        eval_point = eval_point * ies_att[:, None]
+        eval_spot = eval_spot * ies_att[:, None]
     # area: strength is radiance; single-sided
     eval_area = jnp.where((cos_l > 0.0)[:, None], lstrength, 0.0)
     # distant: strength is radiance through the cone

@@ -65,6 +65,7 @@ LT_ANGLE = 19
 LT_SPOT_ANGLE = 20
 LT_SPOT_SMOOTH = 21
 LT_PMF = 22
+LT_IES = 23        # >0: row index+1 into lamp_ies grid table
 LT_COLS = 24
 
 
