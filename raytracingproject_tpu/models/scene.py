@@ -163,10 +163,12 @@ class Scene:
             "background_shader": bg_slot,
             "use_brute": packed.pop("__use_brute__"),
             "has_instances": packed.pop("__has_instances__"),
+            "has_deform_motion": packed.pop("__has_deform_motion__", False),
             "film_transparent": bool(self.background.transparent),
         }
         dscene.pop("__use_brute__", None)
         dscene.pop("__has_instances__", None)
+        dscene.pop("__has_deform_motion__", None)
         self.need_update = False
         return self.dscene
 
@@ -255,7 +257,9 @@ class Scene:
                     id(obj.geometry), (obj.geometry, []))[1].append(oi)
 
         tri_verts, tri_vnormal, tri_uv = [], [], []
+        tri_verts_t1 = []
         prim_shader, prim_smooth, prim_object = [], [], []
+        deform_seen = []
 
         def append_mesh(mesh, obj_idx, world_tfm=None):
             from raytracingproject_tpu.models.mesh import Hair
@@ -273,12 +277,23 @@ class Scene:
                 vn = vn_attr.data
             uv_attr = mesh.attribute_get("std_uv")
             v, vn = self._displace_mesh(mesh, v, vn, t, uv_attr)
+            # deforming motion blur: shutter-close vertex positions
+            # (ref: ATTR_STD_MOTION_VERTEX_POSITION, geometry.cpp
+            # motion steps — 2-step linear this round)
+            mv_attr = mesh.attribute_get("std_motion_vertex_position")
+            if mv_attr is not None:
+                v1 = np.asarray(mv_attr.data, np.float32).reshape(-1, 3)
+                deform_seen.append(True)
+            else:
+                v1 = v
             if world_tfm is not None:
                 v = tfm.transform_point(world_tfm, v)
+                v1 = v if mv_attr is None else                     tfm.transform_point(world_tfm, v1)
                 itt = np.linalg.inv(tfm.to_4x4(world_tfm))[:3, :3].T
                 vn = vn @ itt.T
                 ln = np.linalg.norm(vn, axis=-1, keepdims=True)
                 vn = vn / np.maximum(ln, 1e-12)
+            tri_verts_t1.append(v1[t])
             tri_verts.append(v[t])            # (T, 3, 3)
             tri_vnormal.append(vn[t])
             if uv_attr is not None:
@@ -311,6 +326,7 @@ class Scene:
             return np.zeros((0,) + shape_tail, dtype)
 
         static_verts = cat(tri_verts, (3, 3))
+        static_verts_t1 = cat(tri_verts_t1, (3, 3))
         static_vnormal = cat(tri_vnormal, (3, 3))
         static_uv = cat(tri_uv, (3, 2))
         static_shader = cat(prim_shader, (), np.int32)
@@ -327,7 +343,9 @@ class Scene:
             order = sb.prim_order
             blocks.append({
                 "bounds": sb.bounds, "children": sb.children,
-                "verts": static_verts[order], "vnormal": static_vnormal[order],
+                "verts": static_verts[order],
+                "verts_t1": static_verts_t1[order],
+                "vnormal": static_vnormal[order],
                 "uv": static_uv[order], "shader": static_shader[order],
                 "smooth": static_smooth[order], "object": static_object[order],
                 "root_lo": sb.root_bound_lo, "root_hi": sb.root_bound_hi,
@@ -337,6 +355,7 @@ class Scene:
         geom_blas = {}  # id(geom) -> block index
         for gid, (geom, users) in instanced_geoms.items():
             tri_verts.clear(); tri_vnormal.clear(); tri_uv.clear()
+            tri_verts_t1.clear()
             prim_shader.clear(); prim_smooth.clear(); prim_object.clear()
             append_mesh(geom, -1, None)
             gv = cat(tri_verts, (3, 3))
@@ -541,10 +560,21 @@ class Scene:
             packed["instance_blas_root"] = np.zeros(1, np.int32)
             packed["instance_object"] = np.full(1, -1, np.int32)
 
-        use_brute = (not has_instances) and P <= BRUTE_FORCE_MAX_PRIMS
+        has_deform = bool(deform_seen) and not has_instances
+        # deforming motion rides the dense path this round: the per-ray
+        # time lerp is a (B, N) VPU op there (ops/intersect.py
+        # _motion_components); gather-BVH bounds would also need motion
+        # dilation, so force brute while deform motion is present
+        use_brute = ((not has_instances) and P <= BRUTE_FORCE_MAX_PRIMS) \
+            or has_deform
         packed["__use_brute__"] = use_brute
         packed["__has_instances__"] = has_instances
+        packed["__has_deform_motion__"] = has_deform
         packed["tri_verts_world"] = packed["tri_verts"]  # valid when static
+        if has_deform and blocks:
+            packed["tri_verts_world_t1"] = blocks[0]["verts_t1"]
+        else:
+            packed["tri_verts_world_t1"] = packed["tri_verts_world"]
 
         # single-fetch traversal tables (ops/intersect.py packed layout)
         from raytracingproject_tpu.ops import intersect as isect_mod
@@ -882,7 +912,9 @@ class Scene:
             "background_shader": ds["background_shader"],
             "use_brute": ds["use_brute"],
             "has_instances": ds.get("has_instances", False),
-            "has_motion": any(o.use_motion for o in self.objects),
+            "has_deform_motion": ds.get("has_deform_motion", False),
+            "has_motion": any(o.use_motion for o in self.objects)
+            or ds.get("has_deform_motion", False),
             "has_shadow_catcher": any(o.is_shadow_catcher
                                       for o in self.objects),
             "film_transparent": ds["film_transparent"],

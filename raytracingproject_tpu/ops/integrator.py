@@ -38,9 +38,12 @@ def _scene_intersect(kg, o, d, tmin, tmax, visibility, shadow=False,
                      time=None):
     ds = kg["dscene"]
     if kg["use_brute"]:
+        deform = kg.get("has_deform_motion") and time is not None
         return isect.intersect_brute(
             ds["tri_verts_world"], ds["prim_object_packed"], o, d, tmin, tmax,
-            visibility=visibility, object_visibility=ds["object_visibility"])
+            visibility=visibility, object_visibility=ds["object_visibility"],
+            tri_verts_t1=ds["tri_verts_world_t1"] if deform else None,
+            time=time if deform else None)
     if "bvh_nodes_packed" in ds:
         # single-fetch packed traversal (2 row fetches/iteration)
         return isect.intersect_bvh_packed(
@@ -62,15 +65,19 @@ def _scene_intersect(kg, o, d, tmin, tmax, visibility, shadow=False,
         shadow_any_hit=shadow)
 
 
-def _shadow_blocked(kg, o, d, tmin, tmax):
+def _shadow_blocked(kg, o, d, tmin, tmax, time=None):
     vis = jnp.full(o.shape[:1], ob.PATH_RAY_SHADOW, jnp.uint32)
     ds = kg["dscene"]
     if kg["use_brute"]:
+        deform = kg.get("has_deform_motion") and time is not None
         return isect.shadow_blocked_brute(
             ds["tri_verts_world"], ds["prim_object_packed"], o, d, tmin,
             tmax, visibility=vis,
-            object_visibility=ds["object_visibility"])
-    hit = _scene_intersect(kg, o, d, tmin, tmax, vis, shadow=True)
+            object_visibility=ds["object_visibility"],
+            tri_verts_t1=ds["tri_verts_world_t1"] if deform else None,
+            time=time if deform else None)
+    hit = _scene_intersect(kg, o, d, tmin, tmax, vis, shadow=True,
+                           time=time)
     return hit["prim"] >= 0
 
 
@@ -471,7 +478,8 @@ def make_path_kernel(kg, px, py, pixel_index):
             ao_blocked = _shadow_blocked(
                 kg, sd.P + ao_off, ao_dir,
                 jnp.full((n,), 1e-5, jnp.float32),
-                jnp.full((n,), min(ao_dist, 1e30), jnp.float32))
+                jnp.full((n,), min(ao_dist, 1e30), jnp.float32),
+                time=st["time"])
             ao_first = on_surface & (bounce == 0)
             st = dict(st)
             st["aux_ao"] = jnp.where(
@@ -613,7 +621,8 @@ def make_path_kernel(kg, px, py, pixel_index):
             else:
                 blocked = _shadow_blocked(kg, sh_o, ls["D"],
                                           jnp.full((n,), 1e-5, jnp.float32),
-                                          jnp.where(can_light, sh_tmax, 1e-5))
+                                          jnp.where(can_light, sh_tmax, 1e-5),
+                                          time=st["time"])
             if has_volume:
                 # transmittance to the boundary for in-volume lanes
                 # (round-1 approx: attenuate over min(dist, light dist);

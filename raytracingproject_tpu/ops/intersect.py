@@ -98,8 +98,28 @@ def _pack_tri_blocks(tri_verts, prim_object, visibility_arr, block):
         (pv.reshape(nb, block) if pv is not None else None)
 
 
+def _motion_components(v0, e1, e2, delta, time):
+    """Per-component triangle terms for the MT math, optionally
+    interpolated to each ray's time (deforming motion blur, ref:
+    kernel/geom motion_triangle_vertices — redesigned: instead of
+    gathering per-step vertices, the dense path lerps the tri-major
+    blocks with the per-ray time, keeping every term a (B, N) VPU op).
+
+    Without motion the terms stay (B, 1) and broadcast as before."""
+    if delta is None:
+        return ([v0[:, i, None] for i in range(3)],
+                [e1[:, i, None] for i in range(3)],
+                [e2[:, i, None] for i in range(3)])
+    dv0, de1, de2 = delta
+    tt = time[None, :]
+    return ([v0[:, i, None] + tt * dv0[:, i, None] for i in range(3)],
+            [e1[:, i, None] + tt * de1[:, i, None] for i in range(3)],
+            [e2[:, i, None] + tt * de2[:, i, None] for i in range(3)])
+
+
 def intersect_brute(tri_verts, prim_object, o, d, tmin, tmax,
-                    visibility=None, object_visibility=None, block=8):
+                    visibility=None, object_visibility=None, block=8,
+                    tri_verts_t1=None, time=None):
     """Dense all-rays x all-triangles intersection.
 
     TPU layout: triangle-major (B, N) blocks — the RAY axis is the minor
@@ -118,33 +138,42 @@ def intersect_brute(tri_verts, prim_object, o, d, tmin, tmax,
         vis_arr = None
     nb, v0b, e1b, e2b, pob, pvb = _pack_tri_blocks(
         tri_verts, prim_object, vis_arr, block)
+    deltas = None
+    if tri_verts_t1 is not None:
+        _, v1b, f1b, f2b, _, _ = _pack_tri_blocks(
+            tri_verts_t1, prim_object, None, block)
+        deltas = (v1b - v0b, f1b - e1b, f2b - e2b)
 
     ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
     dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
 
     def body(carry, blk):
         t_best, prim_best, u_best, v_best = carry
+        delta = None
+        if deltas is not None:
+            blk, delta = blk[:-3], blk[-3:]
         if pvb is not None:
             v0, e1, e2, po, pv, bbase = blk
         else:
             v0, e1, e2, po, bbase = blk
+        (v0x, v0y, v0z), (e1x, e1y, e1z), (e2x, e2y, e2z) = \
+            _motion_components(v0, e1, e2, delta, time)
         # cross products in components, (B, N) via (B,1)x(N,) broadcast
-        px = dy[None] * e2[:, 2, None] - dz[None] * e2[:, 1, None]
-        py = dz[None] * e2[:, 0, None] - dx[None] * e2[:, 2, None]
-        pz = dx[None] * e2[:, 1, None] - dy[None] * e2[:, 0, None]
-        det = e1[:, 0, None] * px + e1[:, 1, None] * py + e1[:, 2, None] * pz
+        px = dy[None] * e2z - dz[None] * e2y
+        py = dz[None] * e2x - dx[None] * e2z
+        pz = dx[None] * e2y - dy[None] * e2x
+        det = e1x * px + e1y * py + e1z * pz
         inv = jnp.where(jnp.abs(det) > 1e-12,
                         1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-        tx = ox[None] - v0[:, 0, None]
-        ty = oy[None] - v0[:, 1, None]
-        tz = oz[None] - v0[:, 2, None]
+        tx = ox[None] - v0x
+        ty = oy[None] - v0y
+        tz = oz[None] - v0z
         u = (tx * px + ty * py + tz * pz) * inv
-        qx = ty * e1[:, 2, None] - tz * e1[:, 1, None]
-        qy = tz * e1[:, 0, None] - tx * e1[:, 2, None]
-        qz = tx * e1[:, 1, None] - ty * e1[:, 0, None]
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
         v = (dx[None] * qx + dy[None] * qy + dz[None] * qz) * inv
-        t = (e2[:, 0, None] * qx + e2[:, 1, None] * qy
-             + e2[:, 2, None] * qz) * inv
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv
         hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (u <= 1.0)
                & (v >= 0.0) & (u + v <= 1.0)
                & (t > tmin[None]) & (t < t_best[None])
@@ -172,6 +201,8 @@ def intersect_brute(tri_verts, prim_object, o, d, tmin, tmax,
     bbase = (jnp.arange(nb, dtype=jnp.int32) * block)
     xs = (v0b, e1b, e2b, pob, pvb, bbase) if pvb is not None \
         else (v0b, e1b, e2b, pob, bbase)
+    if deltas is not None:
+        xs = xs + deltas
     (t, prim, u, v), _ = jax.lax.scan(body, init, xs)
     hit_mask = (t < jnp.minimum(tmax, RAY_TMAX)) & (prim >= 0)
     prim = jnp.where(hit_mask, prim, -1)
@@ -349,7 +380,8 @@ def intersect_bvh(bvh_bounds, bvh_children, tri_verts, prim_object,
 
 
 def shadow_blocked_brute(tri_verts, prim_object, o, d, tmin, tmax,
-                         visibility=None, object_visibility=None, block=8):
+                         visibility=None, object_visibility=None, block=8,
+                         tri_verts_t1=None, time=None):
     """Boolean occlusion (opaque shadows, ref: kernel/kernel_shadow.h
     shadow_blocked fast path). Tri-major like intersect_brute but with a
     pure any-hit reduction — no winner tracking."""
@@ -360,30 +392,39 @@ def shadow_blocked_brute(tri_verts, prim_object, o, d, tmin, tmax,
         vis_arr = None
     nb, v0b, e1b, e2b, pob, pvb = _pack_tri_blocks(
         tri_verts, prim_object, vis_arr, block)
+    deltas = None
+    if tri_verts_t1 is not None:
+        _, v1b, f1b, f2b, _, _ = _pack_tri_blocks(
+            tri_verts_t1, prim_object, None, block)
+        deltas = (v1b - v0b, f1b - e1b, f2b - e2b)
     ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
     dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
 
     def body(blocked, blk):
+        delta = None
+        if deltas is not None:
+            blk, delta = blk[:-3], blk[-3:]
         if pvb is not None:
             v0, e1, e2, po, pv = blk
         else:
             v0, e1, e2, po = blk
-        px = dy[None] * e2[:, 2, None] - dz[None] * e2[:, 1, None]
-        py = dz[None] * e2[:, 0, None] - dx[None] * e2[:, 2, None]
-        pz = dx[None] * e2[:, 1, None] - dy[None] * e2[:, 0, None]
-        det = e1[:, 0, None] * px + e1[:, 1, None] * py + e1[:, 2, None] * pz
+        (v0x, v0y, v0z), (e1x, e1y, e1z), (e2x, e2y, e2z) = \
+            _motion_components(v0, e1, e2, delta, time)
+        px = dy[None] * e2z - dz[None] * e2y
+        py = dz[None] * e2x - dx[None] * e2z
+        pz = dx[None] * e2y - dy[None] * e2x
+        det = e1x * px + e1y * py + e1z * pz
         inv = jnp.where(jnp.abs(det) > 1e-12,
                         1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-        tx = ox[None] - v0[:, 0, None]
-        ty = oy[None] - v0[:, 1, None]
-        tz = oz[None] - v0[:, 2, None]
+        tx = ox[None] - v0x
+        ty = oy[None] - v0y
+        tz = oz[None] - v0z
         u = (tx * px + ty * py + tz * pz) * inv
-        qx = ty * e1[:, 2, None] - tz * e1[:, 1, None]
-        qy = tz * e1[:, 0, None] - tx * e1[:, 2, None]
-        qz = tx * e1[:, 1, None] - ty * e1[:, 0, None]
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
         v = (dx[None] * qx + dy[None] * qy + dz[None] * qz) * inv
-        t = (e2[:, 0, None] * qx + e2[:, 1, None] * qy
-             + e2[:, 2, None] * qz) * inv
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv
         hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (u <= 1.0)
                & (v >= 0.0) & (u + v <= 1.0)
                & (t > tmin[None]) & (t < tmax[None])
@@ -394,6 +435,8 @@ def shadow_blocked_brute(tri_verts, prim_object, o, d, tmin, tmax,
 
     xs = (v0b, e1b, e2b, pob, pvb) if pvb is not None \
         else (v0b, e1b, e2b, pob)
+    if deltas is not None:
+        xs = xs + deltas
     blocked, _ = jax.lax.scan(body, jnp.zeros((n,), bool), xs)
     return blocked
 

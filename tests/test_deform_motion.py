@@ -1,0 +1,115 @@
+"""Deforming-vertex motion blur (ref: ATTR_STD_MOTION_VERTEX_POSITION,
+kernel/geom motion triangles — redesigned as per-ray time lerp of the
+dense tri-major blocks)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from raytracingproject_tpu.ops import intersect as isect
+from raytracingproject_tpu.models import Scene, Object
+from raytracingproject_tpu.models import film as fm
+from raytracingproject_tpu.models.mesh import make_plane_mesh
+from raytracingproject_tpu.session import Session, SessionParams
+from raytracingproject_tpu.utils import transform as tfm
+from raytracingproject_tpu.app.examples import (diffuse_shader,
+                                                emission_shader)
+
+
+class TestOps:
+    def test_brute_interpolates_to_ray_time(self):
+        # unit quad at x=0 at t=0 sliding to x=10 at t=1
+        tv0 = np.array([[[-1, -1, 0], [1, -1, 0], [1, 1, 0]],
+                        [[-1, -1, 0], [1, 1, 0], [-1, 1, 0]]], np.float32)
+        tv1 = tv0 + np.array([10.0, 0.0, 0.0], np.float32)
+        po = np.zeros(2, np.int32)
+        n = 8
+        times = np.linspace(0.0, 1.0, n).astype(np.float32)
+        # rays aimed at where the quad sits at each ray's own time
+        o = np.stack([times * 10.0,
+                      np.zeros(n), np.full(n, 5.0)], -1).astype(np.float32)
+        d = np.tile(np.array([0.0, 0.0, -1.0], np.float32), (n, 1))
+        hit = isect.intersect_brute(
+            jnp.asarray(tv0), jnp.asarray(po), jnp.asarray(o),
+            jnp.asarray(d), jnp.zeros(n), jnp.full(n, 100.0),
+            tri_verts_t1=jnp.asarray(tv1), time=jnp.asarray(times))
+        assert (np.asarray(hit["prim"]) >= 0).all()
+        np.testing.assert_allclose(np.asarray(hit["t"]), 5.0, atol=1e-4)
+        # rays aimed at the t=0 position but fired at t=1 must miss
+        hit2 = isect.intersect_brute(
+            jnp.asarray(tv0), jnp.asarray(po),
+            jnp.asarray(np.array([[0.0, 0.0, 5.0]] * n, np.float32)),
+            jnp.asarray(d), jnp.zeros(n), jnp.full(n, 100.0),
+            tri_verts_t1=jnp.asarray(tv1),
+            time=jnp.ones(n, jnp.float32))
+        assert (np.asarray(hit2["prim"]) < 0).all()
+
+    def test_shadow_blocked_interpolates(self):
+        tv0 = np.array([[[-1, -1, 0], [1, -1, 0], [1, 1, 0]],
+                        [[-1, -1, 0], [1, 1, 0], [-1, 1, 0]]], np.float32)
+        tv1 = tv0 + np.array([10.0, 0.0, 0.0], np.float32)
+        po = np.zeros(2, np.int32)
+        o = jnp.asarray([[0.0, 0.0, 5.0], [0.0, 0.0, 5.0]])
+        d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+        blocked = isect.shadow_blocked_brute(
+            jnp.asarray(tv0), jnp.asarray(po), o, d,
+            jnp.zeros(2), jnp.full(2, 100.0),
+            tri_verts_t1=jnp.asarray(tv1),
+            time=jnp.asarray([0.0, 1.0]))
+        assert bool(blocked[0]) and not bool(blocked[1])
+
+
+class TestScene:
+    def _scene(self, deform):
+        scene = Scene()
+        scene.camera.set("matrix", tfm.look_at(
+            (10, 0, 60), (10, 0, 0), (0, 1, 0)))
+        scene.camera.set("fov", 0.9)
+        scene.camera.set("width", 24)
+        scene.camera.set("height", 24)
+        scene.camera.set("shuttertime", 1.0)
+        white = diffuse_shader("w", (0.8, 0.8, 0.8))
+        lamp = emission_shader("e", (1, 1, 1), 40.0)
+        scene.add_shader(white)
+        scene.add_shader(lamp)
+        # small quad that slides +x by 20 over the shutter
+        m = make_plane_mesh((-2, -2, 0), (4, 0, 0), (0, 4, 0))
+        m.used_shaders = [white]
+        if deform:
+            v1 = m.verts_array + np.array([20.0, 0.0, 0.0], np.float32)
+            m.attribute_set("std_motion_vertex_position", "vertex", v1)
+        scene.add_object(Object("mover", m))
+        # emissive backdrop BEHIND the mover: the quad silhouettes
+        # against it, so its (possibly smeared) footprint is measurable
+        lm = make_plane_mesh((-50, -50, -10), (120, 0, 0), (0, 120, 0))
+        lm.used_shaders = [lamp]
+        scene.add_object(Object("backdrop", lm))
+        return scene
+
+    def test_deform_blur_widens_footprint(self):
+        scene_s = self._scene(False)
+        ss = Session(scene_s, SessionParams(samples=32))
+        ss.reset()
+        img_s = ss.render()
+
+        scene_d = self._scene(True)
+        assert scene_d._pack_lights is not None  # touch to silence lint
+        sd = Session(scene_d, SessionParams(samples=32))
+        sd.reset()
+        img_d = sd.render()
+        # where the quad occludes/reflects, brightness differs from the
+        # empty-background columns; measure the lit-footprint width
+        lum_s = img_s[..., :3].mean(-1)
+        lum_d = img_d[..., :3].mean(-1)
+        bright = np.percentile(lum_s, 90)   # lit backdrop level
+        # unoccluded pixels see the emissive backdrop with ZERO variance,
+        # so any occluded sample shows as a dip; the smear spreads
+        # partial occlusion across many more columns
+        cols_s = (lum_s < 0.97 * bright).any(0).sum()
+        cols_d = (lum_d < 0.97 * bright).any(0).sum()
+        assert cols_s > 1                    # static quad visible
+        assert cols_d > cols_s * 1.5  # smeared across more columns
+        # and the static quad blocks harder than any smeared pixel
+        assert lum_s.min() < lum_d.min() + 1e-6
+        # kernel flags actually engaged
+        assert sd._kg["has_deform_motion"]
+        assert not ss._kg["has_deform_motion"]
