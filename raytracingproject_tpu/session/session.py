@@ -49,6 +49,7 @@ class Session:
         self.scene = scene
         self.params = params or SessionParams()
         self.progress = Progress()
+        self._crypto = None
         self.buffers = None
         self.tile_manager = None
         self.write_render_cb = None      # cb(rgba (H,W,4), sample)
@@ -71,13 +72,28 @@ class Session:
         w, h = int(cam.width), int(cam.height)
         bp = BufferParams(w, h, passes=self.scene.film.passes)
         self.buffers = RenderBuffers(bp)
+        crypto_depth = int(self.scene.film.cryptomatte_depth)
+        chunk = self.params.progressive_refine_chunk
+        if crypto_depth > 0:
+            # cryptomatte needs per-sample id planes: 1-sample chunks
+            # (ref: kernel_write_id_slots — redesigned host-side, see
+            # session/crypto.py)
+            chunk = 1
         self.tile_manager = TileManager(
             w, h, tile_size=self.params.tile_size,
             progressive=self.params.progressive,
             num_samples=self.params.samples,
             range_start_sample=self.params.range_start_sample,
             range_num_samples=self.params.range_num_samples,
-            progressive_chunk=self.params.progressive_refine_chunk)
+            progressive_chunk=chunk)
+        if crypto_depth > 0:
+            from raytracingproject_tpu.session.crypto import \
+                CryptoAccumulator
+            self._crypto = {
+                "object": CryptoAccumulator(h, w, crypto_depth),
+                "material": CryptoAccumulator(h, w, crypto_depth)}
+        else:
+            self._crypto = None
         self.progress.reset()
         self.progress.total_pixel_samples = w * h * (
             self.tile_manager.end_sample - self.tile_manager.start_sample)
@@ -137,7 +153,7 @@ class Session:
         aov_pass_names = [p.name for p in self.scene.film.passes
                           if p.type in (fm.PASS_AOV_COLOR,
                                         fm.PASS_AOV_VALUE)]
-        if any(p.type in aux_wanted for p in self.scene.film.passes)                 or aov_pass_names:
+        if any(p.type in aux_wanted for p in self.scene.film.passes)                 or aov_pass_names                 or int(self.scene.film.cryptomatte_depth) > 0:
             aux = ["normal", "albedo", "depth", "object_id",
                    "material_id", "emission", "background"]
             if any(p.type == fm.PASS_AO for p in self.scene.film.passes):
@@ -349,6 +365,11 @@ class Session:
                 self.buffers.buffer[ys, xs, 3] += A
                 if aux:
                     self._store_aux(aux, ys, xs)
+                    if self._crypto is not None and ts.num_samples == 1:
+                        self._crypto["object"].add_plane(
+                            aux["object_id"], ys, xs)
+                        self._crypto["material"].add_plane(
+                            aux["material_id"], ys, xs)
                 if adaptive:
                     if chunk_parity % 2 == 0:
                         self._even_accum[ys, xs] += L
@@ -391,6 +412,23 @@ class Session:
                 self.buffers.num_samples)
 
     # ------------------------------------------------------------------
+    def get_cryptomatte(self, kind="object"):
+        """(H, W, depth*2) interleaved [name-hash, coverage] planes,
+        ranked by coverage (ref: cryptomatte spec / film.cpp
+        cryptomatte passes). kind: "object" | "material"."""
+        if self._crypto is None:
+            return None
+        from raytracingproject_tpu.session.crypto import name_hash
+        if kind == "object":
+            lut = {float(i): name_hash(o.name)
+                   for i, o in enumerate(self.scene.objects)}
+        else:
+            lut = {float(i): name_hash(sh.name)
+                   for i, sh in enumerate(self.scene.shaders)}
+        lut[-1.0] = 0.0  # background
+        return self._crypto[kind].ranked(
+            max(self.buffers.num_samples, 1), lut)
+
     def denoise(self):
         """Denoise the combined pass using the denoising-feature passes
         (ref: Session denoise scheduling + DenoisingTask). Returns the
@@ -417,6 +455,11 @@ class Session:
         img = rgba[::-1]
         if str(path).endswith((".npz", ".mlx")):
             layers = {"combined": self.buffers.buffer[::-1]}
+            if self._crypto is not None:
+                layers["crypto_object"] = self.get_cryptomatte(
+                    "object")[::-1]
+                layers["crypto_material"] = self.get_cryptomatte(
+                    "material")[::-1]
             image_io.write_multilayer(path, layers, {
                 "num_samples": self.buffers.num_samples,
                 "pass_types": [p.type for p in self.buffers.params.passes],
