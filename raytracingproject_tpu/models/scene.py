@@ -938,6 +938,9 @@ class Scene:
             # (ref: DeviceRequestedFeatures, device/device.h:120)
             "features": {
                 "has_glossy": any(s.has_glossy for s in self.shaders),
+                "has_multiscatter": any(
+                    getattr(s, "has_multiscatter", False)
+                    for s in self.shaders),
                 "has_refraction": any(s.has_refraction
                                       for s in self.shaders),
                 # volume-only boundaries pass through as transparent

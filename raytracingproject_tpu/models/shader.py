@@ -217,6 +217,7 @@ class Shader(Node):
         self.has_volume = False
         self.has_transparent = False
         self.has_glossy = False
+        self.has_multiscatter = False
         self.has_refraction = False
         self.has_diffuse_roughness = False
         self.has_subsurface = False
@@ -232,6 +233,8 @@ class Shader(Node):
                 self.has_transparent = True
             if isinstance(node, (sn.GlossyBsdfNode, sn.GlassBsdfNode)):
                 self.has_glossy = True
+                if node.get_enum_int("distribution") == 3:  # multi_ggx
+                    self.has_multiscatter = True
             if isinstance(node, (sn.GlassBsdfNode, sn.RefractionBsdfNode,
                                  sn.TranslucentBsdfNode)):
                 self.has_refraction = True

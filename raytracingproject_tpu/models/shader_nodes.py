@@ -100,6 +100,9 @@ class GlossyBsdfNode(ShaderNode):
         if self.get_enum_int("distribution") == 0:  # sharp
             rough = jnp.zeros_like(rough)
         c["glossy_roughness"] = rough
+        if self.get_enum_int("distribution") == 3:  # multi_ggx
+            c["glossy_multiscatter"] = jnp.ones(ctx.batch_shape,
+                                                jnp.float32)
         return {"bsdf": c}
 
 

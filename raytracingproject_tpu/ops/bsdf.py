@@ -21,6 +21,7 @@ toward the viewer, omega_in toward the light.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from raytracingproject_tpu.utils import math as um
@@ -204,6 +205,12 @@ def bsdf_eval(c, N, I, omega_in, features=None, want_components=False):
         f_gloss = jnp.where((~glossy_delta & reflect_side)[..., None],
                             c["glossy"] * fg[..., None], 0.0)
         pdf_gloss = jnp.where(~glossy_delta & reflect_side, pdfg, 0.0)
+        if ft.get("has_multiscatter", False):
+            ms_on = (c["glossy_multiscatter"] > 0.0) & ~glossy_delta
+            f_ms = ms_compensation_lobe(c, wo[..., 2], wi[..., 2])
+            f_gloss = f_gloss + jnp.where(
+                (ms_on & reflect_side)[..., None],
+                c["glossy"] * f_ms[..., None], 0.0)
         f = f + f_gloss
         pdf = pdf + pg * pdf_gloss
         if want_components:
@@ -333,3 +340,144 @@ def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe, features=None):
     eta_cross = jnp.where(pick_r & ~tir, inv_eta, 1.0)
     return {"omega": omega, "f_cos": f, "pdf": pdf, "label": label,
             "valid": valid, "eta": eta_cross}
+
+
+# ---------------------------------------------------------------------------
+# Multiscatter GGX energy compensation
+# (ref: kernel/closure/bsdf_microfacet_multi.h — the reference evaluates
+# multiple scattering with a stochastic random walk on the microsurface,
+# which is wavefront-hostile; redesigned as the Kulla-Conty
+# energy-compensation lobe: f_ms = (1-E(o))(1-E(i)) / (pi (1-E_avg)),
+# driven by a precomputed directional-albedo table E(mu, roughness).)
+# ---------------------------------------------------------------------------
+
+MS_TABLE_MU = 16
+MS_TABLE_R = 16
+_ms_cache = {}
+
+
+def _ms_tables_np():
+    """E(mu_o, roughness) single-scatter directional albedo of the
+    white-Fresnel GGX (same D/G family as _ggx_reflect_eval) plus its
+    cosine average E_avg(roughness). Built once per process.
+
+    Uses the VNDF identity: with h ~ visible-normal distribution the
+    albedo estimator collapses to E = mean(G2/G1_o over samples with
+    wi above the horizon) — exact in expectation and smooth for ALL
+    roughness (a fixed wi grid misses the sharp-lobe spike)."""
+    if "E" in _ms_cache:
+        return _ms_cache["E"], _ms_cache["Eavg"]
+    mu = (np.arange(MS_TABLE_MU) + 0.5) / MS_TABLE_MU         # (M,)
+    rough = (np.arange(MS_TABLE_R) + 0.5) / MS_TABLE_R        # (R,)
+    alpha = rough ** 2
+    k = 64                                                     # u grid
+    u1 = ((np.arange(k) + 0.5) / k)[:, None]
+    u2 = ((np.arange(k) + 0.5) / k)[None, :]
+    u1 = np.broadcast_to(u1, (k, k)).reshape(-1)
+    u2 = np.broadcast_to(u2, (k, k)).reshape(-1)               # (S,)
+    so = np.sqrt(np.maximum(1.0 - mu ** 2, 0.0))
+    # shapes (M, R, S)
+    a = alpha[None, :, None]
+    vx = so[:, None, None] * a
+    vz = mu[:, None, None] * np.ones_like(a)
+    vn = np.sqrt(vx * vx + vz * vz)
+    vhx, vhz = vx / vn, vz / vn                                # (M,R,1)
+    # Heitz 2018 VNDF sampling with v in the xz-plane (vy=0):
+    lensq = vhx * vhx
+    inv = np.where(lensq > 1e-12, 1.0 / np.sqrt(np.maximum(lensq, 1e-12)),
+                   0.0)
+    # t1 = normalize(-vhy, vhx, 0) = (0, sign-ish, 0) -> (0,1,0) when
+    # lensq ~ 0; general: t1 = (-vhy, vhx, 0)/len = (0, vhx, 0)/len
+    t1y = np.where(lensq > 1e-12, vhx * inv, 1.0)
+    # t2 = vh x t1
+    t2x = -vhz * t1y
+    t2z = vhx * t1y
+    r = np.sqrt(u1)[None, None, :]
+    phi = 2.0 * np.pi * u2[None, None, :]
+    p1 = r * np.cos(phi)
+    p2 = r * np.sin(phi)
+    sfac = 0.5 * (1.0 + vhz)
+    p2 = (1.0 - sfac) * np.sqrt(np.maximum(1.0 - p1 * p1, 0.0)) \
+        + sfac * p2
+    p3 = np.sqrt(np.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+    # h_local = p1*t1 + p2*t2 + p3*vh  (t1=(0,t1y,0), t2=(t2x,0,t2z))
+    hx = p2 * t2x + p3 * vhx
+    hy = p1 * t1y
+    hz = p2 * t2z + p3 * vhz
+    # unstretch
+    hx, hy, hz_ = hx * a, hy * a, np.maximum(hz, 1e-9)
+    hn = np.sqrt(hx * hx + hy * hy + hz_ * hz_)
+    hx, hy, hz = hx / hn, hy / hn, hz_ / hn
+    # wi = reflect(wo, h); wo = (so, 0, mu)
+    woh = so[:, None, None] * hx + mu[:, None, None] * hz
+    wix = 2.0 * woh * hx - so[:, None, None]
+    wiz = 2.0 * woh * hz - mu[:, None, None]
+    a2 = a * a
+
+    def lam(c):
+        c2 = np.clip(c * c, 1e-12, 1.0)
+        t2_ = np.maximum(1.0 - c2, 0.0) / c2
+        return 0.5 * (np.sqrt(1.0 + a2 * t2_) - 1.0)
+
+    lam_o = lam(vz)
+    g1_o = 1.0 / (1.0 + lam_o)
+    g2 = 1.0 / (1.0 + lam_o + lam(np.clip(wiz, 1e-9, 1.0)))
+    est = np.where(wiz > 1e-6, g2 / g1_o, 0.0)
+    E = np.clip(est.mean(-1), 0.0, 1.0)                        # (M, R)
+    Eavg = np.clip(2.0 * np.mean(E * mu[:, None], axis=0), 1e-4, 1.0)
+    _ms_cache["E"] = E.astype(np.float32)
+    _ms_cache["Eavg"] = Eavg.astype(np.float32)
+    return _ms_cache["E"], _ms_cache["Eavg"]
+
+
+def _ms_energy_lookup(mu, rough):
+    """Bilinear E(mu, rough) via one-hot reductions (no dynamic gathers
+    — docs/PERF.md). mu, rough: (N,)."""
+    E, _ = _ms_tables_np()
+    tab = jnp.asarray(E.reshape(-1))                          # (M*R,)
+    fm = jnp.clip(mu * MS_TABLE_MU - 0.5, 0.0, MS_TABLE_MU - 1.0)
+    fr = jnp.clip(rough * MS_TABLE_R - 0.5, 0.0, MS_TABLE_R - 1.0)
+    m0 = jnp.floor(fm).astype(jnp.int32)
+    r0 = jnp.floor(fr).astype(jnp.int32)
+    m1 = jnp.minimum(m0 + 1, MS_TABLE_MU - 1)
+    r1 = jnp.minimum(r0 + 1, MS_TABLE_R - 1)
+    wm = fm - m0.astype(jnp.float32)
+    wr = fr - r0.astype(jnp.float32)
+    cols = jnp.arange(MS_TABLE_MU * MS_TABLE_R, dtype=jnp.int32)
+
+    def fetch(mi, ri):
+        idx = mi * MS_TABLE_R + ri
+        return jnp.sum(jnp.where(cols[None, :] == idx[:, None],
+                                 tab[None, :], 0.0), -1)
+
+    return ((1 - wm) * ((1 - wr) * fetch(m0, r0) + wr * fetch(m0, r1))
+            + wm * ((1 - wr) * fetch(m1, r0) + wr * fetch(m1, r1)))
+
+
+def _ms_eavg_lookup(rough):
+    _, Eavg = _ms_tables_np()
+    tab = jnp.asarray(Eavg)
+    fr = jnp.clip(rough * MS_TABLE_R - 0.5, 0.0, MS_TABLE_R - 1.0)
+    r0 = jnp.floor(fr).astype(jnp.int32)
+    r1 = jnp.minimum(r0 + 1, MS_TABLE_R - 1)
+    wr = fr - r0.astype(jnp.float32)
+    cols = jnp.arange(MS_TABLE_R, dtype=jnp.int32)
+
+    def fetch(ri):
+        return jnp.sum(jnp.where(cols[None, :] == ri[:, None],
+                                 tab[None, :], 0.0), -1)
+
+    return (1 - wr) * fetch(r0) + wr * fetch(r1)
+
+
+def ms_compensation_lobe(c, cos_o, cos_i):
+    """Kulla-Conty multiple-scattering lobe value (x cos_i), white
+    albedo scaled by the glossy color (x color per extra bounce is
+    approximated by one color factor — matches the reference's
+    single-color multi_ggx closure usage)."""
+    rough = jnp.clip(c["glossy_roughness"], 0.0, 1.0)
+    E_o = _ms_energy_lookup(jnp.clip(cos_o, 1e-4, 1.0), rough)
+    E_i = _ms_energy_lookup(jnp.clip(cos_i, 1e-4, 1.0), rough)
+    E_avg = _ms_eavg_lookup(rough)
+    denom = jnp.maximum(um.M_PI * (1.0 - E_avg), 1e-4)
+    return (1.0 - E_o) * (1.0 - E_i) / denom * jnp.maximum(cos_i, 0.0)

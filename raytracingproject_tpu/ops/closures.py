@@ -29,7 +29,7 @@ CLOSURE_VEC_KEYS = ("emission", "diffuse", "glossy", "refraction",
                     "transparent", "subsurface", "subsurface_radius",
                     "holdout")
 CLOSURE_SCALAR_KEYS = ("glossy_roughness", "refraction_roughness", "ior",
-                       "diffuse_roughness")
+                       "diffuse_roughness", "glossy_multiscatter")
 
 
 def empty_closures(batch_shape):
