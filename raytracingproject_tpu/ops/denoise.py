@@ -95,3 +95,51 @@ def denoise_buffers(combined_rgba, albedo=None, normal=None, depth=None,
     out = np.asarray(combined_rgba).copy()
     out[..., :3] = np.asarray(rgb)
     return out
+
+
+def nlm_denoise_temporal(colors, target, albedo=None, normal=None,
+                         depth=None, search_radius=4, patch_radius=2,
+                         strength=0.4, feature_strength=0.2):
+    """Cross-frame NLM (ref: the reference's animation denoising —
+    standalone denoiser consuming neighbor frames; DenoisingTask
+    tile_info frames). Same shifted-image machinery as nlm_denoise,
+    with every neighbor frame contributing its own candidate patches
+    weighted against the TARGET frame's patch/feature distances.
+
+    colors: list of (H, W, 3) frames (temporal window, any length);
+    target: index of the frame to denoise. Features are the target
+    frame's guides (camera assumed static-ish across the window, like
+    the reference's per-frame guided weighting).
+    """
+    tgt = jnp.asarray(colors[target], jnp.float32)
+    eps = 1e-4
+    k2 = jnp.maximum(strength, 1e-3) ** 2
+    fk2 = jnp.maximum(feature_strength, 1e-3) ** 2
+    acc = jnp.zeros_like(tgt)
+    wsum = jnp.zeros(tgt.shape[:2] + (1,), jnp.float32)
+
+    def dist_img(a, b, k):
+        d = (a - b) ** 2 / (k * (eps + a ** 2 + b ** 2))
+        return jnp.mean(d, axis=-1, keepdims=True)
+
+    for src in colors:
+        src = jnp.asarray(src, jnp.float32)
+        for dy in range(-search_radius, search_radius + 1):
+            for dx in range(-search_radius, search_radius + 1):
+                shifted = _shift2(src, dy, dx)
+                d = dist_img(tgt, shifted, k2)
+                if albedo is not None:
+                    d = d + dist_img(albedo, _shift2(albedo, dy, dx), fk2)
+                if normal is not None:
+                    nd = 1.0 - jnp.sum(normal * _shift2(normal, dy, dx),
+                                       -1, keepdims=True)
+                    d = d + nd / fk2
+                if depth is not None:
+                    dd = depth[..., None]
+                    d = d + (dd - _shift2(dd, dy, dx)) ** 2 \
+                        / (fk2 * (eps + dd ** 2))
+                d = _box_filter(d, patch_radius)
+                w = jnp.exp(-jnp.maximum(d, 0.0))
+                acc = acc + w * shifted
+                wsum = wsum + w
+    return acc / jnp.maximum(wsum, 1e-8)

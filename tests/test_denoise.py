@@ -65,3 +65,28 @@ class TestNLM:
             return np.abs(np.diff(i[..., :3], axis=0)).mean() \
                 + np.abs(np.diff(i[..., :3], axis=1)).mean()
         assert tv(out) < tv(noisy)
+
+
+class TestTemporal:
+    def test_cross_frame_beats_single_frame(self):
+        rng = np.random.default_rng(5)
+        clean = np.zeros((32, 32, 3), np.float32)
+        clean[8:24, 8:24] = (0.8, 0.5, 0.2)
+        frames = [clean + rng.normal(0, 0.15, clean.shape
+                                     ).astype(np.float32)
+                  for _ in range(3)]
+        single = np.asarray(dn.nlm_denoise(frames[1], search_radius=3))
+        multi = np.asarray(dn.nlm_denoise_temporal(
+            frames, 1, search_radius=3))
+        e1 = float(((single - clean) ** 2).mean())
+        e3 = float(((multi - clean) ** 2).mean())
+        assert e3 < e1 * 0.9   # edge bias floors the global MSE gain...
+        # ...but in the flat interior (pure noise, no bias) the extra
+        # frames cut the residual hard
+        f1 = float(((single - clean)[12:20, 12:20] ** 2).mean())
+        f3 = float(((multi - clean)[12:20, 12:20] ** 2).mean())
+        assert f3 < f1 * 0.6
+        e0 = float(((frames[1] - clean) ** 2).mean())
+        assert e3 < e0 * 0.6   # global (edge-bias-limited)
+        f0 = float(((frames[1] - clean)[12:20, 12:20] ** 2).mean())
+        assert f3 < f0 * 0.1   # flat region: order-of-magnitude
