@@ -44,6 +44,9 @@ class Light(Node):
         # spot
         S("spot_angle", S.FLOAT, np.pi / 4.0),
         S("spot_smooth", S.FLOAT, 0.0),
+        # portal: guides background sampling, emits nothing
+        # (ref: light.h is_portal)
+        S("is_portal", S.BOOLEAN, False),
         # IES photometric profile (raw LM-63 text; empty = none)
         S("ies", S.STRING, ""),
         # common

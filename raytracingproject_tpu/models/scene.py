@@ -672,7 +672,26 @@ class Scene:
             "lamp_pmf": np.zeros(max(num_l, 1), np.float32),
         }
         bg_entry = -1
+        portal_rows = []
         for li, light in enumerate(self.lights):
+            if bool(light.is_portal):
+                # portals guide bg sampling, never emit
+                # (ref: light.cpp skipping portals in the distribution)
+                au = np.asarray(light.axisu, np.float32)
+                av = np.asarray(light.axisv, np.float32)
+                nrm = np.cross(au, av)
+                area = float(np.linalg.norm(nrm))                     * float(light.sizeu) * float(light.sizev)
+                nrm = nrm / max(np.linalg.norm(nrm), 1e-12)
+                row = np.zeros(16, np.float32)
+                row[0:3] = np.asarray(light.co, np.float32)
+                row[3:6] = au
+                row[6:9] = av
+                row[9:12] = nrm
+                row[12] = light.sizeu
+                row[13] = light.sizev
+                row[14] = max(area, 1e-12)
+                portal_rows.append(row)
+                continue
             lamp_arrays["lamp_type"][li] = light.get_enum_int("light_type")
             lamp_arrays["lamp_co"][li] = np.asarray(light.co, np.float32)
             d = np.asarray(light.dir, np.float32)
@@ -733,6 +752,9 @@ class Scene:
             out_bg = bg_map
 
         out = {
+            "portal_data": (np.stack(portal_rows).astype(np.float32)
+                            if portal_rows else
+                            np.zeros((0, 16), np.float32)),
             "light_dist_cdf": cdf.astype(np.float32),
             "light_dist_type": np.array([e[0] for e in entries], np.int32),
             "light_dist_id": np.array([e[1] for e in entries], np.int32),

@@ -393,17 +393,16 @@ def make_path_kernel(kg, px, py, pixel_index):
             kg["shaders"], kg["background_shader"], st["d"],
             textures=kg["textures"], path_flag=st["path_flag"])
         if bg_pmf > 0.0:
-            bg_h, bg_w = ds["bg_pdf_map"].shape
-            if bg_h > 1:
-                # importance-map pdf of the escaped direction
-                # (ref: kernel_light.h background_map_pdf)
-                bu, bvv = um.direction_to_equirectangular(st["d"])
-                row = jnp.clip((bvv * bg_h).astype(jnp.int32), 0, bg_h - 1)
-                col = jnp.clip((bu * bg_w).astype(jnp.int32), 0, bg_w - 1)
-                pdf_bg = bg_pmf * ds["bg_pdf_map"].reshape(-1)[
-                    row * bg_w + col]
+            # NEE's background strategy pdf at the escaped direction:
+            # importance map, mixed 50/50 with portal-rect sampling when
+            # portals exist (must match sample_light's mixture exactly
+            # for the MIS weights to sum to 1)
+            if int(ds["portal_data"].shape[0]):
+                pdf_bg = bg_pmf * (
+                    0.5 * light_ops.bg_map_pdf(ds, st["d"])
+                    + 0.5 * light_ops.portal_pdf(ds, st["o"], st["d"]))
             else:
-                pdf_bg = bg_pmf / um.M_4PI
+                pdf_bg = bg_pmf * light_ops.bg_map_pdf(ds, st["d"])
             w_bg = jnp.where(st["singular_prev"], 1.0,
                              um.power_heuristic(st["pdf_prev"], pdf_bg))
         else:

@@ -39,6 +39,49 @@ def light_distribution_sample(dscene, u):
     return idx, row
 
 
+
+
+def bg_map_pdf(dscene, D):
+    """Importance-map pdf (solid angle) of escaping along D
+    (ref: kernel_light.h background_map_pdf); uniform-sphere fallback."""
+    bg_h, bg_w = dscene["bg_pdf_map"].shape
+    if bg_h <= 1:
+        return jnp.full(D.shape[:1], 1.0 / um.M_4PI, jnp.float32)
+    bu, bvv = um.direction_to_equirectangular(D)
+    row = jnp.clip((bvv * bg_h).astype(jnp.int32), 0, bg_h - 1)
+    col = jnp.clip((bu * bg_w).astype(jnp.int32), 0, bg_w - 1)
+    return dscene["bg_pdf_map"].reshape(-1)[row * bg_w + col]
+
+
+def portal_pdf(dscene, P, D):
+    """Solid-angle pdf of the portal strategy: uniform portal pick x
+    uniform rect area -> solid angle (ref: kernel_light.h
+    background_portal_pdf). Zero where D misses every portal."""
+    pd = dscene["portal_data"]
+    k_num = int(pd.shape[0])
+    if k_num == 0:
+        return jnp.zeros(P.shape[:1], jnp.float32)
+    total = jnp.zeros(P.shape[:1], jnp.float32)
+    for k in range(k_num):          # static small loop
+        co, au, av = pd[k, 0:3], pd[k, 3:6], pd[k, 6:9]
+        nrm = pd[k, 9:12]
+        su, sv, area = pd[k, 12], pd[k, 13], pd[k, 14]
+        denom = um.dot(D, nrm)
+        t = um.safe_divide(um.dot(co[None, :] - P, nrm[None, :])[:, None],
+                           denom[:, None], 0.0)[:, 0]
+        X = P + D * t[:, None]
+        rel = X - co[None, :]
+        du = um.dot(rel, au[None, :]) / jnp.maximum(
+            um.dot(au[None, :], au[None, :]) * su, 1e-12)
+        dv = um.dot(rel, av[None, :]) / jnp.maximum(
+            um.dot(av[None, :], av[None, :]) * sv, 1e-12)
+        inside = ((t > 1e-5) & (jnp.abs(denom) > 1e-7)
+                  & (jnp.abs(du) <= 0.5) & (jnp.abs(dv) <= 0.5))
+        pdf_k = um.safe_divide(t * t, area * jnp.abs(denom), 0.0)
+        total = total + jnp.where(inside, pdf_k, 0.0)
+    return total / k_num
+
+
 def sample_light(dscene, P, u_sel, u1, u2, time=None):
     """Sample one light point for NEE from shading points P (N, 3).
 
@@ -120,28 +163,60 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None):
         + zc[:, None] * (-ldir))
 
     # background: equirect importance map when available (ref:
-    # kernel_light.h background_map_sample), else uniform sphere
+    # kernel_light.h background_map_sample), else uniform sphere;
+    # with portals present, a 50/50 MIS mixture of (map|uniform) and
+    # portal-rect sampling (ref: background_light_sample portal path)
     bg_h, bg_w = dscene["bg_pdf_map"].shape
     has_bg_map = bg_h > 1
+    num_portals = int(dscene["portal_data"].shape[0])
+    if num_portals:
+        use_portal = u1 >= 0.5
+        u1b = jnp.where(use_portal, (u1 - 0.5) * 2.0, u1 * 2.0)
+    else:
+        use_portal = None
+        u1b = u1
     if has_bg_map:
         from raytracingproject_tpu.utils import rng as rngu
-        row = lk.searchsorted_cdf(dscene["bg_marginal_cdf"], u1)
+        row = lk.searchsorted_cdf(dscene["bg_marginal_cdf"], u1b)
         cond = lk.lookup_rows(dscene["bg_conditional_cdf"], row,
                               method="gather")        # (N, W+1)
         col = jnp.sum(u2[:, None] >= cond[:, 1:-1], -1).astype(jnp.int32)
         # uniform jitter inside the texel (pdf is piecewise constant)
         jbits = rngu.hash_pcg2d(
-            jnp.asarray(u1 * 16777216.0, jnp.uint32),
+            jnp.asarray(u1b * 16777216.0, jnp.uint32),
             jnp.asarray(u2 * 16777216.0, jnp.uint32))
         ju = rngu.uint_to_float_01(jbits)
         jv = rngu.uint_to_float_01(rngu.hash_pcg(jbits))
         bu = (col.astype(jnp.float32) + ju) / bg_w
         bvv = (row.astype(jnp.float32) + jv) / bg_h
         D_bg = um.equirectangular_to_direction(bu, bvv)
+    else:
+        # fallback uniform sphere MUST consume the remapped u1b —
+        # feeding the original u1 here would fold the portal-selection
+        # bit into the direction and cover only half the sphere
+        D_bg = um.sample_uniform_sphere(u1b, u2) if num_portals else sph
+    if num_portals:
+        from raytracingproject_tpu.utils import rng as rngu
+        pd_ = dscene["portal_data"]
+        pick = jnp.clip((u2 * num_portals).astype(jnp.int32), 0,
+                        num_portals - 1)
+        prow_p = lk.lookup_rows(pd_, pick)
+        pbits = rngu.hash_pcg2d(
+            jnp.asarray(u1b * 16777216.0, jnp.uint32) ^ jnp.uint32(0xA511),
+            jnp.asarray(u2 * 16777216.0, jnp.uint32))
+        pu = rngu.uint_to_float_01(pbits)
+        pv = rngu.uint_to_float_01(rngu.hash_pcg(pbits))
+        X = (prow_p[:, 0:3]
+             + prow_p[:, 3:6] * ((pu - 0.5) * prow_p[:, 12])[:, None]
+             + prow_p[:, 6:9] * ((pv - 0.5) * prow_p[:, 13])[:, None])
+        D_portal = um.safe_normalize(X - P)
+        D_bg = jnp.where(use_portal[:, None], D_portal, D_bg)
+        # mixture pdf evaluated at the CHOSEN direction (both halves)
+        pdf_bg_mix = 0.5 * bg_map_pdf(dscene, D_bg) \
+            + 0.5 * portal_pdf(dscene, P, D_bg)
+    elif has_bg_map:
         pdf_bg_map = dscene["bg_pdf_map"].reshape(-1)[
             jnp.clip(row * bg_w + col, 0, bg_h * bg_w - 1)]
-    else:
-        D_bg = sph
 
     # ---------------- combine position-based lights ----------------
     P_l = jnp.where(is_tri[:, None], P_tri,
@@ -168,8 +243,12 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None):
     inv_sph_area = 1.0 / (4.0 * um.M_PI * jnp.maximum(lsize * lsize, 1e-12))
     pdf_sphere = d2 * inv_sph_area  # approx: sphere-area pdf to SA
     pdf_distant = 1.0 / (um.M_2PI * jnp.maximum(1.0 - cos_max, 1e-9))
-    pdf_bg = pdf_bg_map if has_bg_map \
-        else jnp.full_like(dist, 1.0 / um.M_4PI)
+    if num_portals:
+        pdf_bg = pdf_bg_mix
+    elif has_bg_map:
+        pdf_bg = pdf_bg_map
+    else:
+        pdf_bg = jnp.full_like(dist, 1.0 / um.M_4PI)
 
     delta_point = is_point & (lsize <= 0.0)
     delta_spot = is_spot & (lsize <= 0.0)
