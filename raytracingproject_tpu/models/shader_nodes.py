@@ -235,6 +235,8 @@ class SubsurfaceScatteringNode(ShaderNode):
         c = cl.empty_closures(ctx.batch_shape)
         c["subsurface"] = _bc(ctx, inp["color"])
         c["subsurface_radius"] = _bc(ctx, inp["radius"]) * _bf(ctx, inp["scale"])[..., None]
+        if self.get_enum_int("falloff") == 0:  # burley
+            c["subsurface_burley"] = jnp.ones(ctx.batch_shape, jnp.float32)
         return {"bssrdf": c}
 
 

@@ -29,7 +29,8 @@ CLOSURE_VEC_KEYS = ("emission", "diffuse", "glossy", "refraction",
                     "transparent", "subsurface", "subsurface_radius",
                     "holdout")
 CLOSURE_SCALAR_KEYS = ("glossy_roughness", "refraction_roughness", "ior",
-                       "diffuse_roughness", "glossy_multiscatter")
+                       "diffuse_roughness", "glossy_multiscatter",
+                       "subsurface_burley")
 
 
 def empty_closures(batch_shape):

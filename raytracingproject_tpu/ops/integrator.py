@@ -203,6 +203,7 @@ def make_path_kernel(kg, px, py, pixel_index):
             # walk; the walk reuses the volume scattering machinery)
             state["in_sss"] = jnp.zeros((n,), bool)
             state["sss_sigma_t"] = jnp.zeros((n, 3), jnp.float32)
+            state["sss_albedo"] = jnp.ones((n, 3), jnp.float32)
         # aux pass collection (ref: kernel_passes.h; first-hit data)
         if aux_names:
             state["aux_normal"] = jnp.zeros((n, 3), jnp.float32)
@@ -300,7 +301,9 @@ def make_path_kernel(kg, px, py, pixel_index):
                 vc["sigma_t"] = jnp.where(in_sss[:, None],
                                           st["sss_sigma_t"], vc["sigma_t"])
                 vc["sigma_s"] = jnp.where(in_sss[:, None],
-                                          st["sss_sigma_t"], vc["sigma_s"])
+                                          st["sss_sigma_t"]
+                                          * st["sss_albedo"],
+                                          vc["sigma_s"])
                 vc["anisotropy"] = jnp.where(in_sss, 0.0, vc["anisotropy"])
                 in_vol = in_vol | in_sss
             # rng: PHASE pair's v for distance; TERMINATE pair's v for
@@ -728,8 +731,24 @@ def make_path_kernel(kg, px, py, pixel_index):
             d_in, pdf_in = um.sample_cos_hemisphere(-sd.N, bu, bv)
             bs = dict(bs)
             bs["omega"] = jnp.where(entry[:, None], d_in, bs["omega"])
+            # Burley falloff: Christensen-Burley albedo inversion
+            # (ref: kernel_subsurface.h subsurface_random_walk remap /
+            # Christensen & Burley 2015 "Approximate Reflectance
+            # Profiles"): the closure color becomes the DIFFUSION
+            # albedo A; the walk runs with single-scatter albedo
+            # alpha(A) and sigma_t = 1/(d*s(A)) so that the multiple-
+            # scatter result converges to A, instead of applying the
+            # color once at entry.
+            is_burley = closures["subsurface_burley"] > 0.0
+            A_c = jnp.clip(closures["subsurface"], 0.0, 0.999)
+            alpha_w = 1.0 - jnp.exp(
+                A_c * (-5.09406 + A_c * (2.61188 - 4.31805 * A_c)))
+            s_scale = 1.9 - A_c + 3.5 * (A_c - 0.8) ** 2
+            entry_color = jnp.where(is_burley[:, None],
+                                    jnp.ones((n, 3), jnp.float32),
+                                    closures["subsurface"])
             bs["f_cos"] = jnp.where(entry[:, None],
-                                    closures["subsurface"] * pdf_in[:, None],
+                                    entry_color * pdf_in[:, None],
                                     bs["f_cos"])
             bs["pdf"] = jnp.where(entry, pdf_in * jnp.maximum(p_entry, 1e-12),
                                   bs["pdf"])
@@ -846,8 +865,17 @@ def make_path_kernel(kg, px, py, pixel_index):
         if has_sss:
             radius = jnp.clip(closures["subsurface_radius"], 1e-5, 1e8)
             out["in_sss"] = ((st["in_sss"] & ~sss_exit) | entry) & alive2
-            out["sss_sigma_t"] = jnp.where(entry[:, None], 1.0 / radius,
+            sigma_entry = jnp.where(
+                is_burley[:, None],
+                1.0 / jnp.clip(radius * s_scale, 1e-5, 1e8),
+                1.0 / radius)
+            out["sss_sigma_t"] = jnp.where(entry[:, None], sigma_entry,
                                            st["sss_sigma_t"])
+            out["sss_albedo"] = jnp.where(
+                entry[:, None],
+                jnp.where(is_burley[:, None], alpha_w,
+                          jnp.ones((n, 3), jnp.float32)),
+                st["sss_albedo"])
         if light_passes:
             out["first_cat"] = first_cat
         for k in st:

@@ -44,3 +44,49 @@ class TestSSS:
         # the sss sphere region shows the reddish wax tint
         mid = img[10:16, 8:16]
         assert mid[..., 0].mean() > mid[..., 2].mean()
+
+
+class TestBurley:
+    def _furnace_mean(self, albedo, falloff, spp=48, radius=0.15):
+        scene = examples.sss_furnace(16, 16, albedo=albedo, radius=radius)
+        node = next(n for sh in scene.shaders for n in sh.graph.nodes
+                    if n.NODE_NAME == "subsurface_scattering")
+        node.set("falloff", falloff)
+        img = render(scene, 16, 16, spp)
+        return float(img[5:11, 5:11].mean())
+
+    def test_remap_formula_values(self):
+        """Christensen-Burley albedo inversion fit (ref:
+        kernel_subsurface.h remap): spot-check known values."""
+        def alpha(A):
+            return 1.0 - np.exp(A * (-5.09406 + A * (2.61188
+                                                     - 4.31805 * A)))
+
+        def s(A):
+            return 1.9 - A + 3.5 * (A - 0.8) ** 2
+
+        assert 0.99 < alpha(0.999) <= 1.0
+        assert 0.89 < alpha(0.5) < 0.93
+        assert abs(s(0.8) - 1.1) < 1e-6
+        # monotone: more diffusion albedo -> more single-scatter albedo
+        A = np.linspace(0.05, 0.99, 50)
+        assert (np.diff(alpha(A)) > 0).all()
+
+    def test_burley_walk_darkens_with_albedo(self):
+        """The walk's per-scatter absorption responds monotonically to
+        the requested diffusion albedo (exact A recovery would need a
+        semi-infinite slab; a finite sphere transmits extra light)."""
+        m25 = self._furnace_mean(0.25, "burley")
+        m60 = self._furnace_mean(0.6, "burley")
+        m100 = self._furnace_mean(1.0, "burley")
+        assert m25 < m60 - 0.05 < m100 - 0.10
+        assert m100 > 0.9              # alpha(1) ~ 0.999: near-lossless
+        assert m25 < 0.6               # heavy absorption engages
+
+    def test_burley_vs_entry_color_walk(self):
+        """Burley saturates color differently from the entry-color walk
+        but stays in the same energy ballpark for mid albedos."""
+        m_b = self._furnace_mean(0.6, "burley")
+        m_rw = self._furnace_mean(0.6, "random_walk")
+        assert abs(m_b - m_rw) < 0.3
+        assert m_b > m_rw  # finite-thickness transmission bonus
