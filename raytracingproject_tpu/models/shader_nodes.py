@@ -1301,3 +1301,47 @@ class DisplacementNode(ShaderNode):
         h = (_bf(ctx, inp["height"]) - _bf(ctx, inp["midlevel"])) \
             * _bf(ctx, inp["scale"])
         return {"displacement": nrm * h[..., None]}
+
+
+class PointDensityTextureNode(ShaderNode):
+    """Point-cloud density as a 3D texture (ref: render/nodes.cpp
+    PointDensityTextureNode; svm_voxel.h). The cloud is voxelized at
+    scene-build time (host) into a (R,R,R) grid; eval trilinearly
+    samples it at the shading/volume position."""
+    NODE_NAME = "point_density"
+    INPUTS = [("vector", "vector", (0.0, 0.0, 0.0))]
+    OUTPUTS = [("density", "float"), ("color", "color")]
+    PARAMS = [S("radius", S.FLOAT, 0.3),
+              S("resolution", S.INT, 32),
+              S("space", S.ENUM, "object", {"object": 0, "world": 1})]
+
+    def __init__(self, name="", points=None, **kw):
+        super().__init__(name, **kw)
+        self.points = points
+        self._grid = None
+
+    def _ensure_grid(self):
+        if self._grid is None:
+            if self.points is None or len(self.points) == 0:
+                self._grid = (jnp.zeros((2, 2, 2), jnp.float32),
+                              jnp.zeros(3, jnp.float32),
+                              jnp.ones(3, jnp.float32))
+            else:
+                g, lo, inv = tex.build_point_density_grid(
+                    self.points, float(self.radius),
+                    int(self.resolution))
+                self._grid = (jnp.asarray(g), jnp.asarray(lo),
+                              jnp.asarray(inv))
+        return self._grid
+
+    def eval(self, ctx, inp):
+        grid, lo, inv = self._ensure_grid()
+        P = ctx.P if self.get_enum_int("space") == 1 else ctx.P_object
+        linked = not isinstance(inp["vector"], np.ndarray) or \
+            inp["vector"].shape != (3,) or inp["vector"].any()
+        if linked and not isinstance(inp["vector"], np.ndarray):
+            P = inp["vector"]
+        d = tex.sample_grid3d(grid, lo, inv, P)
+        return {"density": d,
+                "color": jnp.broadcast_to(d[..., None],
+                                          ctx.batch_shape + (3,))}

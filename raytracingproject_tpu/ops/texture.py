@@ -162,3 +162,70 @@ def voronoi_f1_3d(p, randomness=1.0):
         rngu.uint_to_float_01(rngu.hash_pcg(min_hash)),
         rngu.uint_to_float_01(rngu.hash_pcg(rngu.hash_pcg(min_hash)))], -1)
     return min_d, color, min_off
+
+
+def build_point_density_grid(points, radius, resolution, bounds=None):
+    """Host-side voxelization of a point cloud into a (R, R, R) density
+    grid (ref: render/nodes.cpp PointDensityTextureNode +
+    util_texture.h 3D texture build; splatting redesigned as a
+    vectorized numpy histogram with a radius-sized tophat).
+
+    Returns (grid (R,R,R) float32, lo (3,), inv_extent (3,))."""
+    import numpy as np
+    pts = np.asarray(points, np.float32).reshape(-1, 3)
+    r = int(resolution)
+    if bounds is None:
+        lo = pts.min(0) - radius
+        hi = pts.max(0) + radius
+    else:
+        lo, hi = (np.asarray(b, np.float32) for b in bounds)
+    extent = np.maximum(hi - lo, 1e-12)
+    grid = np.zeros((r, r, r), np.float32)
+    # splat: accumulate into every voxel whose center is within radius
+    # (vectorized over points per offset; offsets bounded by radius)
+    vox = extent / r
+    reach = np.maximum((radius / vox).astype(int), 0)
+    base = ((pts - lo) / extent * r - 0.5)
+    base_i = np.floor(base).astype(int)
+    rx, ry, rz = (int(min(k, r)) for k in reach)
+    for dx in range(-rx, rx + 1):
+        for dy in range(-ry, ry + 1):
+            for dz in range(-rz, rz + 1):
+                idx = base_i + (dx, dy, dz)
+                ok = ((idx >= 0) & (idx < r)).all(-1)
+                centers = lo + (idx + 0.5) * vox
+                d2 = ((centers - pts) ** 2).sum(-1)
+                ok &= d2 <= radius * radius
+                if ok.any():
+                    np.add.at(grid, tuple(idx[ok].T), 1.0)
+    if grid.max() > 0:
+        grid /= grid.max()
+    return grid, lo.astype(np.float32), (1.0 / extent).astype(np.float32)
+
+
+def sample_grid3d(grid, lo, inv_extent, P):
+    """Trilinear 3D grid sample at world/object points P (..., 3).
+    grid: (R, R, R). NOTE perf: 8 dynamic gathers per call — fine for
+    surface shading; inside a Woodcock loop prefer lowering `steps`."""
+    r = grid.shape[0]
+    q = (P - lo) * inv_extent * r - 0.5
+    q0 = jnp.floor(q).astype(jnp.int32)
+    f = q - q0
+    flat = grid.reshape(-1)
+
+    def at(ix, iy, iz):
+        ok = ((ix >= 0) & (ix < r) & (iy >= 0) & (iy < r)
+              & (iz >= 0) & (iz < r))
+        lin = jnp.clip((ix * r + iy) * r + iz, 0, r * r * r - 1)
+        return jnp.where(ok, flat[lin], 0.0)
+
+    x0, y0, z0 = q0[..., 0], q0[..., 1], q0[..., 2]
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    c = 0.0
+    for ddx in (0, 1):
+        for ddy in (0, 1):
+            for ddz in (0, 1):
+                w = ((fx if ddx else 1 - fx) * (fy if ddy else 1 - fy)
+                     * (fz if ddz else 1 - fz))
+                c = c + w * at(x0 + ddx, y0 + ddy, z0 + ddz)
+    return c
