@@ -1345,3 +1345,61 @@ class PointDensityTextureNode(ShaderNode):
         return {"density": d,
                 "color": jnp.broadcast_to(d[..., None],
                                           ctx.batch_shape + (3,))}
+
+
+class IESTextureNode(ShaderNode):
+    """IES profile as a shader texture (ref: render/nodes.cpp
+    IESLightNode; kernel light_ies). Evaluates the photometric grid in
+    the direction the shading point is being viewed from (-I), so an
+    emissive mesh shaped by this node radiates with the IES pattern."""
+    NODE_NAME = "ies_texture"
+    INPUTS = [("vector", "vector", (0.0, 0.0, 0.0)),
+              ("strength", "float", 1.0)]
+    OUTPUTS = [("fac", "float")]
+    PARAMS = [S("ies", S.STRING, "")]
+
+    def __init__(self, name="", **kw):
+        super().__init__(name, **kw)
+        self._grid = None
+
+    def _ensure_grid(self):
+        if self._grid is None:
+            from raytracingproject_tpu.utils import ies as iesu
+            txt = str(self.ies or "")
+            if txt.strip():
+                self._grid = jnp.asarray(iesu.load_ies_grid(txt))
+            else:
+                self._grid = jnp.ones(
+                    (iesu.IES_RES_H, iesu.IES_RES_V), jnp.float32)
+        return self._grid
+
+    def eval(self, ctx, inp):
+        from raytracingproject_tpu.utils import ies as iesu
+        from raytracingproject_tpu.utils import math as um2
+        grid = self._ensure_grid()
+        v = inp["vector"]
+        if isinstance(v, np.ndarray) and v.shape == (3,) and not v.any():
+            d = -ctx.I            # direction the light leaves toward
+        else:
+            d = _bc(ctx, v)
+        d = um2.safe_normalize(d)
+        nh, nv = grid.shape
+        theta = jnp.arccos(jnp.clip(-d[..., 2], -1.0, 1.0))  # axis = -z
+        phi = jnp.arctan2(d[..., 1], d[..., 0])
+        phi = jnp.where(phi < 0, phi + um2.M_2PI, phi)
+        fv = theta / um2.M_PI * (nv - 1)
+        fh = phi / um2.M_2PI * nh
+        v0 = jnp.clip(jnp.floor(fv).astype(jnp.int32), 0, nv - 1)
+        v1 = jnp.minimum(v0 + 1, nv - 1)
+        h0 = jnp.floor(fh).astype(jnp.int32) % nh
+        h1 = (h0 + 1) % nh
+        wv = fv - v0
+        wh = fh - jnp.floor(fh)
+        flat = grid.reshape(-1)
+
+        def at(hh, vv):
+            return flat[jnp.clip(hh * nv + vv, 0, nh * nv - 1)]
+
+        f = ((1 - wv) * ((1 - wh) * at(h0, v0) + wh * at(h1, v0))
+             + wv * ((1 - wh) * at(h0, v1) + wh * at(h1, v1)))
+        return {"fac": f * _bf(ctx, inp["strength"])}

@@ -79,3 +79,27 @@ class TestLamp:
         ea = float(np.asarray(
             lops.sample_light(ds, above, u, u, u)["eval"]).mean())
         np.testing.assert_allclose(eb, ea, rtol=1e-5)
+
+
+class TestIESNode:
+    def test_node_shapes_directionally(self):
+        import types
+        import jax.numpy as jnp
+        from raytracingproject_tpu.models.shader_nodes import \
+            IESTextureNode
+        node = IESTextureNode("ies", ies=IES_COSINE)
+        n = 4
+        # viewing directions: from below (light leaves downward, -z)
+        # vs from above (upward)
+        I_down = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+        I_up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), (n, 3))
+        ctx = types.SimpleNamespace(batch_shape=(n,), I=I_down)
+        f_down = np.asarray(node.eval(
+            ctx, {"vector": np.zeros(3, np.float32),
+                  "strength": 1.0})["fac"])
+        ctx.I = I_up
+        f_up = np.asarray(node.eval(
+            ctx, {"vector": np.zeros(3, np.float32),
+                  "strength": 1.0})["fac"])
+        assert f_down[0] > 0.95    # straight down: profile peak
+        assert f_up[0] < 0.05      # straight up: profile zero
