@@ -412,6 +412,48 @@ class Session:
                 self.buffers.num_samples)
 
     # ------------------------------------------------------------------
+    def render_preview(self, dividers=(8, 4, 2, 1), samples_per_level=None):
+        """Viewport-style progressive preview (ref: session.cpp draw /
+        update loop with BufferParams resolution dividers): render the
+        frame at descending resolution dividers, yielding an upscaled
+        (H, W, 4) display image after each level. The final level runs
+        at full resolution with the session's sample count.
+
+        Generator — iterate to drive the refinement loop:
+            for img in session.render_preview(): show(img)
+        """
+        import numpy as np
+        cam = self.scene.camera
+        full_w, full_h = int(cam.width), int(cam.height)
+        full_samples = self.params.samples
+        try:
+            for div in dividers:
+                self.progress.check_cancel()
+                w = max(full_w // div, 8)
+                h = max(full_h // div, 8)
+                spp = samples_per_level or max(full_samples // div, 1)
+                if div == 1:
+                    w, h, spp = full_w, full_h, full_samples
+                cam.set("width", w)
+                cam.set("height", h)
+                self.params.samples = spp
+                self.reset()
+                rgba = self.render()
+                if div != 1:
+                    rgba = np.repeat(np.repeat(rgba, full_h // h, axis=0),
+                                     full_w // w, axis=1)
+                    rgba = rgba[:full_h, :full_w]
+                    pad_h = full_h - rgba.shape[0]
+                    pad_w = full_w - rgba.shape[1]
+                    if pad_h or pad_w:
+                        rgba = np.pad(rgba, ((0, pad_h), (0, pad_w),
+                                             (0, 0)), mode="edge")
+                yield rgba
+        finally:
+            cam.set("width", full_w)
+            cam.set("height", full_h)
+            self.params.samples = full_samples
+
     def get_cryptomatte(self, kind="object"):
         """(H, W, depth*2) interleaved [name-hash, coverage] planes,
         ranked by coverage (ref: cryptomatte spec / film.cpp

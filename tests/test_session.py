@@ -193,3 +193,22 @@ class TestPause:
         sess.wait()
         assert sess.buffers.num_samples == 4
         assert not sess.progress.error
+
+
+class TestPreview:
+    def test_preview_refines_to_full_res(self):
+        scene = examples.cornell_box(24, 24, spp=4)
+        sess = Session(scene, SessionParams(samples=4))
+        frames = list(sess.render_preview(dividers=(4, 1)))
+        assert len(frames) == 2
+        # every level is presented at full display size
+        assert frames[0].shape == (24, 24, 4)
+        assert frames[1].shape == (24, 24, 4)
+        assert np.isfinite(frames[0]).all()
+        # coarse level is blocky: fewer unique rows than the final
+        u0 = len(np.unique(frames[0][..., 0].round(4), axis=0))
+        u1 = len(np.unique(frames[1][..., 0].round(4), axis=0))
+        assert u0 < u1
+        # camera restored
+        assert int(scene.camera.width) == 24
+        assert sess.params.samples == 4
