@@ -50,6 +50,7 @@ class Session:
         self.params = params or SessionParams()
         self.progress = Progress()
         self._crypto = None
+        self._denoised = None
         self.buffers = None
         self.tile_manager = None
         self.write_render_cb = None      # cb(rgba (H,W,4), sample)
@@ -485,6 +486,36 @@ class Session:
             rgba, albedo=albedo, normal=normal,
             depth=None if depth is None else depth[..., 0])
         return self._denoised
+
+    def denoise_tile(self, x, y, w, h, overscan=8):
+        """Per-tile denoise state (ref: Session tile denoising with
+        RenderBuffers neighbor copy): denoise only a tile rect, reading
+        an overscanned neighborhood so patches at tile borders see
+        their full search window, then write back the inner rect.
+        Marks the tile finished+denoised on the progress tracker."""
+        import numpy as np
+        from raytracingproject_tpu.models import film as fm
+        from raytracingproject_tpu.ops import denoise as dn
+        H, W = self.buffers.params.height, self.buffers.params.width
+        x0, y0 = max(x - overscan, 0), max(y - overscan, 0)
+        x1, y1 = min(x + w + overscan, W), min(y + h + overscan, H)
+        rgba = self.buffers.get_display_rgba(
+            float(self.scene.film.exposure))[y0:y1, x0:x1]
+        albedo = self.buffers.get_pass_rect(fm.PASS_DENOISING_ALBEDO)
+        normal = self.buffers.get_pass_rect(fm.PASS_DENOISING_NORMAL)
+        depth = self.buffers.get_pass_rect(fm.PASS_DEPTH)
+        out = dn.denoise_buffers(
+            rgba,
+            albedo=None if albedo is None else albedo[y0:y1, x0:x1],
+            normal=None if normal is None else normal[y0:y1, x0:x1],
+            depth=None if depth is None else depth[y0:y1, x0:x1, 0])
+        if self._denoised is None:
+            self._denoised = np.asarray(self.buffers.get_display_rgba(
+                float(self.scene.film.exposure))).copy()
+        self._denoised[y:y + h, x:x + w] = out[
+            y - y0:y - y0 + h, x - x0:x - x0 + w]
+        self.progress.add_finished_tile(denoised=True)
+        return self._denoised[y:y + h, x:x + w]
 
     # ------------------------------------------------------------------
     def write_output(self, path, srgb=True):

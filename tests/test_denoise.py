@@ -90,3 +90,28 @@ class TestTemporal:
         assert e3 < e0 * 0.6   # global (edge-bias-limited)
         f0 = float(((frames[1] - clean)[12:20, 12:20] ** 2).mean())
         assert f3 < f0 * 0.1   # flat region: order-of-magnitude
+
+
+class TestTileDenoise:
+    def test_per_tile_matches_whole_frame_interior(self):
+        from raytracingproject_tpu.app import examples
+        from raytracingproject_tpu.session import Session, SessionParams
+        from raytracingproject_tpu.models import film as fm
+        scene = examples.cornell_box(32, 32, spp=4)
+        scene.film.set_passes([fm.PASS_COMBINED, fm.PASS_DEPTH,
+                               fm.PASS_NORMAL])
+        sess = Session(scene, SessionParams(samples=4))
+        sess.reset()
+        sess.render()
+        whole = sess.denoise().copy()
+        sess._denoised = None
+        tiles = sess.progress.finished_tiles if hasattr(
+            sess.progress, "finished_tiles") else None
+        for ty in (0, 16):
+            for tx in (0, 16):
+                sess.denoise_tile(tx, ty, 16, 16, overscan=16)
+        tiled = sess._denoised
+        # with overscan >= the NLM search+patch window, per-tile output
+        # matches the whole-frame result away from the frame border
+        np.testing.assert_allclose(tiled[8:24, 8:24],
+                                   whole[8:24, 8:24], atol=2e-3)
