@@ -377,3 +377,68 @@ def het_volume_furnace(width=20, height=20, density=1.0):
     scene.integrator.set("min_bounce", 16)
     scene.integrator.set("volume_max_steps", 32)
     return scene
+
+
+def volume_sss_scene(width=256, height=256, spp=32, density=0.004):
+    """BASELINE config 5 proper: homogeneous smoke-in-box AND a
+    random-walk SSS sphere in one Cornell scene (ref configs list,
+    BASELINE.json)."""
+    scene = smoke_cornell(width, height, spp, density=density)
+    mat = sss_shader("wax", color=(0.8, 0.5, 0.3),
+                     radius=(40.0, 20.0, 10.0))
+    scene.add_shader(mat)
+    s1 = make_sphere_mesh((430, 120, 100), 100, 0, nlat=16, nlon=32,
+                          name="sss_sphere")
+    s1.set("smooth", np.ones(s1.num_triangles, bool))
+    s1.used_shaders = [mat]
+    scene.add_object(Object("sss_sphere", s1))
+    scene.integrator.set("max_bounce", 8)
+    scene.integrator.set("max_transmission_bounce", 16)
+    return scene
+
+
+def transparent_shader(name, color=(1.0, 1.0, 1.0)):
+    g = ShaderGraph()
+    t = g.add(sn.TransparentBsdfNode(name + "_t", color=color))
+    g.connect(t, "bsdf", g.output_node, "surface")
+    return Shader(name, g)
+
+
+def shadow_panel_scene(width=32, height=32, panel="none",
+                       panel_color=(1.0, 1.0, 1.0),
+                       use_transparent_shadow=True, max_bounce=1):
+    """Floor + overhead emissive quad + optional occluder panel between
+    them — the transparent-shadow test fixture (ref test analog:
+    tests/render/shadow scenes). Camera views the floor from below the
+    panel so primary rays never touch it; only NEE shadow rays do."""
+    scene = Scene()
+    scene.camera.set("matrix", tfm.look_at((0, -8, 1.0), (0, 0, 0),
+                                           (0, 0, 1)))
+    scene.camera.set("fov", 0.5)
+    scene.camera.set("width", width)
+    scene.camera.set("height", height)
+    white = diffuse_shader("white", (0.8, 0.8, 0.8))
+    scene.add_shader(white)
+    floor = make_plane_mesh((-6, -6, 0), (12, 0, 0), (0, 12, 0), 0, "floor")
+    floor.used_shaders = [white]
+    scene.add_object(Object("floor", floor))
+
+    lshader = emission_shader("light", (1.0, 1.0, 1.0), 40.0)
+    scene.add_shader(lshader)
+    lm = make_plane_mesh((-1, -1, 4.0), (2, 0, 0), (0, 2, 0), 0, "light")
+    lm.used_shaders = [lshader]
+    scene.add_object(Object("light", lm))
+
+    if panel != "none":
+        pshader = transparent_shader("panel", color=panel_color)
+        pshader.set("use_transparent_shadow", use_transparent_shadow)
+        scene.add_shader(pshader)
+        pm = make_plane_mesh((-3, -3, 2.0), (6, 0, 0), (0, 6, 0), 0,
+                             "panel")
+        pm.used_shaders = [pshader]
+        scene.add_object(Object("panel", pm))
+
+    scene.integrator.set("aa_samples", 8)
+    scene.integrator.set("max_bounce", max_bounce)
+    scene.background.shader = None
+    return scene

@@ -945,6 +945,16 @@ class Scene:
             "bg_map_res": tuple(self.dscene["arrays"].pop(
                 "__bg_map_res__", (0, 0))),
             "shader_has_volume": [bool(s.has_volume) for s in self.shaders],
+            # shaders whose surfaces pass shadow rays with accumulated
+            # transparency (ref: shader_bsdf_transparency +
+            # SD_HAS_TRANSPARENT_SHADOW, kernel_shadow.h:142-454);
+            # volume-only boundaries are excluded here because they are
+            # already culled from shadow visibility at pack time
+            "shader_shadow_transparent": [
+                bool(s.has_transparent and s.use_transparent_shadow
+                     and not (s.has_volume and s.graph.links.get(
+                         (id(s.graph.output_node), "surface")) is None))
+                for s in self.shaders],
             "shader_het_volume": [
                 bool(getattr(s, "has_heterogeeous_volume", False)
                      or getattr(s, "has_heterogeneous_volume", False))

@@ -81,6 +81,56 @@ def _shadow_blocked(kg, o, d, tmin, tmax, time=None):
     return hit["prim"] >= 0
 
 
+def _shadow_transmittance(kg, o, d, tmin, tmax, time=None):
+    """(N, 3) light transmittance along shadow segments.
+
+    Scenes without shadow-transparent shaders keep the cheap boolean
+    any-hit. Otherwise: a bounded record-and-step loop — closest-hit,
+    accumulate the hit shader's transparent-closure color, advance tmin
+    past the hit — the wavefront analog of
+    shadow_blocked_transparent_stepped (ref: kernel/kernel_shadow.h:
+    142-454, dispatch :386); honors per-shader use_transparent_shadow.
+    """
+    from raytracingproject_tpu.ops import shade as shade_ops
+
+    n = o.shape[0]
+    if not any(kg.get("shader_shadow_transparent", ())):
+        blocked = _shadow_blocked(kg, o, d, tmin, tmax, time=time)
+        return jnp.where(blocked[:, None], 0.0, 1.0)
+
+    ds = kg["dscene"]
+    vis = jnp.full((n,), ob.PATH_RAY_SHADOW, jnp.uint32)
+    is_st = jnp.asarray(np.array(kg["shader_shadow_transparent"], bool))
+    max_hits = max(int(kg["kint"]["transparent_max_bounce"]), 1)
+
+    trans = jnp.ones((n, 3), jnp.float32)
+    active = tmax > tmin
+    t_lo = tmin
+    for _ in range(max_hits):
+        hit = _scene_intersect(kg, o, d, t_lo,
+                               jnp.where(active, tmax, t_lo), vis,
+                               shadow=False, time=time)
+        found = active & (hit["prim"] >= 0)
+        sd = shade_ops.shader_setup(ds, hit, o, d, time=time,
+                                    path_flag=jnp.full(
+                                        n, ob.PATH_RAY_SHADOW, jnp.uint32),
+                                    textures=kg["textures"])
+        shader = jnp.clip(sd.shader, 0, len(kg["shaders"]) - 1)
+        st_hit = found & is_st[shader]
+        opaque = found & ~st_hit
+        trans = jnp.where(opaque[:, None], 0.0, trans)
+        tp = shade_ops.eval_transparency(
+            kg["shaders"], sd, shader, kg["shader_shadow_transparent"])
+        trans = jnp.where(st_hit[:, None], trans * tp, trans)
+        active = st_hit & jnp.any(trans > 1e-7, axis=-1)
+        t_lo = jnp.where(active, hit["t"] * (1.0 + 1e-4) + RAY_EPS, t_lo)
+    # hit budget exhausted: any remaining blocker makes the lane opaque
+    # (the reference bails out to "blocked" the same way)
+    still = _shadow_blocked(kg, o, d, t_lo,
+                            jnp.where(active, tmax, t_lo), time=time)
+    return jnp.where((active & still)[:, None], 0.0, trans)
+
+
 def _clamp_contrib(contrib, clamp):
     """Per-sample firefly clamp (ref: kernel_accumulate.h
     path_radiance_clamp). `clamp` may be a python float (<= 0 disables)
@@ -618,13 +668,17 @@ def make_path_kernel(kg, px, py, pixel_index):
             sh_tmax = jnp.where(ls["dist"] >= um.RAY_TMAX * 0.5,
                                 jnp.float32(um.RAY_TMAX),
                                 ls["dist"] * (1.0 - 1e-3) - RAY_EPS)
+            sh_trans = jnp.ones((n, 3), jnp.float32)
             if "shadow" in ablate:
                 blocked = jnp.zeros((n,), bool)
             else:
-                blocked = _shadow_blocked(kg, sh_o, ls["D"],
-                                          jnp.full((n,), 1e-5, jnp.float32),
-                                          jnp.where(can_light, sh_tmax, 1e-5),
-                                          time=st["time"])
+                sh_trans = _shadow_transmittance(
+                    kg, sh_o, ls["D"],
+                    jnp.full((n,), 1e-5, jnp.float32),
+                    jnp.where(can_light, sh_tmax, 1e-5),
+                    time=st["time"])
+                contrib = contrib * sh_trans
+                blocked = ~jnp.any(sh_trans > 0.0, axis=-1)
             if has_volume:
                 # transmittance to the boundary for in-volume lanes
                 # (round-1 approx: attenuate over min(dist, light dist);
@@ -673,7 +727,8 @@ def make_path_kernel(kg, px, py, pixel_index):
             L = jnp.where((can_light & ~blocked)[:, None], L + contrib, L)
             if light_passes:
                 lit = can_light & ~blocked
-                scale = l_eval * um.safe_divide(w_l, ls["pdf"], 0.0)[:, None]
+                scale = sh_trans * l_eval \
+                    * um.safe_divide(w_l, ls["pdf"], 0.0)[:, None]
                 first0 = bounce == 0
                 for ci, cat in enumerate(LP_CATS[:3]):
                     fc = f_comp.get(cat)

@@ -193,6 +193,21 @@ def _m(mask, v):
     return mask[..., None] if v.ndim > mask.ndim else mask
 
 
+def eval_transparency(shaders, sd, shader_id, shader_mask):
+    """Per-lane shadow transparency: the shader's transparent-closure
+    weight, evaluated only for shaders flagged in shader_mask (the
+    shadow-transparent subset). Non-flagged shaders return 0 = opaque
+    (ref: shader_bsdf_transparency, kernel/kernel_shader.h)."""
+    tp = jnp.zeros(sd.batch_shape + (3,), jnp.float32)
+    for slot, shader in enumerate(shaders):
+        if not shader_mask[slot]:
+            continue
+        c = shader.graph.evaluate(sd)["surface"]
+        m = shader_id == slot
+        tp = jnp.where(m[..., None], jnp.abs(c["transparent"]), tp)
+    return tp
+
+
 def eval_background(shaders, background_shader_slot, ray_d, textures=None,
                     path_flag=None):
     """Evaluate the background shader for missed rays
