@@ -42,6 +42,12 @@ from raytracingproject_tpu.utils import log
 # block costs ~0.03 ms, so the gather-driven BVH only wins above ~10k
 # prims. Below this, everything runs through the tri-major dense kernel.
 BRUTE_FORCE_MAX_PRIMS = 16384
+# build cluster tables from this size up (below it the dense kernel has
+# no competition); the brute-vs-cluster dispatch crossover is separate
+CLUSTER_MIN_PRIMS = 384
+# measured v5e crossover (tools/cluster_bench.py): dense wins below
+# ~1-2k prims on incoherent wavefronts
+BRUTE_VS_CLUSTER_PRIMS = 1024
 # Instanced geometry whose flattened copy stays under the dense
 # threshold is baked to world space (the reference applies static
 # transforms similarly, object.cpp apply_static_transforms).
@@ -164,11 +170,13 @@ class Scene:
             "use_brute": packed.pop("__use_brute__"),
             "has_instances": packed.pop("__has_instances__"),
             "has_deform_motion": packed.pop("__has_deform_motion__", False),
+            "cluster_tris": packed.pop("__cluster_tris__", 0),
             "film_transparent": bool(self.background.transparent),
         }
         dscene.pop("__use_brute__", None)
         dscene.pop("__has_instances__", None)
         dscene.pop("__has_deform_motion__", None)
+        dscene.pop("__cluster_tris__", None)
         self.need_update = False
         return self.dscene
 
@@ -587,6 +595,92 @@ class Scene:
         packed["bvh_nodes_packed"] = nodes_packed
         packed["bvh_leaf_blocks"] = leaf_blocks
 
+        # ---- cluster-shortlist traversal tables (the TPU-native fast
+        # path for 1k-32k prims; ops/cluster_intersect.py) ----
+        has_motion_instances = any(r[3] is not None for r in instance_rows)
+        if (not has_deform) and (not has_motion_instances) \
+                and (has_instances or P >= CLUSTER_MIN_PRIMS):
+            from raytracingproject_tpu.ops import cluster_intersect as ci
+            from raytracingproject_tpu.bvh import clusters as cl_mod
+            # small clusters measured fastest (tools/cluster_tune.py);
+            # row width (and the one-hot MXU cost) grows with cluster
+            # size, so cap at 64 tris -> max ~40k prims on the cluster
+            # path; bigger scenes fall back to dense
+            for ct_size in (16, 32, 64):
+                block_cuts = [cl_mod.cut_clusters(blk["children"], ct_size)
+                              for blk in blocks]
+                if has_instances:
+                    total_c = sum(len(block_cuts[r[1]])
+                                  for r in instance_rows)
+                else:
+                    total_c = len(block_cuts[0]) if block_cuts else 0
+                if total_c <= 640:
+                    break
+            else:
+                block_cuts = None
+            if block_cuts is not None and total_c > 0:
+                cluster_dicts = []
+                if has_instances:
+                    for (w2o, bi, oi, _motion) in instance_rows:
+                        blk = blocks[bi]
+                        pb = prim_bases[bi]
+                        o2w = (np.asarray(objects[oi].transform, np.float32)
+                               if oi >= 0 else tfm.identity())
+                        for (s, c) in block_cuts[bi]:
+                            verts = blk["verts"][s:s + c]
+                            prim = pb + np.arange(s, s + c)
+                            if oi >= 0:
+                                objv = np.full(c, oi, np.int32)
+                            else:
+                                objv = blk["object"][s:s + c]
+                            vis = obj_visibility[np.maximum(objv, 0)]
+                            vlo = verts.reshape(-1, 3).min(0)
+                            vhi = verts.reshape(-1, 3).max(0)
+                            corners = np.array(
+                                [[x, y, z] for x in (vlo[0], vhi[0])
+                                 for y in (vlo[1], vhi[1])
+                                 for z in (vlo[2], vhi[2])], np.float32)
+                            wc = tfm.transform_point(o2w, corners)
+                            cluster_dicts.append({
+                                "verts": verts, "prim": prim, "obj": objv,
+                                "vis": vis, "w2o": w2o,
+                                "lo": wc.min(0), "hi": wc.max(0)})
+                else:
+                    tv = packed["tri_verts"]
+                    po = packed["prim_object_packed"]
+                    for (s, c) in block_cuts[0]:
+                        verts = tv[s:s + c]
+                        objv = po[s:s + c]
+                        cluster_dicts.append({
+                            "verts": verts,
+                            "prim": np.arange(s, s + c),
+                            "obj": objv,
+                            "vis": obj_visibility[np.maximum(objv, 0)],
+                            "w2o": None,
+                            "lo": verts.reshape(-1, 3).min(0),
+                            "hi": verts.reshape(-1, 3).max(0)})
+                cb, ctab, ct_used = ci.pack_cluster_table(cluster_dicts)
+                packed["cluster_bounds"] = cb
+                packed["cluster_table"] = ctab
+                packed["__cluster_tris__"] = ct_used
+                log.vlog(1, "cluster tables: %d clusters x %d tris "
+                         "(row %d cols)", len(cb), ct_used, ctab.shape[1])
+
+        # finalize kernel dispatch now that we know which fast paths
+        # exist (measured on v5e at 262k incoherent lanes,
+        # tools/cluster_bench.py: cluster beats dense from ~2k prims and
+        # beats the packed gather-walk 76-85x; dense beats the packed
+        # walk at every size we can hold):
+        if has_deform:
+            use_brute = True           # dense lerp path carries motion
+        elif has_instances:
+            use_brute = False          # world-baked tris don't exist
+        elif "cluster_bounds" in packed:
+            use_brute = P <= BRUTE_VS_CLUSTER_PRIMS
+        else:
+            use_brute = True
+        packed["__use_brute__"] = use_brute
+
         # ---- wide lookup tables (ops/lookup.py layout contract) ----
         from raytracingproject_tpu.ops import lookup as lk
         pt = np.zeros((max(P, 1), lk.PT_COLS), np.float32)
@@ -933,6 +1027,7 @@ class Scene:
             "textures": tex,
             "background_shader": ds["background_shader"],
             "use_brute": ds["use_brute"],
+            "cluster_tris": ds.get("cluster_tris", 0),
             "has_instances": ds.get("has_instances", False),
             "has_deform_motion": ds.get("has_deform_motion", False),
             "has_motion": any(o.use_motion for o in self.objects)

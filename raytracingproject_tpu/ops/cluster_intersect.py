@@ -1,0 +1,243 @@
+"""Cluster-shortlist scene intersection — the TPU-native traversal.
+
+Replaces the per-lane BVH walk (ref: kernel/bvh/bvh_traversal.h:34-229)
+for the 1k-32k-prim regime. Rationale (measured, docs/PERF.md): a
+dynamic row gather costs ~0.7 ms per 256k-lane wavefront and a lockstep
+BVH walk needs ~150 of them; per-lane dynamic addressing has no fast
+form on TPU. Instead the BVH is cut into <= 512 clusters of
+<= cluster_tris triangles (bvh/clusters.py) and traversal becomes three
+gather-free primitives:
+
+1. one slab-test sweep materializes every lane's entry distance to
+   every cluster — a (C, N) VPU pass run ONCE per intersect;
+2. each iteration picks each lane's nearest unprocessed cluster by a
+   min/select-reduction over that table (front-to-back order for free,
+   so closest-hit converges in ~3-10 iterations);
+3. the chosen cluster row (triangles + prim ids + visibility + w2o,
+   all finite f32 payloads) is fetched with the one-hot MXU lookup
+   (ops/lookup.py, ~0.3 ms) and intersected with dense VPU math.
+
+Instancing (TLAS/BLAS) is folded in: every instance contributes its
+BLAS clusters with world-space bounds and its world->object transform
+in the row; rays transform per lane after the fetch, with t preserved
+(directions not renormalized) so hit compares stay global — the same
+contract as ops/intersect.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raytracingproject_tpu.utils.math import RAY_TMAX
+from raytracingproject_tpu.ops import lookup as lk
+
+INF = jnp.float32(3e38)
+# row layout: [w2o(12), pad(1)] [tris: v0,e1,e2 (9 per tri)]
+# [prim id per tri] [object id per tri] [visibility per tri]
+META_COLS = 13
+# measured on v5e (tools/cluster_tune.py): small chunks win (worst-lane
+# convergence dominates big chunks) and small clusters beat big ones
+# (finer culling outweighs the extra selection rows)
+DEFAULT_CHUNK = 8192
+
+
+def row_width(cluster_tris):
+    return META_COLS + cluster_tris * 12
+
+
+def pack_cluster_table(clusters_np):
+    """Host-side packing. clusters_np: list of dicts with keys
+    verts (ct_i, 3, 3) [object space], prim (ct_i,), obj (ct_i,),
+    vis (ct_i,), w2o (3, 4) or None, lo (3,), hi (3,).
+    Returns (cluster_bounds (C, 6) f32, cluster_table (C, W) f32,
+    cluster_tris)."""
+    c = len(clusters_np)
+    ct = max((len(cl["prim"]) for cl in clusters_np), default=1)
+    ct = max(ct, 1)
+    w = row_width(ct)
+    table = np.zeros((c, w), np.float32)
+    bounds = np.zeros((c, 6), np.float32)
+    for i, cl in enumerate(clusters_np):
+        bounds[i, :3] = cl["lo"]
+        bounds[i, 3:] = cl["hi"]
+        if cl.get("w2o") is not None:
+            table[i, 0:12] = np.asarray(cl["w2o"], np.float32).reshape(12)
+        else:
+            table[i, 0:12] = np.eye(3, 4, dtype=np.float32).reshape(12)
+        k = len(cl["prim"])
+        v = np.asarray(cl["verts"], np.float32)
+        tri = np.concatenate(
+            [v[:, 0], v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]], axis=1)
+        table[i, META_COLS:META_COLS + 9 * k] = tri.reshape(-1)
+        base = META_COLS + 9 * ct
+        table[i, base:base + ct] = -1.0
+        table[i, base:base + k] = np.asarray(cl["prim"], np.float32)
+        base2 = base + ct
+        table[i, base2:base2 + k] = np.asarray(cl["obj"], np.float32)
+        base3 = base2 + ct
+        table[i, base3:base3 + k] = np.asarray(cl["vis"], np.float32)
+        assert np.all(np.abs(cl["prim"]) < (1 << 24))
+    assert np.isfinite(table).all(), "one-hot payloads must be finite"
+    return bounds, table, ct
+
+
+def _entry_table(cbounds, o, d, tmin, tmax):
+    """(C, N) conservative entry distance per (cluster, lane); INF when
+    the segment misses the box. Kept per-axis to avoid (C, N, 3)
+    temporaries."""
+    inv = jnp.where(jnp.abs(d) > 1e-20,
+                    1.0 / jnp.where(d == 0, 1.0, d),
+                    jnp.where(d >= 0, 1e20, -1e20))
+    tn = jnp.full((cbounds.shape[0], o.shape[0]), -INF)
+    tf = jnp.full((cbounds.shape[0], o.shape[0]), INF)
+    for ax in range(3):
+        t0 = (cbounds[:, ax, None] - o[None, :, ax]) * inv[None, :, ax]
+        t1 = (cbounds[:, 3 + ax, None] - o[None, :, ax]) * inv[None, :, ax]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    ok = (tn <= tf) & (tf >= tmin[None]) & (tn <= tmax[None])
+    return jnp.where(ok, jnp.maximum(tn, tmin[None]), INF)
+
+
+def _intersect_chunk(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
+                     visibility, shadow_any_hit, has_instances,
+                     max_iters):
+    n = o.shape[0]
+    c = cbounds.shape[0]
+    entry = _entry_table(cbounds, o, d, tmin, tmax)
+    cids = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+
+    t0 = jnp.minimum(tmax, RAY_TMAX)
+    state = (entry, t0, jnp.full((n,), -1, jnp.int32),
+             jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+             jnp.full((n,), -1, jnp.int32), jnp.int32(0), jnp.bool_(True))
+
+    def cond(st):
+        return st[7] & (st[6] < max_iters)
+
+    def body(st):
+        entry, t_best, prim_b, u_b, v_b, obj_b, it, _ = st
+        e_min = jnp.min(entry, axis=0)                      # (N,)
+        active = e_min < jnp.minimum(t_best, INF)
+        # nearest unprocessed cluster per lane (select-reduction; ties
+        # resolved to the largest id, then invalidated exactly by id)
+        win = entry == e_min[None]
+        cid = jnp.max(jnp.where(win, cids, -1), axis=0)
+        cid = jnp.maximum(cid, 0)
+
+        # fetch the cluster row for every lane in (W, N) orientation so
+        # each component below is a contiguous lane vector. On TPU the
+        # one-hot is built directly as (C, N) and contracted from the
+        # left on the MXU (HIGHEST precision keeps f32 payloads
+        # bit-exact — 1.0*v + 0*rest is exact for finite rest); on CPU
+        # (no MXU, cheap gathers) a plain row gather wins.
+        if jax.default_backend() == "tpu":
+            oh = (cids == cid[None]).astype(jnp.float32)    # (C, N)
+            row = jnp.dot(ctable.T, oh,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)  # (W, N)
+        else:
+            row = ctable[cid].T                             # (W, N)
+        if has_instances:
+            m = [row[j] for j in range(12)]                 # 3x4 rows
+            oxx = m[0] * o[:, 0] + m[1] * o[:, 1] + m[2] * o[:, 2] + m[3]
+            oyy = m[4] * o[:, 0] + m[5] * o[:, 1] + m[6] * o[:, 2] + m[7]
+            ozz = m[8] * o[:, 0] + m[9] * o[:, 1] + m[10] * o[:, 2] + m[11]
+            dxx = m[0] * d[:, 0] + m[1] * d[:, 1] + m[2] * d[:, 2]
+            dyy = m[4] * d[:, 0] + m[5] * d[:, 1] + m[6] * d[:, 2]
+            dzz = m[8] * d[:, 0] + m[9] * d[:, 1] + m[10] * d[:, 2]
+        else:
+            oxx, oyy, ozz = o[:, 0], o[:, 1], o[:, 2]
+            dxx, dyy, dzz = d[:, 0], d[:, 1], d[:, 2]
+
+        pbase = META_COLS + 9 * cluster_tris
+        obase = pbase + cluster_tris
+        vbase = obase + cluster_tris
+        bt, bp, bu, bv, bo = t_best, prim_b, u_b, v_b, obj_b
+        for k in range(cluster_tris):
+            b = META_COLS + 9 * k
+            v0x, v0y, v0z = row[b], row[b + 1], row[b + 2]
+            e1x, e1y, e1z = row[b + 3], row[b + 4], row[b + 5]
+            e2x, e2y, e2z = row[b + 6], row[b + 7], row[b + 8]
+            px = dyy * e2z - dzz * e2y
+            py = dzz * e2x - dxx * e2z
+            pz = dxx * e2y - dyy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv = jnp.where(jnp.abs(det) > 1e-12,
+                            1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+            tx, ty, tz = oxx - v0x, oyy - v0y, ozz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dxx * qx + dyy * qy + dzz * qz) * inv
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv
+            pid = row[pbase + k]
+            hit = (active & (jnp.abs(det) > 1e-12)
+                   & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+                   & (t > tmin) & (t < bt) & (pid >= 0.0))
+            if visibility is not None:
+                vis = row[vbase + k].astype(jnp.uint32)
+                hit &= (vis & visibility) > 0
+            bt = jnp.where(hit, t, bt)
+            bp = jnp.where(hit, pid.astype(jnp.int32), bp)
+            bu = jnp.where(hit, u, bu)
+            bv = jnp.where(hit, v, bv)
+            bo = jnp.where(hit, row[obase + k].astype(jnp.int32), bo)
+
+        # retire the processed cluster; cull clusters behind the best hit
+        processed = (cids == cid[None]) & active[None]
+        entry = jnp.where(processed | (entry >= bt[None]), INF, entry)
+        if shadow_any_hit:
+            entry = jnp.where((bp >= 0)[None], INF, entry)
+        alive = jnp.min(entry, axis=0) < jnp.minimum(bt, INF)
+        return (entry, bt, bp, bu, bv, bo, it + 1, jnp.any(alive))
+
+    _, t, prim, u, v, obj, _, _ = jax.lax.while_loop(cond, body, state)
+    hit_mask = prim >= 0
+    return {"t": t, "prim": jnp.where(hit_mask, prim, -1), "u": u, "v": v,
+            "object": jnp.where(hit_mask, obj, -1)}
+
+
+def intersect_clusters(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
+                       visibility=None, shadow_any_hit=False,
+                       has_instances=False, chunk=DEFAULT_CHUNK):
+    """Closest-hit (or any-hit) over the cluster tables.
+
+    o, d: (N, 3); tmin, tmax: (N,); visibility: (N,) uint32 or None.
+    Lanes are processed in fixed sub-chunks so the (C, chunk) entry
+    table stays small; each chunk converges independently under its own
+    while_loop.
+    """
+    n = o.shape[0]
+    c = cbounds.shape[0]
+    max_iters = jnp.int32(c)
+    if n <= chunk:
+        return _intersect_chunk(cbounds, ctable, cluster_tris, o, d,
+                                tmin, tmax, visibility, shadow_any_hit,
+                                has_instances, max_iters)
+    pad = (-n) % chunk
+    nc = (n + pad) // chunk
+
+    def prep(x, fill=0):
+        x = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                    constant_values=fill)
+        return x.reshape((nc, chunk) + x.shape[1:])
+
+    args = [prep(o), prep(d), prep(tmin), prep(tmax, fill=-1.0)]
+    if visibility is not None:
+        args.append(prep(visibility))
+
+    def one(xs):
+        if visibility is not None:
+            oo, dd, t0, t1, vis = xs
+        else:
+            (oo, dd, t0, t1), vis = xs, None
+        return _intersect_chunk(cbounds, ctable, cluster_tris, oo, dd,
+                                t0, t1, vis, shadow_any_hit,
+                                has_instances, max_iters)
+
+    out = jax.lax.map(one, tuple(args))
+    return {k: v.reshape(-1)[:n] for k, v in out.items()}

@@ -44,6 +44,15 @@ def _scene_intersect(kg, o, d, tmin, tmax, visibility, shadow=False,
             visibility=visibility, object_visibility=ds["object_visibility"],
             tri_verts_t1=ds["tri_verts_world_t1"] if deform else None,
             time=time if deform else None)
+    if "cluster_bounds" in ds and int(kg.get("cluster_tris", 0)) > 0:
+        # gather-free cluster-shortlist traversal (the TPU-native fast
+        # path; ops/cluster_intersect.py)
+        from raytracingproject_tpu.ops import cluster_intersect as ci
+        return ci.intersect_clusters(
+            ds["cluster_bounds"], ds["cluster_table"],
+            int(kg["cluster_tris"]), o, d, tmin, tmax,
+            visibility=visibility, shadow_any_hit=shadow,
+            has_instances=bool(kg.get("has_instances", False)))
     if "bvh_nodes_packed" in ds:
         # single-fetch packed traversal (2 row fetches/iteration)
         return isect.intersect_bvh_packed(

@@ -231,13 +231,23 @@ class TestPackedTraversal:
             s_inst.device_update()
             kg_i = s_inst.make_kernel_globals()
             assert kg_i["has_instances"] and not kg_i["use_brute"]
+            # strip cluster tables so the packed gather-walk (and not
+            # the preferred cluster path) is what renders
+            kg_i["dscene"] = {k: v for k, v in kg_i["dscene"].items()
+                              if not k.startswith("cluster")}
+            kg_i["cluster_tris"] = 0
         finally:
             scene_mod.AUTO_FLATTEN_MAX_PRIMS = old
             scene_mod.BRUTE_FORCE_MAX_PRIMS = old_b
         s_flat = examples.instanced_scene(w, h, 2, grid=2)
         s_flat.device_update()
         kg_f = s_flat.make_kernel_globals()
-        assert kg_f["use_brute"]
+        # flattened 2.3k-prim scenes now ride the cluster path (brute
+        # below BRUTE_VS_CLUSTER_PRIMS only)
+        kg_f["dscene"] = {k: v for k, v in kg_f["dscene"].items()
+                          if not k.startswith("cluster")}
+        kg_f["cluster_tris"] = 0
+        kg_f["use_brute"] = True
         yy, xx = np.mgrid[0:h, 0:w]
         px = jnp.asarray(xx.reshape(-1), jnp.int32)
         py = jnp.asarray(yy.reshape(-1), jnp.int32)
