@@ -247,6 +247,39 @@ def smoke_cornell(width=128, height=128, spp=32, density=0.01,
     return scene
 
 
+def smoke_small_light(width=32, height=32, spp=16, density=0.4,
+                      method="distance"):
+    """Homogeneous smoke cube lit ONLY by a small bright emissive quad
+    inside the medium — the classic stress case for equiangular volume
+    sampling (ref: kernel_volume.h:297-319; Kulla & Fajardo 2012).
+    `method` selects the volume NEE technique per shader socket."""
+    scene = Scene()
+    scene.camera.set("matrix", tfm.look_at((0, -4.5, 0), (0, 0, 0),
+                                           (0, 0, 1)))
+    scene.camera.set("fov", 0.8)
+    scene.camera.set("width", width)
+    scene.camera.set("height", height)
+    vol = volume_shader("smoke", color=(0.9, 0.9, 0.9), density=density,
+                        anisotropy=0.0)
+    vol.set("volume_sampling_method", method)
+    scene.add_shader(vol)
+    box = make_box_mesh((-2, -2, -2), (2, 2, 2), 0, "smoke_box")
+    box.used_shaders = [vol]
+    scene.add_object(Object("smoke", box))
+    lshader = emission_shader("small_light", (1.0, 1.0, 1.0), 1500.0)
+    scene.add_shader(lshader)
+    lm = make_plane_mesh((-0.06, 0.0, 0.9), (0.12, 0, 0), (0, 0.12, 0), 0,
+                         "light")
+    lm.used_shaders = [lshader]
+    scene.add_object(Object("light", lm))
+    scene.integrator.set("aa_samples", spp)
+    scene.integrator.set("max_bounce", 3)
+    scene.integrator.set("sample_clamp_indirect", 0.0)
+    scene.integrator.set("sample_clamp_direct", 0.0)
+    scene.background.shader = None
+    return scene
+
+
 def volume_furnace(width=32, height=32, density=0.5):
     """Pure-scattering (albedo 1) volume sphere in a unit-radiance
     background: must render exactly 1 (volume energy conservation)."""

@@ -1055,6 +1055,13 @@ class Scene:
                      or getattr(s, "has_heterogeneous_volume", False))
                 for s in self.shaders],
             "shader_sigma_max": self._estimate_volume_majorants(),
+            # per-shader volume NEE technique (0 distance, 1 equiangular,
+            # 2 multiple-importance; ref: SHD_VOLUME_SAMPLING_* in
+            # kernel_types.h, sampled at kernel_volume.h:297-319)
+            "shader_vol_sampling": [
+                s.get_enum_int("volume_sampling_method")
+                if s.has_volume else 0
+                for s in self.shaders],
             # volume-only shaders: surface acts as a transparent boundary
             "shader_volume_only": [
                 bool(s.has_volume
@@ -1082,6 +1089,12 @@ class Scene:
                                       for s in self.shaders),
                 "has_heterogeneous": any(
                     getattr(s, "has_heterogeneous_volume", False)
+                    for s in self.shaders),
+                # equiangular/MIS volume NEE is compiled in only when a
+                # volume shader asks for it (static pruning)
+                "has_equiangular": any(
+                    s.has_volume
+                    and s.get_enum_int("volume_sampling_method") != 0
                     for s in self.shaders),
                 "has_emission": any(s.has_surface_emission
                                     for s in self.shaders),

@@ -32,6 +32,16 @@ CLOSURE_SCALAR_KEYS = ("glossy_roughness", "refraction_roughness", "ior",
                        "diffuse_roughness", "glossy_multiscatter",
                        "subsurface_burley")
 
+# which slot's weight governs a scalar parameter's blend in add/mix
+_SCALAR_SLOT = {
+    "glossy_roughness": "glossy",
+    "refraction_roughness": "refraction",
+    "ior": "refraction",
+    "diffuse_roughness": "diffuse",
+    "glossy_multiscatter": "glossy",
+    "subsurface_burley": "subsurface",
+}
+
 
 def empty_closures(batch_shape):
     c = {k: jnp.zeros(batch_shape + (3,), jnp.float32) for k in CLOSURE_VEC_KEYS}
@@ -103,8 +113,7 @@ def add_closures(a, b):
     for k in CLOSURE_VEC_KEYS:
         out[k] = a[k] + b[k]
     for k in CLOSURE_SCALAR_KEYS:
-        slot = {"glossy_roughness": "glossy", "refraction_roughness": "refraction",
-                "ior": "refraction", "diffuse_roughness": "diffuse"}[k]
+        slot = _SCALAR_SLOT[k]
         wa = jnp.sum(a[slot], axis=-1)
         wb = jnp.sum(b[slot], axis=-1)
         tot = wa + wb

@@ -199,6 +199,11 @@ def make_path_kernel(kg, px, py, pixel_index):
         and "sss" not in ablate
     has_het = has_volume and bool(features.get("has_heterogeneous", False))
     has_medium = has_volume or has_sss
+    # equiangular / multiple-importance volume NEE (ref:
+    # kernel_volume.h:297-319 equiangular sample, :978-1050 MIS combine)
+    has_equiangular = has_volume \
+        and bool(features.get("has_equiangular", False)) \
+        and "equiangular" not in ablate
 
     aux_names = tuple(kg.get("aux_passes", ()))
     aov_names = tuple(n[4:] for n in aux_names if n.startswith("aov:"))
@@ -689,31 +694,163 @@ def make_path_kernel(kg, px, py, pixel_index):
                 contrib = contrib * sh_trans
                 blocked = ~jnp.any(sh_trans > 0.0, axis=-1)
             if has_volume:
-                # transmittance to the boundary for in-volume lanes
-                # (round-1 approx: attenuate over min(dist, light dist);
-                # full shadow volume marching lands with heterogeneous)
+                def _vol_nee_attenuation(P0, Dl, on_mask, dist_l,
+                                         seed_salt):
+                    """Medium attenuation from an in-volume point to the
+                    medium boundary along an NEE direction + boundary
+                    blocking (ref: kernel_volume.h shadow transmittance).
+                    Homogeneous lanes use the closed form; heterogeneous
+                    lanes use unbiased ratio tracking through the actual
+                    density field (ops/volume.py ratio_tracking)."""
+                    # camera visibility: the boundary must be FOUND here
+                    # (volume-only objects are excluded from shadow rays)
+                    sh_hit2 = _scene_intersect(
+                        kg, P0, Dl, jnp.full((n,), 1e-5, jnp.float32),
+                        jnp.where(on_mask,
+                                  jnp.minimum(dist_l, um.RAY_TMAX), 1e-5),
+                        jnp.full((n,), ob.PATH_RAY_CAMERA, jnp.uint32))
+                    # boundary surfaces belong to volume shaders -> not
+                    # blockers; everything else blocks
+                    bshader = ds["prim_table"][
+                        jnp.maximum(sh_hit2["prim"], 0), 24].astype(
+                            jnp.int32)
+                    is_boundary = jnp.asarray(
+                        np.array(kg["shader_has_volume"], bool))[
+                            jnp.clip(bshader, 0, len(kg["shaders"]) - 1)]
+                    sh_found = sh_hit2["prim"] >= 0
+                    t_seg = jnp.where(sh_found, sh_hit2["t"],
+                                      jnp.minimum(dist_l, 1e6))
+                    trans = jnp.exp(-vc["sigma_t"] * t_seg[:, None])
+                    if has_het:
+                        seed2 = rngu.hash_pcg3d(
+                            pixel_index.astype(jnp.uint32), st["sample"],
+                            bounce.astype(jnp.uint32)
+                            ^ jnp.uint32(seed_salt))
+                        trans_het = vol_ops2.ratio_tracking(
+                            _eval_sigma, P0, Dl, t_seg,
+                            jnp.where(het_lane & on_mask, smax, 1e-12),
+                            seed2, steps=steps)
+                        trans = jnp.where(het_lane[:, None], trans_het,
+                                          trans)
+                    return trans, sh_found & ~is_boundary
+
                 in_vol_sh = st["vol_shader"] >= 0
-                # camera visibility: the boundary must be FOUND here
-                # (volume-only objects are excluded from shadow rays)
-                sh_hit = _scene_intersect(
-                    kg, sh_o, ls["D"], jnp.full((n,), 1e-5, jnp.float32),
-                    jnp.where(can_light & in_vol_sh, sh_tmax, 1e-5),
-                    jnp.full((n,), ob.PATH_RAY_CAMERA, jnp.uint32))
-                # boundary surfaces belong to volume shaders -> not
-                # blockers; everything else blocks
-                bshader = ds["prim_table"][
-                    jnp.maximum(sh_hit["prim"], 0), 24].astype(jnp.int32)
-                is_boundary = jnp.asarray(
-                    np.array(kg["shader_has_volume"], bool))[
-                        jnp.clip(bshader, 0, len(kg["shaders"]) - 1)]
-                sh_found = sh_hit["prim"] >= 0
-                t_seg = jnp.where(sh_found, sh_hit["t"],
-                                  jnp.minimum(ls["dist"], 1e6))
-                trans = jnp.exp(-vc["sigma_t"] * t_seg[:, None])
+                trans, vol_block = _vol_nee_attenuation(
+                    sh_o, ls["D"], can_light & in_vol_sh, sh_tmax,
+                    0x7F4A7C15)
                 contrib = jnp.where(in_vol_sh[:, None], contrib * trans,
                                     contrib)
-                blocked = jnp.where(in_vol_sh,
-                                    sh_found & ~is_boundary, blocked)
+                blocked = jnp.where(in_vol_sh, vol_block, blocked)
+
+            contrib_eq = None
+            if has_equiangular:
+                # ---- equiangular volume NEE, decoupled from the path
+                # continuation (ref: kernel_volume.h:297-319 equiangular
+                # sample; :978-1050 MIS combine). The scatter point for
+                # DIRECT light is drawn toward the sampled light point
+                # with pdf ~ 1/dist^2; the path continues from the
+                # distance-sampled point. method=multiple_importance
+                # runs both direct estimators, power-heuristic weighted
+                # in the t-density (a partition of unity, so the combo
+                # stays unbiased even for heterogeneous lanes whose
+                # distance pdf is approximated at the segment start). --
+                vs_modes = jnp.asarray(
+                    np.array(kg["shader_vol_sampling"], np.int32))
+                safe_vs2 = jnp.clip(st["vol_shader"], 0,
+                                    len(kg["shaders"]) - 1)
+                mode_lane = vs_modes[safe_vs2]
+                # the equiangular estimator fires on EVERY traversed
+                # volume segment (it is decoupled from whether distance
+                # sampling produced a scatter event; conditioning it on
+                # `scattered` would lose the pass-through fraction of
+                # the in-scatter integral)
+                eq_vol = st["alive"] & (st["vol_shader"] >= 0)
+                if has_sss:
+                    # SSS-walk lanes ride the volume machinery with their
+                    # own medium; their closures don't match vol_shader
+                    eq_vol = eq_vol & ~st["in_sss"]
+                eq_lane = eq_vol & (mode_lane >= 1)
+                mis_lane = eq_vol & (mode_lane == 2)
+                t_seg_max = hit["t"]
+                thr0 = st["throughput"]  # pre-segment throughput
+                # position-based lights only (the sampled point on the
+                # light is position-independent, so ls["P_l"] is valid
+                # viewed from anywhere); distant/background lights have
+                # no finite pivot -> fall back to the distance estimator
+                pos_light = ls["valid"] & ~ls["is_bg"] \
+                    & (ls["dist"] < um.RAY_TMAX * 0.5)
+                eq_seed = rngu.hash_pcg3d(
+                    pixel_index.astype(jnp.uint32), st["sample"],
+                    bounce.astype(jnp.uint32) ^ jnp.uint32(0x51ED270B))
+                u_eq = rngu.uint_to_float_01(eq_seed)
+                t_eq, pdf_eq, eq_geom = vol_ops2.equiangular_sample(
+                    st["o"], st["d"], t_seg_max, ls["P_l"], u_eq)
+                eq_ok = eq_geom & eq_lane & pos_light & (pdf_eq > 1e-12)
+                P_eq = st["o"] + st["d"] * t_eq[:, None]
+                # light geometry re-evaluated from the equiangular point
+                # (same rng -> same light entry + point, new observer)
+                ls_eq = light_ops.sample_light(ds, P_eq, sel_u, lu, lv)
+                if has_het:
+                    sig_eq_t, sig_eq_s = _eval_sigma(P_eq)
+                    sig_eq_s = jnp.where(het_lane[:, None], sig_eq_s,
+                                         vc["sigma_s"])
+                    T_eq = jnp.exp(-vc["sigma_t"] * t_eq[:, None])
+                    T_eq_het = vol_ops2.ratio_tracking(
+                        _eval_sigma, st["o"], st["d"], t_eq,
+                        jnp.where(het_lane & eq_ok, smax, 1e-12),
+                        eq_seed ^ jnp.uint32(0x2C1B3C6D), steps=steps)
+                    T_eq = jnp.where(het_lane[:, None], T_eq_het, T_eq)
+                else:
+                    sig_eq_s = vc["sigma_s"]
+                    T_eq = jnp.exp(-vc["sigma_t"] * t_eq[:, None])
+                cos_eq = um.dot(st["d"], ls_eq["D"])
+                ph_eq = vol_ops2.hg_phase_eval(cos_eq, vol_g)
+                w_l_eq = jnp.where(ls_eq["delta"], 1.0,
+                                   um.power_heuristic(ls_eq["pdf"], ph_eq))
+                pdf_d_at_eq = vol_ops2.distance_pdf(vc["sigma_t"], thr0,
+                                                    t_eq)
+                w_t_eq = jnp.where(
+                    mis_lane, um.power_heuristic(pdf_eq, pdf_d_at_eq), 1.0)
+                contrib_eq = thr0 * T_eq * sig_eq_s * ls_eq["eval"] \
+                    * (ph_eq * w_l_eq * w_t_eq)[:, None] \
+                    * um.safe_divide(1.0, pdf_eq * ls_eq["pdf"],
+                                     0.0)[:, None]
+                contrib_eq = _clamp_contrib(contrib_eq, clamp_val)
+                sh_on_eq = eq_ok & jnp.any(contrib_eq != 0.0, axis=-1)
+                sh_tmax_eq = jnp.maximum(
+                    ls_eq["dist"] * (1.0 - 1e-3) - RAY_EPS, 1e-5)
+                if "shadow" in ablate:
+                    sh_trans_eq = jnp.ones((n, 3), jnp.float32)
+                else:
+                    sh_trans_eq = _shadow_transmittance(
+                        kg, P_eq, ls_eq["D"],
+                        jnp.full((n,), 1e-5, jnp.float32),
+                        jnp.where(sh_on_eq, sh_tmax_eq, 1e-5),
+                        time=st["time"])
+                contrib_eq = contrib_eq * sh_trans_eq
+                trans_eq, block_eq = _vol_nee_attenuation(
+                    P_eq, ls_eq["D"], sh_on_eq, sh_tmax_eq, 0x3BD1E995)
+                contrib_eq = contrib_eq * trans_eq
+                eq_lit = sh_on_eq & ~block_eq \
+                    & jnp.any(sh_trans_eq > 0.0, axis=-1)
+                L = jnp.where(eq_lit[:, None], L + contrib_eq, L)
+                # distance-point estimator: MIS-weighted in MIS mode,
+                # dropped where pure equiangular covered the light
+                pdf_eq_at_td = jnp.where(
+                    pos_light,
+                    vol_ops2.equiangular_pdf(st["o"], st["d"], t_seg_max,
+                                             ls["P_l"],
+                                             ds_res["t_scatter"]), 0.0)
+                pdf_d_at_td = vol_ops2.distance_pdf(
+                    vc["sigma_t"], thr0, ds_res["t_scatter"])
+                w_t_d = um.power_heuristic(pdf_d_at_td, pdf_eq_at_td)
+                # the distance-point estimator only exists on scattered
+                # lanes; non-scattered lanes run SURFACE NEE, which is a
+                # different transport term and stays untouched
+                contrib = jnp.where((scattered & mis_lane)[:, None],
+                                    contrib * w_t_d[:, None], contrib)
+                can_light = can_light \
+                    & ~(scattered & eq_lane & ~mis_lane & eq_ok)
             if has_catcher:
                 # shadow catcher (ref: OBJECT_FLAG_SHADOW_CATCHER,
                 # simplified pre-Cycles-X semantics): camera hits on
@@ -760,6 +897,12 @@ def make_path_kernel(kg, px, py, pixel_index):
                     mv = lit & first0 & scattered
                     st["aux_volume_direct"] = jnp.where(
                         mv[:, None], st["aux_volume_direct"] + contrib,
+                        st["aux_volume_direct"])
+                if contrib_eq is not None:
+                    mv_eq = eq_lit & first0
+                    st["aux_volume_direct"] = jnp.where(
+                        mv_eq[:, None],
+                        st["aux_volume_direct"] + contrib_eq,
                         st["aux_volume_direct"])
 
         # ---- BSDF bounce (ref: kernel_path_surface_bounce) ----

@@ -100,6 +100,100 @@ def sample_distance_homogeneous(sigma_t, throughput, t_max, u_dist, u_chan):
             "transmittance": T}
 
 
+def distance_pdf(sigma_t, throughput, t):
+    """pdf (per unit length) with which sample_distance_homogeneous
+    lands a scatter event at distance t — used as the distance-technique
+    density in the equiangular/distance MIS weights
+    (ref: kernel_volume.h:978-1050 MIS combine).
+
+    Must mirror sample_distance_homogeneous's channel mixture exactly:
+    pdf(t) = sum_c w_c sigma_c exp(-sigma_c t)."""
+    w = jnp.abs(throughput)
+    wsum = jnp.sum(w, -1, keepdims=True)
+    w = jnp.where(wsum > 1e-12, w / jnp.maximum(wsum, 1e-12),
+                  jnp.full_like(w, 1.0 / 3.0))
+    return jnp.sum(w * sigma_t * jnp.exp(-sigma_t * t[..., None]), -1)
+
+
+def equiangular_sample(o, d, t_max, light_P, u):
+    """Sample a scatter distance along [0, t_max] with pdf proportional
+    to 1/(D^2 + (t-delta)^2) — inverse squared distance to a fixed light
+    point (ref: kernel_volume.h:297-319 kernel_volume_equiangular_sample,
+    "Importance Sampling Techniques for Path Tracing in Participating
+    Media", Kulla & Fajardo 2012).
+
+    Returns (t (N,), pdf (N,) per-unit-length, valid (N,)). Lanes where
+    the light point lies on the ray axis (D ~ 0) or the span is
+    degenerate report valid=False (caller falls back to distance
+    sampling for those lanes)."""
+    to_l = light_P - o
+    delta = um.dot(to_l, d)                       # closest-approach abscissa
+    D2 = jnp.maximum(um.dot(to_l, to_l) - delta * delta, 0.0)
+    D = jnp.sqrt(D2)
+    theta_a = -jnp.arctan2(delta, D)
+    theta_b = jnp.arctan2(t_max - delta, D)
+    span = theta_b - theta_a
+    t_off = D * jnp.tan(theta_a + u * span)
+    t = jnp.clip(delta + t_off, 0.0, t_max)
+    pdf = um.safe_divide(D, span * (D2 + t_off * t_off), 0.0)
+    valid = (D > 1e-6) & (span > 1e-6) & (t_max > 1e-8)
+    return t, pdf, valid
+
+
+def equiangular_pdf(o, d, t_max, light_P, t):
+    """Density of equiangular_sample at an externally chosen t (the
+    other MIS technique's sample). Zero where equiangular is invalid
+    (ref: kernel_volume.h kernel_volume_equiangular_pdf)."""
+    to_l = light_P - o
+    delta = um.dot(to_l, d)
+    D2 = jnp.maximum(um.dot(to_l, to_l) - delta * delta, 0.0)
+    D = jnp.sqrt(D2)
+    theta_a = -jnp.arctan2(delta, D)
+    theta_b = jnp.arctan2(t_max - delta, D)
+    span = theta_b - theta_a
+    t_off = t - delta
+    pdf = um.safe_divide(D, span * (D2 + t_off * t_off), 0.0)
+    return jnp.where((D > 1e-6) & (span > 1e-6), pdf, 0.0)
+
+
+def ratio_tracking(eval_sigma, o, d, t_max, sigma_max, u_seed, steps=32):
+    """Unbiased heterogeneous transmittance along [0, t_max] by ratio
+    tracking (ref: kernel_volume.h shadow path — redesigned from the
+    reference's fixed-step ray marching to the unbiased null-collision
+    estimator, which vectorizes as a fixed-iteration wavefront loop).
+
+    eval_sigma(P) -> (sigma_t (N,3), sigma_s) at world positions.
+    sigma_max: (N,) per-lane majorant (lanes with ~0 majorant return 1).
+    Returns (N,3) transmittance estimate."""
+    from raytracingproject_tpu.utils import rng as rngu
+    n = o.shape[0]
+    active0 = (sigma_max > 1e-9) & (t_max > 1e-8)
+    inv_smax = 1.0 / jnp.maximum(sigma_max, 1e-12)
+
+    def body(i, st):
+        t, T, done = st
+        h = rngu.hash_pcg3d(u_seed, jnp.uint32(i), jnp.uint32(0x68BC21EB))
+        u = rngu.uint_to_float_01(h)
+        t_new = t + (-jnp.log(jnp.maximum(1.0 - u, 1e-12)) * inv_smax)
+        escaped = t_new >= t_max
+        P = o + d * t_new[:, None]
+        sig_t, _ = eval_sigma(P)
+        # clamp keeps a per-channel majorant underestimate safe (the
+        # host majorant carries a 2x margin; residual bias ~0)
+        f = jnp.clip(1.0 - sig_t * inv_smax[:, None], 0.0, 1.0)
+        step_on = (~done) & (~escaped)
+        T = jnp.where(step_on[:, None], T * f, T)
+        dead = jnp.all(T < 1e-6, -1)
+        done = done | escaped | dead
+        t = jnp.where(done, t, t_new)
+        return (t, T, done)
+
+    init = (jnp.zeros((n,), jnp.float32), jnp.ones((n, 3), jnp.float32),
+            ~active0)
+    _t, T, _done = jax.lax.fori_loop(0, steps, body, init)
+    return jnp.where(active0[:, None], T, 1.0)
+
+
 def emission_integral(v_emission, sigma_t, t):
     """Accumulated emission along a homogeneous segment:
     int_0^t e * exp(-sigma_t s) ds (ref: kernel_volume_emission_integrate)."""

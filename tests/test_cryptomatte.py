@@ -46,3 +46,52 @@ class TestCryptomatte:
         # material matte: white walls share one id over many pixels
         mid = cm[..., 0][cm[..., 1] > 0.5]
         assert len(np.unique(mid)) >= 2
+
+
+class TestPassAwareMerge:
+    def test_chunk_merge_preserves_crypto(self, tmp_path):
+        """Two sample-range chunks merged pass-aware must reproduce the
+        full run: combined buffer exactly, crypto coverage per id
+        (ref: render/merge.cpp ImageMerger cryptomatte handling)."""
+        from raytracingproject_tpu.session import merge as mg
+        from raytracingproject_tpu.utils import image_io
+
+        def run(start=None, num=None):
+            scene = examples.cornell_box(16, 16, spp=8)
+            scene.film.set("cryptomatte_depth", 2)
+            kw = {}
+            if start is not None:
+                kw = dict(range_start_sample=start, range_num_samples=num)
+            sess = Session(scene, SessionParams(samples=8, **kw))
+            sess.reset()
+            sess.render()
+            return sess
+
+        p_full = run().write_output(tmp_path / "full.npz")
+        paths = [run(s, 4).write_output(tmp_path / f"chunk{s}.npz")
+                 for s in (0, 4)]
+        out, n = mg.merge_files([str(p) for p in paths],
+                                str(tmp_path / "merged.npz"))
+        assert n == 8
+        Lm = image_io.read_multilayer(out)
+        Lf = image_io.read_multilayer(str(p_full))
+        np.testing.assert_allclose(Lm["combined"], Lf["combined"],
+                                   atol=1e-4)
+        for layer in ("crypto_object", "crypto_material"):
+            cm, cf = Lm[layer], Lf[layer]
+            assert cm.shape == cf.shape
+            # compare as id->coverage sets (rank ties may reorder)
+            om = np.argsort(cm[..., 0::2], -1)
+            of = np.argsort(cf[..., 0::2], -1)
+            ids_m = np.take_along_axis(cm[..., 0::2], om, -1)
+            ids_f = np.take_along_axis(cf[..., 0::2], of, -1)
+            cov_m = np.take_along_axis(cm[..., 1::2], om, -1)
+            cov_f = np.take_along_axis(cf[..., 1::2], of, -1)
+            same = (ids_m == ids_f).all(-1)
+            assert same.mean() > 0.98, same.mean()
+            # pixels seeing >depth ids lose tail mass to per-chunk rank
+            # truncation (inherent to merging ranked outputs; the
+            # reference's EXR merger shares this); bound it instead
+            close = np.isclose(cov_m[same], cov_f[same], atol=1e-5)
+            assert close.mean() > 0.97, close.mean()
+            np.testing.assert_allclose(cov_m[same], cov_f[same], atol=0.2)

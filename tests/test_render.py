@@ -297,3 +297,25 @@ class TestBranchedPath:
         # per-pixel agreement within Monte Carlo noise
         close = np.isclose(imp, imb, atol=0.6, rtol=0.6).mean()
         assert close > 0.9
+
+
+class TestClosureMixing:
+    def test_mix_closure_furnace(self):
+        """A 50/50 mix of two white diffuse closures is itself a white
+        diffuse: the furnace must stay exactly 1 (regression: the scalar
+        parameter blend in closures.add_closures must cover EVERY
+        CLOSURE_SCALAR_KEYS entry — multiscatter/burley once crashed)."""
+        from raytracingproject_tpu.models import shader_nodes as sn
+        from raytracingproject_tpu.models.shader import Shader, ShaderGraph
+        scene = examples.furnace_scene(16, 16, albedo=1.0, bounces=12)
+        g = ShaderGraph()
+        d1 = g.add(sn.DiffuseBsdfNode("d1", color=(1.0, 1.0, 1.0)))
+        d2 = g.add(sn.DiffuseBsdfNode("d2", color=(1.0, 1.0, 1.0)))
+        mx = g.add(sn.MixClosureNode("mx", fac=0.5))
+        g.connect(d1, "bsdf", mx, "closure1")
+        g.connect(d2, "bsdf", mx, "closure2")
+        g.connect(mx, "closure", g.output_node, "surface")
+        mixed = Shader("mixed_white", g)
+        scene.shaders[0].graph = g  # replace the sphere's shader graph
+        img, _a = render(scene, 16, 16, 48)
+        assert abs(float(img.mean()) - 1.0) < 0.02, img.mean()

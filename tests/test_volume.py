@@ -101,6 +101,57 @@ class TestVolumeRender:
         assert img1.mean() < img0.mean() * 0.9
 
 
+class TestEquiangular:
+    """Equiangular + multiple-importance volume NEE
+    (ref: kernel_volume.h:297-319 equiangular sample, :978-1050 MIS)."""
+
+    def _chunks(self, method, k=8, spp=8, w=20):
+        from raytracingproject_tpu.models import object as ob
+        scene = examples.smoke_small_light(w, w, spp=spp, method=method)
+        # hide the bright quad from camera rays so the variance metric
+        # measures volume NEE, not AA flicker at the light silhouette
+        for o in scene.objects:
+            if o.name == "light":
+                o.set("visibility",
+                      ob.PATH_RAY_ALL_VISIBILITY & ~ob.PATH_RAY_CAMERA)
+        scene.device_update()
+        kg = scene.make_kernel_globals()
+        yy, xx = np.mgrid[0:w, 0:w]
+        px = jnp.asarray(xx.reshape(-1), jnp.int32)
+        py = jnp.asarray(yy.reshape(-1), jnp.int32)
+        fn = jax.jit(lambda s: integ.render_samples(
+            kg, px, py, py * w + px, s, spp))
+        return np.stack([
+            np.asarray(fn(jnp.uint32(i * spp))[0]).reshape(w, w, 3) / spp
+            for i in range(k)])
+
+    def test_method_switches_paths(self):
+        """The socket genuinely switches kernels (no silent no-op)."""
+        for method, expect in (("distance", False), ("equiangular", True),
+                               ("multiple_importance", True)):
+            scene = examples.smoke_small_light(8, 8, method=method)
+            scene.device_update()
+            kg = scene.make_kernel_globals()
+            assert kg["features"]["has_equiangular"] == expect, method
+
+    def test_modes_agree_and_equiangular_reduces_variance(self):
+        """All three techniques estimate the same transport; equiangular
+        cuts per-chunk variance by >3x on the small-light smoke (the
+        measured gain is ~6x)."""
+        imgs = {m: self._chunks(m) for m in
+                ("distance", "equiangular", "multiple_importance")}
+        means = {m: float(v.mean()) for m, v in imgs.items()}
+        # distance mode is the noisy one: compare against its chunk sd
+        sd = imgs["distance"].mean(axis=(1, 2, 3)).std() / np.sqrt(8)
+        for m in ("equiangular", "multiple_importance"):
+            assert abs(means[m] - means["distance"]) < 4.0 * sd + 0.01, \
+                (means, sd)
+        var_d = imgs["distance"].var(0).mean()
+        for m in ("equiangular", "multiple_importance"):
+            var_m = imgs[m].var(0).mean()
+            assert var_m < var_d / 3.0, (m, var_m, var_d)
+
+
 class TestHeterogeneous:
     def test_majorant_estimated(self):
         scene = examples.het_volume_furnace(12, 12)
