@@ -220,6 +220,76 @@ def dof_motion_scene(width=256, height=256, spp=32):
     return scene
 
 
+def principled_hair_shader(name, melanin=0.3, roughness=0.3,
+                           radial_roughness=0.3, parametrization="melanin",
+                           absorption=(0.0, 0.0, 0.0)):
+    """Principled hair material (ops/hair.py Chiang et al. model)."""
+    g = ShaderGraph()
+    hn = g.add(sn.PrincipledHairBsdfNode(
+        name + "_hair", melanin=melanin, roughness=roughness,
+        radial_roughness=radial_roughness,
+        absorption_coefficient=absorption))
+    hn.set("parametrization", parametrization)
+    g.connect(hn, "bsdf", g.output_node, "surface")
+    return Shader(name, g)
+
+
+def hair_patch_scene(width=128, height=128, spp=16, n_strands=220,
+                     seed=0, shader=None, furnace=False):
+    """A patch of flowing strands; principled hair by default. With
+    furnace=True the strands are non-absorbing inside a unit-radiance
+    background (hair energy conservation end-to-end)."""
+    from raytracingproject_tpu.models.mesh import Hair
+    rng = np.random.default_rng(seed)
+    scene = Scene()
+    scene.camera.set("matrix", tfm.look_at((0, -3.2, 0.7), (0, 0, 0.25),
+                                           (0, 0, 1)))
+    scene.camera.set("fov", 0.7)
+    scene.camera.set("width", width)
+    scene.camera.set("height", height)
+    if shader is None:
+        if furnace:
+            shader = principled_hair_shader(
+                "hair_white", parametrization="absorption",
+                absorption=(0.0, 0.0, 0.0))
+        else:
+            shader = principled_hair_shader("hair_brown", melanin=0.45)
+    scene.add_shader(shader)
+    hair = Hair("strands")
+    nk = 7
+    for i in range(n_strands):
+        x0 = rng.uniform(-0.9, 0.9)
+        y0 = rng.uniform(-0.25, 0.25)
+        sway = rng.uniform(0.2, 0.55)
+        ph = rng.uniform(0, 2 * np.pi)
+        zs = np.linspace(0.0, 1.1, nk)
+        xs = x0 + sway * 0.35 * np.sin(2.2 * zs + ph)
+        ys = y0 + sway * 0.25 * np.cos(1.7 * zs + ph)
+        keys = np.stack([xs, ys, zs], -1)
+        hair.add_curve(keys, radius=np.linspace(0.012, 0.004, nk))
+    hair.used_shaders = [shader]
+    scene.add_object(Object("hair", hair))
+    scene.integrator.set("aa_samples", spp)
+    if furnace:
+        scene.integrator.set("max_bounce", 24)
+        scene.integrator.set("min_bounce", 12)
+        scene.integrator.set("sample_clamp_indirect", 0.0)
+        scene.background.shader = background_shader(
+            "furnace_bg", (1.0, 1.0, 1.0), 1.0)
+    else:
+        scene.integrator.set("max_bounce", 6)
+        # emitting side faces -z (cross(axisu, axisv) points down)
+        key = Light("key", light_type="area", co=(1.5, -2.0, 2.2),
+                    axisu=(0, 1, 0), sizeu=1.2,
+                    axisv=(1, 0, 0), sizev=1.2,
+                    strength=(40.0, 38.0, 34.0))
+        key.set("dir", (0, 0, -1))
+        scene.add_light(key)
+        scene.background.shader = background_shader(
+            "sky_bg", (0.05, 0.06, 0.08), 1.0)
+    return scene
+
+
 def volume_shader(name, color=(0.8, 0.8, 0.8), density=1.0, anisotropy=0.0,
                   absorption=(1.0, 1.0, 1.0)):
     """Volume-only material (surface acts as transparent boundary)."""

@@ -20,6 +20,8 @@ ATTR_STD_GENERATED = "std_generated"
 ATTR_STD_MOTION_VERTEX_POSITION = "std_motion_vertex_position"
 
 # Attribute element domains (ref: AttributeElement)
+ATTR_STD_CURVE_TANGENT = "std_curve_tangent"
+
 ATTR_ELEMENT_VERTEX = "vertex"
 ATTR_ELEMENT_FACE = "face"
 ATTR_ELEMENT_CORNER = "corner"
@@ -166,6 +168,7 @@ class Hair(Geometry):
         refinement). Returns a Mesh with per-curve ribbons, uv.v along
         the strand, and the curve shader per triangle."""
         verts, tris, uvs, shaders = [], [], [], []
+        face_tangents = []  # per-triangle strand direction
         keys = np.asarray(self.curve_keys, np.float32).reshape(-1, 3)
         radius = np.asarray(self.curve_radius, np.float32)
         base = 0
@@ -210,6 +213,9 @@ class Hair(Geometry):
                 uvs.append([[0, vparam[k]], [1, vparam[k + 1]],
                             [0, vparam[k + 1]]])
                 shaders.extend([int(self.curve_shader[ci])] * 2)
+                seg = pts[k + 1] - pts[k]
+                seg = seg / max(np.linalg.norm(seg), 1e-12)
+                face_tangents.extend([seg, seg])
             base += 2 * nk
         m = Mesh(self.name + "_ribbons")
         if not tris:
@@ -220,6 +226,8 @@ class Hair(Geometry):
                    smooth=np.ones(len(tris), bool))
         m.attribute_set(ATTR_STD_UV, ATTR_ELEMENT_CORNER,
                         np.asarray(uvs, np.float32))
+        m.attribute_set(ATTR_STD_CURVE_TANGENT, ATTR_ELEMENT_FACE,
+                        np.asarray(face_tangents, np.float32))
         m.used_shaders = self.used_shaders
         return m
 

@@ -266,6 +266,7 @@ class Scene:
 
         tri_verts, tri_vnormal, tri_uv = [], [], []
         tri_verts_t1 = []
+        tri_tangent = []  # per-prim curve tangent (zeros for meshes)
         prim_shader, prim_smooth, prim_object = [], [], []
         deform_seen = []
 
@@ -304,6 +305,20 @@ class Scene:
             tri_verts_t1.append(v1[t])
             tri_verts.append(v[t])            # (T, 3, 3)
             tri_vnormal.append(vn[t])
+            # hair ribbons carry the strand direction per triangle
+            # (ref: ATTR_STD_CURVE_TANGENT; consumed by the hair BSDF)
+            tan_attr = mesh.attribute_get("std_curve_tangent")
+            if tan_attr is not None:
+                tt = np.asarray(tan_attr.data, np.float32).reshape(-1, 3)
+                tt = tt[: len(t)]
+                if world_tfm is not None:
+                    tt = tt @ np.asarray(world_tfm,
+                                         np.float32)[:3, :3].T
+                    tt = tt / np.maximum(
+                        np.linalg.norm(tt, axis=-1, keepdims=True), 1e-12)
+            else:
+                tt = np.zeros((len(t), 3), np.float32)
+            tri_tangent.append(tt)
             if uv_attr is not None:
                 if uv_attr.element == "corner":
                     tri_uv.append(uv_attr.data.reshape(-1, 3, 2)[: len(t)])
@@ -337,6 +352,7 @@ class Scene:
         static_verts_t1 = cat(tri_verts_t1, (3, 3))
         static_vnormal = cat(tri_vnormal, (3, 3))
         static_uv = cat(tri_uv, (3, 2))
+        static_tangent = cat(tri_tangent, (3,))
         static_shader = cat(prim_shader, (), np.int32)
         static_smooth = cat(prim_smooth, (), bool)
         static_object = cat(prim_object, (), np.int32)
@@ -356,6 +372,7 @@ class Scene:
                 "vnormal": static_vnormal[order],
                 "uv": static_uv[order], "shader": static_shader[order],
                 "smooth": static_smooth[order], "object": static_object[order],
+                "tangent": static_tangent[order],
                 "root_lo": sb.root_bound_lo, "root_hi": sb.root_bound_hi,
             })
 
@@ -363,7 +380,7 @@ class Scene:
         geom_blas = {}  # id(geom) -> block index
         for gid, (geom, users) in instanced_geoms.items():
             tri_verts.clear(); tri_vnormal.clear(); tri_uv.clear()
-            tri_verts_t1.clear()
+            tri_verts_t1.clear(); tri_tangent.clear()
             prim_shader.clear(); prim_smooth.clear(); prim_object.clear()
             append_mesh(geom, -1, None)
             gv = cat(tri_verts, (3, 3))
@@ -376,6 +393,7 @@ class Scene:
                 "verts": gv[order],
                 "vnormal": cat(tri_vnormal, (3, 3))[order],
                 "uv": cat(tri_uv, (3, 2))[order],
+                "tangent": cat(tri_tangent, (3,))[order],
                 "shader": cat(prim_shader, (), np.int32)[order],
                 "smooth": cat(prim_smooth, (), bool)[order],
                 "object": cat(prim_object, (), np.int32)[order],
@@ -444,6 +462,7 @@ class Scene:
                                bvh_build.encode_leaf(0, 0), np.int32)
         all_verts, all_vnormal, all_uv = [], [], []
         all_shader, all_smooth, all_object = [], [], []
+        all_tangent = []
 
         def rebase_children(children, node_base, prim_base):
             out = children.copy()
@@ -464,6 +483,7 @@ class Scene:
             all_verts.append(blk["verts"])
             all_vnormal.append(blk["vnormal"])
             all_uv.append(blk["uv"])
+            all_tangent.append(blk["tangent"])
             all_shader.append(blk["shader"])
             all_smooth.append(blk["smooth"])
             all_object.append(blk["object"])
@@ -495,6 +515,8 @@ class Scene:
                             np.zeros((0, 3, 3), np.float32)),
             "tri_uv": (np.concatenate(all_uv) if P else
                        np.zeros((0, 3, 2), np.float32)),
+            "prim_tangent": (np.concatenate(all_tangent) if P else
+                             np.zeros((0, 3), np.float32)),
             "prim_shader": (np.concatenate(all_shader) if P else
                             np.zeros(0, np.int32)),
             "prim_smooth": (np.concatenate(all_smooth) if P else
@@ -691,6 +713,7 @@ class Scene:
             pt[:, lk.PT_SHADER] = packed["prim_shader"]
             pt[:, lk.PT_SMOOTH] = packed["prim_smooth"]
             pt[:, lk.PT_OBJECT] = packed["prim_object_packed"]
+            pt[:, lk.PT_TANGENT:lk.PT_TANGENT + 3] = packed["prim_tangent"]
         packed["prim_table"] = pt
 
         ot = np.zeros((nobj, lk.OT_COLS), np.float32)
@@ -1098,6 +1121,8 @@ class Scene:
                     for s in self.shaders),
                 "has_emission": any(s.has_surface_emission
                                     for s in self.shaders),
+                "has_hair": any(getattr(s, "has_hair", False)
+                                for s in self.shaders),
             },
         }
 

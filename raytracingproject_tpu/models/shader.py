@@ -222,6 +222,7 @@ class Shader(Node):
         self.has_diffuse_roughness = False
         self.has_subsurface = False
         self.has_heterogeneous_volume = False
+        self.has_hair = False
 
         def linked(node, sock):
             return self.graph.links.get((id(node), sock)) is not None
@@ -243,6 +244,8 @@ class Shader(Node):
                     self.has_diffuse_roughness = True
             if isinstance(node, sn.SubsurfaceScatteringNode):
                 self.has_subsurface = True
+            if isinstance(node, sn.PrincipledHairBsdfNode):
+                self.has_hair = True
             if isinstance(node, sn.PrincipledBsdfNode):
                 self.has_glossy = True
                 if linked(node, "subsurface") or float(node.subsurface) > 0:

@@ -160,6 +160,71 @@ class RefractionBsdfNode(ShaderNode):
         return {"bsdf": c}
 
 
+class PrincipledHairBsdfNode(ShaderNode):
+    """Principled hair (capability ref: render/nodes.h
+    PrincipledHairBsdfNode + kernel/closure/bsdf_hair_principled.h; the
+    scattering model is re-implemented from the published Chiang et al.
+    EGSR 2016 paper in ops/hair.py). Three pigment parametrizations:
+    direct absorption coefficient, melanin concentration, and direct
+    color inversion (paper eq. 9)."""
+    NODE_NAME = "principled_hair_bsdf"
+    INPUTS = [("color", "color", (0.017513, 0.005763, 0.002059)),
+              ("melanin", "float", 0.8),
+              ("melanin_redness", "float", 1.0),
+              ("tint", "color", (1.0, 1.0, 1.0)),
+              ("absorption_coefficient", "vector", (0.245531, 0.52, 1.365)),
+              ("roughness", "float", 0.3),
+              ("radial_roughness", "float", 0.3),
+              ("ior", "float", 1.55),
+              ("offset", "float", 0.0349066)]  # 2 degrees in radians
+    OUTPUTS = [("bsdf", "closure")]
+    PARAMS = [S("parametrization", S.ENUM, "direct_coloring",
+                {"absorption": 0, "melanin": 1, "direct_coloring": 2})]
+
+    @staticmethod
+    def _sigma_from_color(color, beta_n):
+        """Paper eq. 9: invert the multiple-scatter albedo to sigma_a."""
+        denom = (5.969 - 0.215 * beta_n + 2.532 * beta_n ** 2
+                 - 10.73 * beta_n ** 3 + 5.574 * beta_n ** 4
+                 + 0.245 * beta_n ** 5)
+        ln_c = jnp.log(jnp.clip(color, 1e-4, 1.0))
+        return (ln_c / denom[..., None]) ** 2
+
+    def eval(self, ctx, inp):
+        c = cl.empty_closures(ctx.batch_shape)
+        from raytracingproject_tpu.ops import hair as hair_ops
+        beta_m = jnp.clip(_bf(ctx, inp["roughness"]), 0.02, 1.0)
+        beta_n = jnp.clip(_bf(ctx, inp["radial_roughness"]), 0.02, 1.0)
+        par = self.get_enum_int("parametrization")
+        if par == 0:
+            sigma = jnp.broadcast_to(
+                _bc(ctx, inp["absorption_coefficient"]),
+                ctx.batch_shape + (3,))
+        elif par == 1:
+            # melanin concentration (paper sec. 6.1: eumelanin /
+            # pheomelanin absorption spectra, published in d'Eon 2011)
+            mel = jnp.clip(_bf(ctx, inp["melanin"]), 0.0, 1.0)
+            red = jnp.clip(_bf(ctx, inp["melanin_redness"]), 0.0, 1.0)
+            qty = -jnp.log(jnp.maximum(1.0 - mel, 1e-4))
+            eu = qty * (1.0 - red)
+            pheo = qty * red
+            sigma = (eu[..., None]
+                     * jnp.asarray([0.506, 0.841, 1.653], jnp.float32)
+                     + pheo[..., None]
+                     * jnp.asarray([0.343, 0.733, 1.924], jnp.float32))
+            tint = _bc(ctx, inp["tint"])
+            sigma = sigma + self._sigma_from_color(tint, beta_n)
+        else:
+            sigma = self._sigma_from_color(_bc(ctx, inp["color"]), beta_n)
+        c["hair"] = jnp.ones(ctx.batch_shape + (3,), jnp.float32)
+        c["hair_sigma"] = sigma
+        c["hair_v"] = hair_ops.roughness_to_v(beta_m)
+        c["hair_s"] = hair_ops.roughness_to_s(beta_n)
+        c["hair_alpha"] = _bf(ctx, inp["offset"])
+        c["hair_ior"] = jnp.maximum(_bf(ctx, inp["ior"]), 1.01)
+        return {"bsdf": c}
+
+
 class TransparentBsdfNode(ShaderNode):
     NODE_NAME = "transparent_bsdf"
     INPUTS = [("color", "color", (1.0, 1.0, 1.0))]

@@ -153,12 +153,14 @@ def _lobe_probs(c, include_sss=True):
     wg = jnp.mean(jnp.abs(c["glossy"]), -1)
     wr = jnp.mean(jnp.abs(c["refraction"]), -1)
     wt = jnp.mean(jnp.abs(c["transparent"]), -1)
-    tot = wd + wg + wr + wt
+    wh = jnp.mean(jnp.abs(c["hair"]), -1)
+    tot = wd + wg + wr + wt + wh
     safe = jnp.maximum(tot, 1e-12)
-    return (wd / safe, wg / safe, wr / safe, wt / safe, tot)
+    return (wd / safe, wg / safe, wr / safe, wt / safe, wh / safe, tot)
 
 
-def bsdf_eval(c, N, I, omega_in, features=None, want_components=False):
+def bsdf_eval(c, N, I, omega_in, features=None, want_components=False,
+              sd=None):
     """Evaluate the full closure stack at direction omega_in.
 
     Returns (f_cos (N,3), pdf (N,)) — f includes |cos|; delta lobes
@@ -173,11 +175,12 @@ def bsdf_eval(c, N, I, omega_in, features=None, want_components=False):
     has_diffuse_rough = ft.get("has_diffuse_roughness", True)
 
     has_sss_walk = ft.get("has_subsurface", False)
+    has_hair = ft.get("has_hair", False) and sd is not None
     t, b = um.make_orthonormals(N)
     wo = um.to_local(I, t, b, N)
     wi = um.to_local(omega_in, t, b, N)
 
-    pd, pg, pr, pt, tot = _lobe_probs(c, include_sss=not has_sss_walk)
+    pd, pg, pr, pt, ph, tot = _lobe_probs(c, include_sss=not has_sss_walk)
 
     reflect_side = wi[..., 2] > 0.0
 
@@ -231,12 +234,29 @@ def bsdf_eval(c, N, I, omega_in, features=None, want_components=False):
         if want_components:
             comp["transmission"] = f_refr
 
+    if has_hair:
+        # principled hair lobe (ops/hair.py; only live on curve prims,
+        # flagged by a nonzero packed tangent)
+        from raytracingproject_tpu.ops import hair as hair_ops
+        is_curve = um.dot(sd.dPdu, sd.dPdu) > 0.25
+        h_off = jnp.clip(sd.uv[..., 0] * 2.0 - 1.0, -1.0, 1.0)
+        f_h, pdf_h = hair_ops.hair_eval(
+            sd.dPdu, sd.Ng, h_off, I, omega_in, c["hair_sigma"],
+            jnp.maximum(c["hair_v"], 1e-7),
+            jnp.maximum(c["hair_s"], 1e-7),
+            c["hair_alpha"], jnp.maximum(c["hair_ior"], 1.01))
+        f_hair = jnp.where(is_curve[..., None], c["hair"] * f_h, 0.0)
+        f = f + f_hair
+        pdf = pdf + ph * jnp.where(is_curve, pdf_h, 0.0)
+        if want_components:
+            comp["glossy"] = comp.get("glossy", 0.0) + f_hair
+
     if want_components:
         return f, pdf, comp
     return f, pdf
 
 
-def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe, features=None):
+def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe, features=None, sd=None):
     """Sample an outgoing direction from the closure stack.
 
     Returns dict(omega (N,3), f_cos (N,3), pdf (N,), label (N,) int32,
@@ -247,23 +267,31 @@ def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe, features=None):
     has_glossy = ft.get("has_glossy", True)
     has_refraction = ft.get("has_refraction", True)
     has_transparent = ft.get("has_transparent", True)
+    has_hair = ft.get("has_hair", False) and sd is not None
 
     t, b = um.make_orthonormals(N)
     wo = um.to_local(I, t, b, N)
 
-    pd, pg, pr, pt, tot = _lobe_probs(
+    pd, pg, pr, pt, phh, tot = _lobe_probs(
         c, include_sss=not ft.get("has_subsurface", False))
     cdf_d = pd
     cdf_g = pd + pg
     cdf_r = pd + pg + pr
+    cdf_t = pd + pg + pr + pt
     pick_d = u_lobe < cdf_d
     pick_g = ~pick_d & (u_lobe < cdf_g) if has_glossy \
         else jnp.zeros_like(pick_d)
     pick_r = ~pick_d & ~pick_g & (u_lobe < cdf_r) if has_refraction \
         else jnp.zeros_like(pick_d)
-    pick_t = ~pick_d & ~pick_g & ~pick_r if has_transparent \
-        else jnp.zeros_like(pick_d)
-    if not (has_glossy or has_refraction or has_transparent):
+    rest = ~pick_d & ~pick_g & ~pick_r
+    if has_hair:
+        pick_t = rest & (u_lobe < cdf_t) if has_transparent \
+            else jnp.zeros_like(pick_d)
+        pick_h = rest & ~pick_t
+    else:
+        pick_t = rest if has_transparent else jnp.zeros_like(pick_d)
+        pick_h = jnp.zeros_like(pick_d)
+    if not (has_glossy or has_refraction or has_transparent or has_hair):
         pick_d = jnp.ones_like(pick_d)
 
     # --- diffuse: cosine hemisphere ---
@@ -321,10 +349,22 @@ def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe, features=None):
 
     omega = um.from_local(wi, t, b, N)
 
+    if has_hair:
+        # hair samples come back in world space already (its own frame)
+        from raytracingproject_tpu.ops import hair as hair_ops
+        h_off = jnp.clip(sd.uv[..., 0] * 2.0 - 1.0, -1.0, 1.0)
+        omega_h, _fh, _pdfh, valid_h = hair_ops.hair_sample(
+            sd.dPdu, sd.Ng, h_off, I, u1, u2, c["hair_sigma"],
+            jnp.maximum(c["hair_v"], 1e-7),
+            jnp.maximum(c["hair_s"], 1e-7),
+            c["hair_alpha"], jnp.maximum(c["hair_ior"], 1.01))
+        omega = jnp.where(pick_h[..., None], omega_h, omega)
+        label = jnp.where(pick_h, LABEL_GLOSSY, label)
+
     # --- combine: delta lanes bypass the mixture eval ---
     sampled_delta = ((pick_g & glossy_delta) | (pick_r & refr_delta) | pick_t)
 
-    f_eval, pdf_eval = bsdf_eval(c, N, I, omega, features)
+    f_eval, pdf_eval = bsdf_eval(c, N, I, omega, features, sd=sd)
     # delta contributions (weight/pick_prob with pdf treated as 1)
     f_delta = jnp.where(pick_g[..., None], c["glossy"],
                         jnp.where(pick_r[..., None], c["refraction"],
@@ -335,6 +375,8 @@ def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe, features=None):
     pdf = jnp.where(sampled_delta, p_delta, pdf_eval)
 
     valid = (tot > 1e-12) & (pdf > 1e-12)
+    if has_hair:
+        valid = valid & (~pick_h | valid_h)
     # refraction lanes record relative eta for russian-roulette radiance
     # scaling (ref: kernel_path_surface.h bounce eta_scale)
     eta_cross = jnp.where(pick_r & ~tir, inv_eta, 1.0)

@@ -27,10 +27,15 @@ import jax.numpy as jnp
 
 CLOSURE_VEC_KEYS = ("emission", "diffuse", "glossy", "refraction",
                     "transparent", "subsurface", "subsurface_radius",
-                    "holdout")
+                    "holdout", "hair", "hair_sigma")
 CLOSURE_SCALAR_KEYS = ("glossy_roughness", "refraction_roughness", "ior",
                        "diffuse_roughness", "glossy_multiscatter",
-                       "subsurface_burley")
+                       "subsurface_burley", "hair_v", "hair_s",
+                       "hair_alpha", "hair_ior")
+
+# vec keys that are PARAMETERS of their slot, not weights: they do not
+# scale with mix factors, they blend by the slot's weight
+_PARAM_VEC = {"subsurface_radius": "subsurface", "hair_sigma": "hair"}
 
 # which slot's weight governs a scalar parameter's blend in add/mix
 _SCALAR_SLOT = {
@@ -40,6 +45,10 @@ _SCALAR_SLOT = {
     "diffuse_roughness": "diffuse",
     "glossy_multiscatter": "glossy",
     "subsurface_burley": "subsurface",
+    "hair_v": "hair",
+    "hair_s": "hair",
+    "hair_alpha": "hair",
+    "hair_ior": "hair",
 }
 
 
@@ -48,6 +57,7 @@ def empty_closures(batch_shape):
     for k in CLOSURE_SCALAR_KEYS:
         c[k] = jnp.zeros(batch_shape, jnp.float32)
     c["ior"] = jnp.full(batch_shape, 1.45, jnp.float32)
+    c["hair_ior"] = jnp.full(batch_shape, 1.55, jnp.float32)
     return c
 
 
@@ -100,8 +110,8 @@ def scale_closures(c, fac):
         else jnp.asarray(fac)[..., None]
     out = dict(c)
     for k in CLOSURE_VEC_KEYS:
-        if k == "subsurface_radius":
-            continue  # radius is a parameter, not a weight
+        if k in _PARAM_VEC:
+            continue  # radius/sigma are parameters, not weights
         out[k] = c[k] * fac3
     return out
 
@@ -111,6 +121,8 @@ def add_closures(a, b):
     the slot weights so e.g. mixing two roughnesses is weight-correct."""
     out = {}
     for k in CLOSURE_VEC_KEYS:
+        if k in _PARAM_VEC:
+            continue
         out[k] = a[k] + b[k]
     for k in CLOSURE_SCALAR_KEYS:
         slot = _SCALAR_SLOT[k]
@@ -120,15 +132,15 @@ def add_closures(a, b):
         out[k] = jnp.where(tot > 0.0,
                            (a[k] * wa + b[k] * wb) / jnp.where(tot > 0.0, tot, 1.0),
                            a[k])
-    # subsurface radius blends by subsurface weight
-    wa = jnp.sum(a["subsurface"], axis=-1, keepdims=True)
-    wb = jnp.sum(b["subsurface"], axis=-1, keepdims=True)
-    tot = wa + wb
-    out["subsurface_radius"] = jnp.where(
-        tot > 0.0,
-        (a["subsurface_radius"] * wa + b["subsurface_radius"] * wb)
-        / jnp.where(tot > 0.0, tot, 1.0),
-        a["subsurface_radius"])
+    # parameter vectors blend by their slot's weight
+    for k, slot in _PARAM_VEC.items():
+        wa = jnp.sum(a[slot], axis=-1, keepdims=True)
+        wb = jnp.sum(b[slot], axis=-1, keepdims=True)
+        tot = wa + wb
+        out[k] = jnp.where(
+            tot > 0.0,
+            (a[k] * wa + b[k] * wb) / jnp.where(tot > 0.0, tot, 1.0),
+            a[k])
     return out
 
 

@@ -656,10 +656,11 @@ def make_path_kernel(kg, px, py, pixel_index):
             if light_passes:
                 f_l, pdf_fwd, f_comp = bsdf_ops.bsdf_eval(
                     closures, sd.N, sd.I, ls["D"], kg.get("features"),
-                    want_components=True)
+                    want_components=True, sd=sd)
             else:
                 f_l, pdf_fwd = bsdf_ops.bsdf_eval(
-                    closures, sd.N, sd.I, ls["D"], kg.get("features"))
+                    closures, sd.N, sd.I, ls["D"], kg.get("features"),
+                    sd=sd)
             if has_medium:
                 from raytracingproject_tpu.ops import volume as vol_ops2
                 cos_ph = um.dot(st["d"], ls["D"])
@@ -907,7 +908,7 @@ def make_path_kernel(kg, px, py, pixel_index):
 
         # ---- BSDF bounce (ref: kernel_path_surface_bounce) ----
         bs = bsdf_ops.bsdf_sample(closures, sd.N, sd.Ng, sd.I, bu, bv, lobe_u,
-                                  kg.get("features"))
+                                  kg.get("features"), sd=sd)
         if has_medium:
             from raytracingproject_tpu.ops import volume as vol_ops3
             ph_dir, ph_pdf = vol_ops3.hg_phase_sample(st["d"], vol_g, bu, bv)
@@ -930,7 +931,7 @@ def make_path_kernel(kg, px, py, pixel_index):
             # a pure-scattering medium with sigma_t = 1/radius (the
             # closure color is applied once, here).
             sss_w = jnp.mean(jnp.abs(closures["subsurface"]), -1)
-            _pd, _pg, _pr, _pt, rest_w = bsdf_ops._lobe_probs(
+            _pd, _pg, _pr, _pt, _phh, rest_w = bsdf_ops._lobe_probs(
                 closures, include_sss=False)
             p_entry = um.safe_divide(sss_w, sss_w + rest_w, 0.0)
             entry = on_surface & ~st["in_sss"] & (phase_v < p_entry) \

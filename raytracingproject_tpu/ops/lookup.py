@@ -37,7 +37,10 @@ PT_SMOOTH = 25
 PT_EMISSION = 26   # 26:29
 PT_LIGHT_PMF = 29
 PT_OBJECT = 30
-PT_COLS = 32
+PT_TANGENT = 31    # 31:34 curve tangent (zeros for non-curve prims);
+#                    hair ribbons carry the strand direction here
+#                    (ref: ATTR_STD_CURVE_TANGENT / geom_curve.h tangent)
+PT_COLS = 34
 
 # object_table column layout
 OT_TFM = 0         # 0:12

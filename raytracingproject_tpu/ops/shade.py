@@ -45,6 +45,7 @@ class ShaderData:
     object_location: Any = None
     object_random: Any = None
     backfacing: Any = None
+    dPdu: Any = None         # (N, 3) curve tangent (hair; zeros on mesh)
     textures: Any = None
     batch_shape: tuple = field(default_factory=tuple)
     # cached wide-table rows for reuse by light MIS (avoids re-lookup)
@@ -56,7 +57,7 @@ _SD_ARRAY_FIELDS = [
     "P", "N", "Ng", "Ns", "I", "uv", "generated", "P_object", "time",
     "ray_length", "ray_depth", "path_flag", "prim", "shader",
     "object_index", "object_color", "object_location", "object_random",
-    "backfacing", "prim_row", "object_tfm"]
+    "backfacing", "dPdu", "prim_row", "object_tfm"]
 
 
 def _sd_flatten(sd):
@@ -131,6 +132,14 @@ def shader_setup(dscene, hit, ray_o, ray_d, time=None, ray_depth=None,
 
     uv = w * tuv[:, 0] + u * tuv[:, 1] + v * tuv[:, 2]
 
+    # curve tangent for hair ribbons (ATTR_STD_CURVE_TANGENT packed at
+    # PT_TANGENT; zeros on mesh prims — the zero doubles as the
+    # is-curve flag). Directions transform by the object linear part.
+    tan_obj = prow[:, lk.PT_TANGENT:lk.PT_TANGENT + 3]
+    is_curve = um.dot(tan_obj, tan_obj) > 0.25
+    tan_w = (otfm[:, :, :3] @ tan_obj[..., None])[..., 0]
+    dPdu = jnp.where(is_curve[:, None], um.safe_normalize(tan_w), 0.0)
+
     # generated coords: object-space position normalized to geometry
     # bounds (ref: ATTR_STD_GENERATED semantics)
     glo = orow[:, lk.OT_BOUNDS_LO:lk.OT_BOUNDS_LO + 3]
@@ -150,6 +159,7 @@ def shader_setup(dscene, hit, ray_o, ray_d, time=None, ray_depth=None,
         object_index=hit["object"],
         object_color=orow[:, lk.OT_COLOR:lk.OT_COLOR + 3],
         object_location=otfm[:, :, 3],
+        dPdu=dPdu,
         object_random=orow[:, lk.OT_RANDOM],
         backfacing=backfacing,
         textures=textures,
