@@ -117,6 +117,13 @@ class Scene:
     # ------------------------------------------------------------------
     def device_update(self, progress=None):
         """Flatten everything (ref ordering: scene.cpp:193-321)."""
+        # 0. reject config this build cannot honor — a socket that
+        # silently no-ops renders wrong, which is worse than absent
+        if bool(self.params.get("bvh_use_spatial_split")):
+            raise NotImplementedError(
+                "bvh_use_spatial_split: spatial splits are not "
+                "implemented in this builder (ref: bvh/bvh_split.h). "
+                "Unset the socket; object-binned SAH is always on.")
         # 1. shaders: slots + feature analysis + images
         if self.background.shader is not None:
             self.add_shader(self.background.shader)
@@ -126,6 +133,12 @@ class Scene:
         for slot, sh in enumerate(self.shaders):
             sh.slot = slot
             sh.analyze()
+            if sh.has_volume and \
+                    sh.get_enum_int("volume_interpolation_method") == 1:
+                raise NotImplementedError(
+                    f"shader '{sh.name}': volume_interpolation_method="
+                    "'cubic' is not implemented (grids sample "
+                    "trilinearly); use 'linear'.")
             for node in sh.graph.nodes:
                 if isinstance(node, (sn.ImageTextureNode,
                                      sn.EnvironmentTextureNode)):
@@ -1085,6 +1098,9 @@ class Scene:
                 s.get_enum_int("volume_sampling_method")
                 if s.has_volume else 0
                 for s in self.shaders],
+            # bump mapping (displacement_method bump/both): shade-time
+            # normal perturbation from the displacement graph
+            "shader_bump": [bool(s.has_bump()) for s in self.shaders],
             # volume-only shaders: surface acts as a transparent boundary
             "shader_volume_only": [
                 bool(s.has_volume
@@ -1123,6 +1139,7 @@ class Scene:
                                     for s in self.shaders),
                 "has_hair": any(getattr(s, "has_hair", False)
                                 for s in self.shaders),
+                "has_bump": any(s.has_bump() for s in self.shaders),
             },
         }
 

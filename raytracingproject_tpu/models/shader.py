@@ -201,6 +201,14 @@ class Shader(Node):
                   "displacement") in self.graph.links
         return linked and self.get_enum_int("displacement_method") in (1, 2)
 
+    def has_bump(self):
+        """True when the displacement output should perturb the shading
+        normal at render time (displacement_method 'bump' or 'both';
+        ref: svm_displace.h svm_node_set_bump)."""
+        linked = (id(self.graph.output_node),
+                  "displacement") in self.graph.links
+        return linked and self.get_enum_int("displacement_method") in (0, 2)
+
     def aov_names(self):
         return [n.aov_name for n in self.graph.nodes
                 if getattr(n, "IS_AOV_SINK", False)]

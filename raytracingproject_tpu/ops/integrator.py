@@ -413,7 +413,12 @@ def make_path_kernel(kg, px, py, pixel_index):
                 lane_seed = rngu.hash_pcg3d(
                     pixel_index.astype(jnp.uint32), st["sample"],
                     bounce.astype(jnp.uint32))
-                steps = min(max(int(kint["volume_max_steps"]), 4), 32)
+                # step budget honors the integrator's step-rate knob
+                # (delta tracking has no step SIZE; the rate scales the
+                # per-dispatch collision budget instead)
+                steps = min(max(int(int(kint["volume_max_steps"])
+                                    * float(kint["volume_step_rate"])), 4),
+                            32)
                 wres = vol_ops.woodcock_sample(
                     _eval_sigma, st["o"], st["d"], hit["t"],
                     jnp.where(het_lane, smax, 1e-12), lane_seed,
@@ -489,6 +494,12 @@ def make_path_kernel(kg, px, py, pixel_index):
             ds, hit, st["o"], st["d"], time=st["time"],
             ray_depth=bounce,
             path_flag=st["path_flag"], textures=kg["textures"])
+        if bool(features.get("has_bump", False)) and "bump" not in ablate:
+            # bump mapping perturbs N BEFORE closure eval so fresnel/
+            # layer-weight nodes see the bumped frame (ref: ShaderGraph
+            # bump duplication + svm_node_set_bump)
+            sd.N = shade_ops.eval_bump_normals(
+                kg["shaders"], sd, sd.shader, kg["shader_bump"])
         if "shade" in ablate:
             from raytracingproject_tpu.ops import closures as _cl
             closures = _cl.empty_closures((n,))

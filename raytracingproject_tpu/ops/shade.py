@@ -46,6 +46,9 @@ class ShaderData:
     object_random: Any = None
     backfacing: Any = None
     dPdu: Any = None         # (N, 3) curve tangent (hair; zeros on mesh)
+    bary_u: Any = None       # (N,) hit barycentric u (bump differencing)
+    bary_v: Any = None
+    gen_tfm: Any = None      # (N, 3, 4) world P -> generated coords
     textures: Any = None
     batch_shape: tuple = field(default_factory=tuple)
     # cached wide-table rows for reuse by light MIS (avoids re-lookup)
@@ -57,7 +60,8 @@ _SD_ARRAY_FIELDS = [
     "P", "N", "Ng", "Ns", "I", "uv", "generated", "P_object", "time",
     "ray_length", "ray_depth", "path_flag", "prim", "shader",
     "object_index", "object_color", "object_location", "object_random",
-    "backfacing", "dPdu", "prim_row", "object_tfm"]
+    "backfacing", "dPdu", "bary_u", "bary_v", "gen_tfm",
+    "prim_row", "object_tfm"]
 
 
 def _sd_flatten(sd):
@@ -146,6 +150,13 @@ def shader_setup(dscene, hit, ray_o, ray_d, time=None, ray_depth=None,
     ghi = orow[:, lk.OT_BOUNDS_HI:lk.OT_BOUNDS_HI + 3]
     generated = um.safe_divide(P_gen - glo, jnp.maximum(ghi - glo, 1e-12), 0.5)
 
+    # combined world->generated affine (bump differencing re-evaluates
+    # textures at offset positions): gen = S*(gen_itfm @ P - lo)
+    inv_ext = 1.0 / jnp.maximum(ghi - glo, 1e-12)
+    gen_tfm = jnp.concatenate(
+        [gen_itfm[:, :, :3] * inv_ext[:, :, None],
+         ((gen_itfm[:, :, 3] - glo) * inv_ext)[:, :, None]], axis=-1)
+
     sd = ShaderData(
         P=P, N=Nf, Ng=Ngf, Ns=Ns, I=I, uv=uv, generated=generated,
         P_object=P_gen,
@@ -160,6 +171,7 @@ def shader_setup(dscene, hit, ray_o, ray_d, time=None, ray_depth=None,
         object_color=orow[:, lk.OT_COLOR:lk.OT_COLOR + 3],
         object_location=otfm[:, :, 3],
         dPdu=dPdu,
+        bary_u=hit["u"], bary_v=hit["v"], gen_tfm=gen_tfm,
         object_random=orow[:, lk.OT_RANDOM],
         backfacing=backfacing,
         textures=textures,
@@ -201,6 +213,87 @@ def eval_shaders(shaders, sd, shader_id, aov_names=()):
 
 def _m(mask, v):
     return mask[..., None] if v.ndim > mask.ndim else mask
+
+
+def eval_bump_normals(shaders, sd, shader_id, bump_slots):
+    """Shade-time bump mapping (ref: kernel/svm/svm_displace.h
+    svm_node_set_bump + ShaderGraph bump duplication, render/graph.cpp).
+
+    The reference differentiates the displacement height with ray
+    differentials; here the finite-difference step rides the hit
+    triangle's own barycentric frame, rebuilt from the cached prim row
+    (no extra table lookups). For each shader whose displacement_method
+    requests bump, the displacement graph is evaluated at the hit and
+    at two barycentric offsets; the surface gradient of the height
+    perturbs N (f(P) = P + h*N  =>  N' ~ N - grad_tangent h). XLA dead-
+    code-eliminates the surface closures of the two offset evals, so
+    each bump shader costs only its displacement subgraph twice more.
+
+    Returns the per-lane (possibly) bumped shading normal."""
+    import dataclasses
+    from raytracingproject_tpu.ops import lookup as lk
+    if not any(bump_slots):
+        return sd.N
+    prow = sd.prim_row
+    otfm = sd.object_tfm
+    n = prow.shape[0]
+    tv = prow[:, lk.PT_V0:lk.PT_V0 + 9].reshape(n, 3, 3)
+    tuv = prow[:, lk.PT_UV:lk.PT_UV + 6].reshape(n, 3, 2)
+
+    def ctx_at(uu, vv):
+        ww = 1.0 - uu - vv
+        P_obj = ww[:, None] * tv[:, 0] + uu[:, None] * tv[:, 1] \
+            + vv[:, None] * tv[:, 2]
+        P = (otfm[:, :, :3] @ P_obj[..., None])[..., 0] + otfm[:, :, 3]
+        uv = ww[:, None] * tuv[:, 0] + uu[:, None] * tuv[:, 1] \
+            + vv[:, None] * tuv[:, 2]
+        gen = (sd.gen_tfm[:, :, :3] @ P[..., None])[..., 0] \
+            + sd.gen_tfm[:, :, 3]
+        return dataclasses.replace(sd, P=P, uv=uv, generated=gen,
+                                   P_object=P_obj)
+
+    # barycentric step: small against the triangle, bounded away from
+    # denormal uv deltas
+    DELTA = 1e-3
+    u0, v0 = sd.bary_u, sd.bary_v
+    ctx0 = ctx_at(u0, v0)
+    ctx1 = ctx_at(u0 + DELTA, v0)
+    ctx2 = ctx_at(u0, v0 + DELTA)
+
+    # world-space offsets corresponding to the barycentric steps
+    e1 = (otfm[:, :, :3] @ (tv[:, 1] - tv[:, 0])[..., None])[..., 0] * DELTA
+    e2 = (otfm[:, :, :3] @ (tv[:, 2] - tv[:, 0])[..., None])[..., 0] * DELTA
+
+    N = sd.N
+    new_N = N
+    for slot, shader in enumerate(shaders):
+        if not bump_slots[slot]:
+            continue
+        hs = []
+        for cx in (ctx0, ctx1, ctx2):
+            disp = shader.graph.evaluate(cx)["displacement"]
+            if disp is None:
+                disp = jnp.zeros_like(N)
+            hs.append(um.dot(disp, N))
+        dh1 = hs[1] - hs[0]
+        dh2 = hs[2] - hs[0]
+        # reciprocal-basis tangent gradient: g.e1 = dh1, g.e2 = dh2,
+        # g.N = 0
+        det = um.dot(e1, um.cross(e2, N))
+        r1 = um.cross(e2, N) * um.safe_divide(1.0, det, 0.0)[:, None]
+        r2 = um.cross(N, e1) * um.safe_divide(1.0, det, 0.0)[:, None]
+        g = dh1[:, None] * r1 + dh2[:, None] * r2
+        Nb = um.safe_normalize(N - g)
+        # keep the bumped normal in the visible hemisphere (lift lanes
+        # that dipped below the geometric horizon back above it)
+        d_ng = um.dot(Nb, sd.Ng)
+        Nb = jnp.where((d_ng < 0.0)[:, None],
+                       um.safe_normalize(
+                           Nb + sd.Ng * (1e-3 - 2.0 * d_ng)[:, None]),
+                       Nb)
+        m = shader_id == slot
+        new_N = jnp.where(m[:, None], Nb, new_N)
+    return new_N
 
 
 def eval_transparency(shaders, sd, shader_id, shader_mask):

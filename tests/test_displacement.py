@@ -76,3 +76,62 @@ class TestDisplacement:
         diff = d0[hit] - dn[hit]
         assert np.abs(diff).max() > 1.0   # geometry actually moved
         assert diff.std() > 0.3           # and non-uniformly
+
+
+class TestBump:
+    """Shade-time bump mapping (ref: svm_displace.h svm_node_set_bump;
+    ops/shade.py eval_bump_normals)."""
+
+    def _bump_shader(self, scale, method="bump"):
+        g = ShaderGraph()
+        d = g.add(sn.DiffuseBsdfNode("d", color=(0.8, 0.8, 0.8)))
+        g.connect(d, "bsdf", g.output_node, "surface")
+        tc = g.add(sn.TextureCoordinateNode("tc"))
+        sx = g.add(sn.SeparateXYZNode("sx"))
+        g.connect(tc, "generated", sx, "vector")
+        disp = g.add(sn.DisplacementNode("disp", midlevel=0.0,
+                                         scale=scale))
+        g.connect(sx, "x", disp, "height")
+        g.connect(disp, "displacement", g.output_node, "displacement")
+        return Shader("bumped", g, displacement_method=method)
+
+    def test_bump_socket_switches_paths(self):
+        """displacement_method genuinely selects sync-displacement vs
+        shade-time bump (no silently ignored socket)."""
+        for method, expect in (("true", False), ("bump", True),
+                               ("both", True)):
+            sc = _plane_scene(self._bump_shader(5.0, method))
+            sc.device_update()
+            kg = sc.make_kernel_globals()
+            assert kg["features"]["has_bump"] == expect, method
+
+    def test_bump_tilts_normals_keeps_geometry(self):
+        """height = generated.x: the normal pass leans -x by the
+        analytic slope while the depth pass stays that of a flat
+        plane (bump never moves geometry)."""
+        sc = _plane_scene(self._bump_shader(40.0))
+        sc.film.set_passes([fm.PASS_COMBINED, fm.PASS_DEPTH,
+                            fm.PASS_NORMAL])
+        sess = Session(sc, SessionParams(samples=4))
+        sess.reset()
+        sess.render()
+        nrm = sess.buffers.get_pass_rect(fm.PASS_NORMAL)
+        dep = sess.buffers.get_pass_rect(fm.PASS_DEPTH)[..., 0]
+
+        sc0 = _plane_scene(self._bump_shader(0.0))
+        sc0.film.set_passes([fm.PASS_COMBINED, fm.PASS_DEPTH,
+                             fm.PASS_NORMAL])
+        s0 = Session(sc0, SessionParams(samples=4))
+        s0.reset()
+        s0.render()
+        nrm0 = s0.buffers.get_pass_rect(fm.PASS_NORMAL)
+        dep0 = s0.buffers.get_pass_rect(fm.PASS_DEPTH)[..., 0]
+
+        hit = (dep > 0) & (dep0 > 0)
+        assert hit.mean() > 0.5
+        np.testing.assert_allclose(dep[hit], dep0[hit], atol=1e-3)
+        # slope dh/dx = scale/extent = 40/100 -> Nx ~ -0.37
+        assert nrm0[hit][:, 0].mean() > -0.02     # flat: Nx ~ 0
+        assert nrm[hit][:, 0].mean() < -0.25, nrm[hit][:, 0].mean()
+        # still mostly +z (edge pixels average in missed samples)
+        assert (nrm[hit][:, 2] > 0.8).mean() > 0.9

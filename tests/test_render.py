@@ -319,3 +319,21 @@ class TestClosureMixing:
         scene.shaders[0].graph = g  # replace the sphere's shader graph
         img, _a = render(scene, 16, 16, 48)
         assert abs(float(img.mean()) - 1.0) < 0.02, img.mean()
+
+
+class TestConfigHonesty:
+    def test_spatial_split_raises(self):
+        """Accepted-but-ignored sockets must error loudly instead of
+        rendering silently wrong (spatial splits are unimplemented)."""
+        scene = examples.cornell_box(8, 8, spp=1)
+        scene.params.set("bvh_use_spatial_split", True)
+        with pytest.raises(NotImplementedError):
+            scene.device_update()
+
+    def test_cubic_volume_interpolation_raises(self):
+        scene = examples.smoke_cornell(8, 8, spp=1)
+        for s in scene.shaders:
+            if s.has_volume or s.name == "smoke":
+                s.set("volume_interpolation_method", "cubic")
+        with pytest.raises(NotImplementedError):
+            scene.device_update()
