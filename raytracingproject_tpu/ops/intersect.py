@@ -25,12 +25,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from raytracingproject_tpu.utils.math import RAY_TMAX
 
 STACK_DEPTH = 48
-DONE = jnp.int32(0x7FFFFFFF)
-RESTORE = jnp.int32(0x7FFFFFFE)
+# np (not jnp) so importing this module never initializes the XLA
+# backend — jax.distributed.initialize must be able to run afterwards.
+DONE = np.int32(0x7FFFFFFF)
+RESTORE = np.int32(0x7FFFFFFE)
 LEAF_UNROLL = 8  # must cover builder max leaf size
 
 # visibility constants live in models/object.py (PATH_RAY_*)
