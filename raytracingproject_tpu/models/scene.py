@@ -149,6 +149,16 @@ class Scene:
                             node.slot = -1
                         else:
                             node.slot = self.image_manager.add_image(src)
+                elif isinstance(node, sn.SkyTextureNode) \
+                        and node.get_enum_int("sky_type") == 1:
+                    # nishita: bake the atmosphere to an equirect map
+                    # (ref: render/nodes.cpp:708-745 sky precompute);
+                    # re-bake (new slot) only when parameters changed
+                    prev_key = node._bake_key
+                    img = node.bake_nishita()
+                    if node.slot < 0 or node._bake_key != prev_key:
+                        node.slot = self.image_manager.add_image(
+                            img, name="__nishita_sky__")
 
         # 2. geometry + objects -> packed prims + BVH
         packed = self._pack_geometry()

@@ -1154,17 +1154,82 @@ class BrickTextureNode(ShaderNode):
 
 
 class SkyTextureNode(ShaderNode):
-    """Analytic daylight sky (simplified Preetham-style gradient + sun
-    glow; the reference's full Hosek/Nishita models land later —
-    ref: nodes.h SkyTextureNode)."""
+    """Daylight sky (ref: nodes.h SkyTextureNode).
+
+    sky_type='nishita': physical single-scattering atmosphere
+    (utils/sky.py — the reference's render/nodes.cpp:708-745 nishita
+    precompute, independently implemented) baked into an
+    equirectangular map at scene sync and sampled like an HDRI, so the
+    background importance map importance-samples the sun for free.
+    sky_type='preetham_fast': cheap analytic gradient + sun glow.
+    """
     NODE_NAME = "sky_texture"
     INPUTS = [("vector", "vector", (0.0, 0.0, 0.0))]
     OUTPUTS = [("color", "color")]
-    PARAMS = [S("sun_direction", S.VECTOR, (0.0, 0.0, 1.0)),
+    PARAMS = [S("sky_type", S.ENUM, "preetham_fast",
+                {"preetham_fast": 0, "nishita": 1}),
+              S("sun_direction", S.VECTOR, (0.0, 0.0, 1.0)),
               S("turbidity", S.FLOAT, 2.2),
-              S("ground_albedo", S.FLOAT, 0.3)]
+              S("ground_albedo", S.FLOAT, 0.3),
+              # nishita parameters (ref: SkyTextureNode sockets)
+              S("sun_disc", S.BOOLEAN, True),
+              S("sun_size", S.FLOAT, float(np.radians(0.545) / 2)),
+              S("sun_intensity", S.FLOAT, 1.0),
+              S("sun_elevation", S.FLOAT, float(np.radians(15.0))),
+              S("sun_rotation", S.FLOAT, 0.0),
+              S("altitude", S.FLOAT, 0.0),
+              S("air_density", S.FLOAT, 1.0),
+              S("dust_density", S.FLOAT, 1.0),
+              S("ozone_density", S.FLOAT, 1.0)]
+
+    def __init__(self, name="", **kwargs):
+        super().__init__(name, **kwargs)
+        self.slot = -1          # nishita: baked-map texture slot
+        self._bake_key = None
+
+    def nishita_sun_direction(self):
+        el = float(self.sun_elevation)
+        rot = float(self.sun_rotation)
+        return np.array([np.cos(el) * np.cos(-rot),
+                         np.cos(el) * np.sin(-rot),
+                         np.sin(el)], np.float32)
+
+    def bake_nishita(self):
+        """(H, W, 4) baked map, cached by parameter values."""
+        from raytracingproject_tpu.utils import sky as sky_mod
+        key = (float(self.sun_elevation), float(self.sun_rotation),
+               float(self.altitude), float(self.air_density),
+               float(self.dust_density), float(self.ozone_density),
+               bool(self.sun_disc), float(self.sun_size),
+               float(self.sun_intensity))
+        if key != self._bake_key:
+            self._bake_img = sky_mod.sky_image(
+                512, 256, sun_dir=self.nishita_sun_direction(),
+                air=float(self.air_density),
+                dust=float(self.dust_density),
+                ozone=float(self.ozone_density),
+                altitude=float(self.altitude),
+                sun_intensity=float(self.sun_intensity),
+                sun_disc=bool(self.sun_disc),
+                sun_size=float(self.sun_size),
+                ground_albedo=float(self.ground_albedo))
+            self._bake_key = key
+        return self._bake_img
 
     def eval(self, ctx, inp):
+        if self.get_enum_int("sky_type") == 1:
+            link_v = inp["vector"]
+            if link_v is None or (isinstance(link_v, np.ndarray)
+                                  and not link_v.any()):
+                d = -ctx.I
+            else:
+                d = um.safe_normalize(_bc(ctx, link_v))
+            u, v = um.direction_to_equirectangular(d)
+            data, h, w = ctx.textures.get(self.slot)
+            rgba = tex.sample_image(data, h, w, u, v,
+                                    tex.INTERPOLATION_LINEAR,
+                                    tex.EXTENSION_REPEAT)
+            return {"color": rgba[..., :3]}
         link_v = inp["vector"]
         if link_v is None or (isinstance(link_v, np.ndarray)
                               and not link_v.any()):
