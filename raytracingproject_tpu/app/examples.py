@@ -23,6 +23,22 @@ def diffuse_shader(name, color):
     return Shader(name, g)
 
 
+def toon_shader(name, color, component="diffuse", size=0.5, smooth=0.0):
+    g = ShaderGraph()
+    t = g.add(sn.ToonBsdfNode(name + "_bsdf", color=color,
+                              component=component, size=size,
+                              smooth=smooth))
+    g.connect(t, "bsdf", g.output_node, "surface")
+    return Shader(name, g)
+
+
+def velvet_shader(name, color, sigma=1.0):
+    g = ShaderGraph()
+    v = g.add(sn.VelvetBsdfNode(name + "_bsdf", color=color, sigma=sigma))
+    g.connect(v, "bsdf", g.output_node, "surface")
+    return Shader(name, g)
+
+
 def glossy_shader(name, color, roughness=0.1):
     g = ShaderGraph()
     d = g.add(sn.GlossyBsdfNode(name + "_bsdf", color=color,

@@ -1149,6 +1149,10 @@ class Scene:
                                     for s in self.shaders),
                 "has_hair": any(getattr(s, "has_hair", False)
                                 for s in self.shaders),
+                "has_toon": any(getattr(s, "has_toon", False)
+                                for s in self.shaders),
+                "has_sheen": any(getattr(s, "has_sheen", False)
+                                 for s in self.shaders),
                 "has_bump": any(s.has_bump() for s in self.shaders),
             },
         }

@@ -231,6 +231,8 @@ class Shader(Node):
         self.has_subsurface = False
         self.has_heterogeneous_volume = False
         self.has_hair = False
+        self.has_toon = False
+        self.has_sheen = False
 
         def linked(node, sock):
             return self.graph.links.get((id(node), sock)) is not None
@@ -254,6 +256,10 @@ class Shader(Node):
                 self.has_subsurface = True
             if isinstance(node, sn.PrincipledHairBsdfNode):
                 self.has_hair = True
+            if isinstance(node, sn.ToonBsdfNode):
+                self.has_toon = True
+            if isinstance(node, sn.VelvetBsdfNode):
+                self.has_sheen = True
             if isinstance(node, sn.PrincipledBsdfNode):
                 self.has_glossy = True
                 if linked(node, "subsurface") or float(node.subsurface) > 0:

@@ -82,6 +82,49 @@ class DiffuseBsdfNode(ShaderNode):
         return {"bsdf": c}
 
 
+class ToonBsdfNode(ShaderNode):
+    """ref: render/nodes.h ToonBsdfNode; kernel/closure/bsdf_toon.h.
+    Constant response inside the size cone with a smooth falloff band;
+    component selects the diffuse (around N) or glossy (around the
+    mirror direction) variant."""
+    NODE_NAME = "toon_bsdf"
+    INPUTS = [("color", "color", (0.8, 0.8, 0.8)),
+              ("size", "float", 0.5),
+              ("smooth", "float", 0.0),
+              ("normal", "normal", (0.0, 0.0, 0.0))]
+    OUTPUTS = [("bsdf", "closure")]
+    PARAMS = [S("component", S.ENUM, "diffuse",
+                {"diffuse": 0, "glossy": 1})]
+
+    def eval(self, ctx, inp):
+        c = cl.empty_closures(ctx.batch_shape)
+        if self.get_enum_int("component") == 1:
+            c["toon_glossy"] = _bc(ctx, inp["color"])
+            c["toon_glossy_size"] = _bf(ctx, inp["size"])
+            c["toon_glossy_smooth"] = _bf(ctx, inp["smooth"])
+        else:
+            c["toon_diffuse"] = _bc(ctx, inp["color"])
+            c["toon_diffuse_size"] = _bf(ctx, inp["size"])
+            c["toon_diffuse_smooth"] = _bf(ctx, inp["smooth"])
+        return {"bsdf": c}
+
+
+class VelvetBsdfNode(ShaderNode):
+    """ref: render/nodes.h VelvetBsdfNode; kernel/closure/
+    bsdf_ashikhmin_velvet.h (microfiber sheen)."""
+    NODE_NAME = "velvet_bsdf"
+    INPUTS = [("color", "color", (0.8, 0.8, 0.8)),
+              ("sigma", "float", 1.0),
+              ("normal", "normal", (0.0, 0.0, 0.0))]
+    OUTPUTS = [("bsdf", "closure")]
+
+    def eval(self, ctx, inp):
+        c = cl.empty_closures(ctx.batch_shape)
+        c["sheen"] = _bc(ctx, inp["color"])
+        c["sheen_sigma"] = jnp.maximum(_bf(ctx, inp["sigma"]), 0.01)
+        return {"bsdf": c}
+
+
 class GlossyBsdfNode(ShaderNode):
     """ref: GlossyBsdfNode; GGX microfacet (kernel/closure/bsdf_microfacet.h)."""
     NODE_NAME = "glossy_bsdf"

@@ -144,19 +144,98 @@ def _oren_nayar_factor(wo, wi, roughness):
     return a + b * jnp.maximum(cos_phi, 0.0) * sin_alpha * tan_beta
 
 
+def _toon_cones(size, smooth):
+    """(cos_max, cos_end) of the toon response: full intensity inside
+    size*pi/2, linear-in-cos falloff to zero at (size+smooth)*pi/2
+    (ref: kernel/closure/bsdf_toon.h angle semantics)."""
+    max_angle = jnp.clip(size, 0.0, 1.0) * (um.M_PI * 0.5)
+    end_angle = jnp.minimum(max_angle + jnp.clip(smooth, 0.0, 1.0)
+                            * (um.M_PI * 0.5), um.M_PI * 0.5)
+    return jnp.cos(max_angle), jnp.cos(end_angle)
+
+
+def _toon_intensity(cos_t, cm, ce):
+    """Piecewise response in cos-space: 1 above cm, linear to 0 at ce."""
+    band = jnp.where(cm - ce > 1e-6, (cos_t - ce)
+                     / jnp.maximum(cm - ce, 1e-6), 0.0)
+    return jnp.clip(jnp.where(cos_t >= cm, 1.0, band), 0.0, 1.0)
+
+
+def _toon_norm(cm, ce):
+    """K = 2 pi int_ce^1 i(c) c dc — hemispherical response so
+    weight/K makes the lobe's albedo equal its weight."""
+    hard = um.M_PI * (1.0 - cm * cm)
+    d = jnp.maximum(cm - ce, 1e-6)
+    band = um.M_2PI / d * ((cm ** 3 - ce ** 3) / 3.0
+                           - ce * (cm * cm - ce * ce) / 2.0)
+    return jnp.maximum(hard + jnp.where(cm - ce > 1e-6, band, 0.0), 1e-6)
+
+
+def _toon_eval(weight, cos_t, cos_i, cm, ce):
+    """f*cos of one toon lobe at angle cos_t from its axis."""
+    i = _toon_intensity(cos_t, cm, ce)
+    return weight * (i / _toon_norm(cm, ce) * jnp.maximum(cos_i, 0.0)
+                     )[..., None]
+
+
+def _toon_cone_pdf(cos_t, ce):
+    """Uniform-solid-angle cone pdf for the sampled support."""
+    inside = cos_t >= ce - 1e-7
+    return jnp.where(inside, 1.0 / jnp.maximum(
+        um.M_2PI * (1.0 - ce), 1e-7), 0.0)
+
+
+def _sample_uniform_cone(axis, ce, u1, u2):
+    """Uniform direction within the cone cos >= ce around `axis`
+    (any-space unit vectors)."""
+    cos_t = 1.0 - u1 * (1.0 - ce)
+    sin_t = um.safe_sqrt(1.0 - cos_t * cos_t)
+    phi = um.M_2PI * u2
+    t, b = um.make_orthonormals(axis)
+    return (t * (sin_t * jnp.cos(phi))[..., None]
+            + b * (sin_t * jnp.sin(phi))[..., None]
+            + axis * cos_t[..., None])
+
+
+def _velvet_eval(wo, wi, sigma):
+    """Ashikhmin velvet f*cos (ref: kernel/closure/
+    bsdf_ashikhmin_velvet.h — the classic inverted-Gaussian cotangent
+    microfiber distribution, independently implemented from the
+    published model)."""
+    cos_o = jnp.maximum(wo[..., 2], 1e-4)
+    cos_i = jnp.maximum(wi[..., 2], 0.0)
+    h = um.normalize(wo + wi)
+    cos_nh = jnp.clip(h[..., 2], -1.0, 1.0)
+    cos_ho = jnp.maximum(jnp.abs(um.dot(wo, h)), 1e-5)
+    inv_s2 = 1.0 / jnp.maximum(sigma * sigma, 1e-4)
+    sin_nh2 = jnp.maximum(1.0 - cos_nh * cos_nh, 1e-6)
+    cot2 = (cos_nh * cos_nh) / sin_nh2
+    D = jnp.exp(-cot2 * inv_s2) * inv_s2 * um.M_1_PI \
+        / (sin_nh2 * sin_nh2)
+    G = jnp.minimum(1.0, jnp.minimum(
+        2.0 * cos_nh * cos_o / cos_ho,
+        2.0 * cos_nh * cos_i / cos_ho))
+    f = 0.25 * D * jnp.maximum(G, 0.0) / cos_o
+    return jnp.where((cos_i > 0.0) & (cos_nh > 0.0), f * cos_i, 0.0)
+
+
 def _lobe_probs(c, include_sss=True):
     """Lobe pick probabilities from mean closure weights
     (ref: shader_bsdf_pick sample_weight). include_sss=False when the
     random-walk integrator handles the subsurface lobe separately."""
     wd = jnp.mean(jnp.abs(c["diffuse"])
-                  + (jnp.abs(c["subsurface"]) if include_sss else 0.0), -1)
+                  + (jnp.abs(c["subsurface"]) if include_sss else 0.0)
+                  + jnp.abs(c["sheen"]), -1)
     wg = jnp.mean(jnp.abs(c["glossy"]), -1)
     wr = jnp.mean(jnp.abs(c["refraction"]), -1)
     wt = jnp.mean(jnp.abs(c["transparent"]), -1)
     wh = jnp.mean(jnp.abs(c["hair"]), -1)
-    tot = wd + wg + wr + wt + wh
+    wtd = jnp.mean(jnp.abs(c["toon_diffuse"]), -1)
+    wtg = jnp.mean(jnp.abs(c["toon_glossy"]), -1)
+    tot = wd + wg + wr + wt + wh + wtd + wtg
     safe = jnp.maximum(tot, 1e-12)
-    return (wd / safe, wg / safe, wr / safe, wt / safe, wh / safe, tot)
+    return (wd / safe, wg / safe, wr / safe, wt / safe, wh / safe,
+            wtd / safe, wtg / safe, tot)
 
 
 def bsdf_eval(c, N, I, omega_in, features=None, want_components=False,
@@ -180,7 +259,8 @@ def bsdf_eval(c, N, I, omega_in, features=None, want_components=False,
     wo = um.to_local(I, t, b, N)
     wi = um.to_local(omega_in, t, b, N)
 
-    pd, pg, pr, pt, ph, tot = _lobe_probs(c, include_sss=not has_sss_walk)
+    pd, pg, pr, pt, ph, ptd, ptg, tot = _lobe_probs(
+        c, include_sss=not has_sss_walk)
 
     reflect_side = wi[..., 2] > 0.0
 
@@ -234,6 +314,39 @@ def bsdf_eval(c, N, I, omega_in, features=None, want_components=False,
         if want_components:
             comp["transmission"] = f_refr
 
+    if ft.get("has_sheen", False):
+        # Ashikhmin velvet rides the diffuse (cosine) sampling branch:
+        # its weight is folded into pd, so pdf accounting is unchanged
+        f_sheen = c["sheen"] * _velvet_eval(wo, wi, c["sheen_sigma"]
+                                            )[..., None]
+        f_sheen = jnp.where(reflect_side[..., None], f_sheen, 0.0)
+        f = f + f_sheen
+        if want_components:
+            comp["diffuse"] = comp["diffuse"] + f_sheen
+
+    if ft.get("has_toon", False):
+        # toon lobes (ref: bsdf_toon.h): constant response inside the
+        # size cone, linear falloff across smooth, uniform-cone sampled
+        cos_i_s = wi[..., 2]
+        cmd, ced = _toon_cones(c["toon_diffuse_size"],
+                               c["toon_diffuse_smooth"])
+        f_td = _toon_eval(c["toon_diffuse"], cos_i_s, cos_i_s, cmd, ced)
+        f_td = jnp.where(reflect_side[..., None], f_td, 0.0)
+        r_l = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+        cmg, ceg = _toon_cones(c["toon_glossy_size"],
+                               c["toon_glossy_smooth"])
+        cos_r = um.dot(wi, r_l)
+        f_tg = _toon_eval(c["toon_glossy"], cos_r, cos_i_s, cmg, ceg)
+        f_tg = jnp.where(reflect_side[..., None], f_tg, 0.0)
+        f = f + f_td + f_tg
+        pdf = pdf + ptd * jnp.where(reflect_side,
+                                    _toon_cone_pdf(cos_i_s, ced), 0.0) \
+            + ptg * jnp.where(reflect_side,
+                              _toon_cone_pdf(cos_r, ceg), 0.0)
+        if want_components:
+            comp["diffuse"] = comp["diffuse"] + f_td
+            comp["glossy"] = comp.get("glossy", 0.0) + f_tg
+
     if has_hair:
         # principled hair lobe (ops/hair.py; only live on curve prims,
         # flagged by a nonzero packed tangent)
@@ -272,7 +385,8 @@ def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe, features=None, sd=None):
     t, b = um.make_orthonormals(N)
     wo = um.to_local(I, t, b, N)
 
-    pd, pg, pr, pt, phh, tot = _lobe_probs(
+    has_toon = ft.get("has_toon", False)
+    pd, pg, pr, pt, phh, ptd, ptg, tot = _lobe_probs(
         c, include_sss=not ft.get("has_subsurface", False))
     cdf_d = pd
     cdf_g = pd + pg
@@ -284,14 +398,27 @@ def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe, features=None, sd=None):
     pick_r = ~pick_d & ~pick_g & (u_lobe < cdf_r) if has_refraction \
         else jnp.zeros_like(pick_d)
     rest = ~pick_d & ~pick_g & ~pick_r
-    if has_hair:
+    zeros_b = jnp.zeros_like(pick_d)
+    if has_toon:
+        # chain extends past transparent/hair into the toon cones
+        cdf_h = cdf_t + phh
+        cdf_td = cdf_h + ptd
+        pick_t = rest & (u_lobe < cdf_t) if has_transparent else zeros_b
+        pick_h = (rest & ~pick_t & (u_lobe < cdf_h)) if has_hair \
+            else zeros_b
+        pick_td = rest & ~pick_t & ~pick_h & (u_lobe < cdf_td)
+        pick_tg = rest & ~pick_t & ~pick_h & ~pick_td
+    elif has_hair:
         pick_t = rest & (u_lobe < cdf_t) if has_transparent \
             else jnp.zeros_like(pick_d)
         pick_h = rest & ~pick_t
+        pick_td = pick_tg = zeros_b
     else:
         pick_t = rest if has_transparent else jnp.zeros_like(pick_d)
         pick_h = jnp.zeros_like(pick_d)
-    if not (has_glossy or has_refraction or has_transparent or has_hair):
+        pick_td = pick_tg = zeros_b
+    if not (has_glossy or has_refraction or has_transparent or has_hair
+            or has_toon):
         pick_d = jnp.ones_like(pick_d)
 
     # --- diffuse: cosine hemisphere ---
@@ -346,6 +473,22 @@ def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe, features=None, sd=None):
     if has_transparent:
         wi = jnp.where(pick_t[..., None], -wo, wi)
         label = jnp.where(pick_t, LABEL_TRANSPARENT | LABEL_SINGULAR, label)
+
+    if has_toon:
+        # uniform-cone samples around N (diffuse toon) / the mirror
+        # direction (glossy toon); pdf accounted in bsdf_eval
+        z_ax = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                                wi.shape)
+        _, ced = _toon_cones(c["toon_diffuse_size"],
+                             c["toon_diffuse_smooth"])
+        wi_td = _sample_uniform_cone(z_ax, ced, u1, u2)
+        wi = jnp.where(pick_td[..., None], wi_td, wi)
+        r_l = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+        _, ceg = _toon_cones(c["toon_glossy_size"],
+                             c["toon_glossy_smooth"])
+        wi_tg = _sample_uniform_cone(um.normalize(r_l), ceg, u1, u2)
+        wi = jnp.where(pick_tg[..., None], wi_tg, wi)
+        label = jnp.where(pick_tg, LABEL_GLOSSY, label)
 
     omega = um.from_local(wi, t, b, N)
 

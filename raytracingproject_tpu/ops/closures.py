@@ -27,11 +27,15 @@ import jax.numpy as jnp
 
 CLOSURE_VEC_KEYS = ("emission", "diffuse", "glossy", "refraction",
                     "transparent", "subsurface", "subsurface_radius",
-                    "holdout", "hair", "hair_sigma")
+                    "holdout", "hair", "hair_sigma",
+                    "toon_diffuse", "toon_glossy", "sheen")
 CLOSURE_SCALAR_KEYS = ("glossy_roughness", "refraction_roughness", "ior",
                        "diffuse_roughness", "glossy_multiscatter",
                        "subsurface_burley", "hair_v", "hair_s",
-                       "hair_alpha", "hair_ior")
+                       "hair_alpha", "hair_ior",
+                       "toon_diffuse_size", "toon_diffuse_smooth",
+                       "toon_glossy_size", "toon_glossy_smooth",
+                       "sheen_sigma")
 
 # vec keys that are PARAMETERS of their slot, not weights: they do not
 # scale with mix factors, they blend by the slot's weight
@@ -49,6 +53,11 @@ _SCALAR_SLOT = {
     "hair_s": "hair",
     "hair_alpha": "hair",
     "hair_ior": "hair",
+    "toon_diffuse_size": "toon_diffuse",
+    "toon_diffuse_smooth": "toon_diffuse",
+    "toon_glossy_size": "toon_glossy",
+    "toon_glossy_smooth": "toon_glossy",
+    "sheen_sigma": "sheen",
 }
 
 

@@ -942,8 +942,8 @@ def make_path_kernel(kg, px, py, pixel_index):
             # a pure-scattering medium with sigma_t = 1/radius (the
             # closure color is applied once, here).
             sss_w = jnp.mean(jnp.abs(closures["subsurface"]), -1)
-            _pd, _pg, _pr, _pt, _phh, rest_w = bsdf_ops._lobe_probs(
-                closures, include_sss=False)
+            rest_w = bsdf_ops._lobe_probs(closures,
+                                          include_sss=False)[-1]
             p_entry = um.safe_divide(sss_w, sss_w + rest_w, 0.0)
             entry = on_surface & ~st["in_sss"] & (phase_v < p_entry) \
                 & (sss_w > 1e-12)
