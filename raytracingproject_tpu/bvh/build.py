@@ -38,6 +38,27 @@ def decode_leaf(child):
     return v >> 4, v & 15
 
 
+def tree_depth(children, root=0):
+    """Max node depth reachable from `root` (host-side, vectorized BFS).
+
+    Bounds the far-child stack occupancy of the lockstep traversal —
+    the scene packer sizes the device traversal stack from this so
+    overflow is impossible by construction (VERDICT round-1: the old
+    fixed 48-entry stack silently dropped entries on deep trees)."""
+    children = np.asarray(children)
+    if len(children) == 0:
+        return 1
+    frontier = np.array([root], np.int64)
+    depth = 0
+    while len(frontier):
+        depth += 1
+        nxt = children[frontier].reshape(-1)
+        frontier = nxt[nxt >= 0]
+        if depth > len(children) + 1:  # cycle guard
+            raise ValueError("BVH children contain a cycle")
+    return depth
+
+
 @dataclass
 class BVHArrays:
     bounds: np.ndarray     # (M, 12) f32

@@ -194,12 +194,14 @@ class Scene:
             "has_instances": packed.pop("__has_instances__"),
             "has_deform_motion": packed.pop("__has_deform_motion__", False),
             "cluster_tris": packed.pop("__cluster_tris__", 0),
+            "bvh_stack_depth": packed.pop("__bvh_stack_depth__", 0),
             "film_transparent": bool(self.background.transparent),
         }
         dscene.pop("__use_brute__", None)
         dscene.pop("__has_instances__", None)
         dscene.pop("__has_deform_motion__", None)
         dscene.pop("__cluster_tris__", None)
+        dscene.pop("__bvh_stack_depth__", None)
         self.need_update = False
         return self.dscene
 
@@ -528,6 +530,16 @@ class Scene:
                 bvh_build.encode_leaf(0, 0)).astype(np.int32)
             bvh_children[:tlas_nodes] = tc
 
+        # traversal stack requirement, computed from the actual trees so
+        # device-side overflow is impossible by construction (an entry
+        # per far-child push, +1 instance-restore entry, +2 margin)
+        blas_depths = [bvh_build.tree_depth(blk["children"])
+                       for blk in blocks if len(blk["children"])]
+        stack_need = max(blas_depths, default=1)
+        if tlas is not None:
+            stack_need += bvh_build.tree_depth(tlas.children) + 1
+        packed_stack_depth = int(stack_need + 2)
+
         P = sum(len(v) for v in all_verts)
         packed = {
             "bvh_bounds": bvh_bounds,
@@ -623,6 +635,7 @@ class Scene:
         packed["__use_brute__"] = use_brute
         packed["__has_instances__"] = has_instances
         packed["__has_deform_motion__"] = has_deform
+        packed["__bvh_stack_depth__"] = packed_stack_depth
         packed["tri_verts_world"] = packed["tri_verts"]  # valid when static
         if has_deform and blocks:
             packed["tri_verts_world_t1"] = blocks[0]["verts_t1"]
@@ -1074,6 +1087,7 @@ class Scene:
             "background_shader": ds["background_shader"],
             "use_brute": ds["use_brute"],
             "cluster_tris": ds.get("cluster_tris", 0),
+            "bvh_stack_depth": ds.get("bvh_stack_depth", 0),
             "has_instances": ds.get("has_instances", False),
             "has_deform_motion": ds.get("has_deform_motion", False),
             "has_motion": any(o.use_motion for o in self.objects)

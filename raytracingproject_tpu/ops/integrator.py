@@ -63,7 +63,8 @@ def _scene_intersect(kg, o, d, tmin, tmax, visibility, shadow=False,
             visibility=visibility,
             object_visibility=ds["object_visibility"],
             shadow_any_hit=shadow, time=time,
-            has_motion=bool(kg.get("has_motion", False)))
+            has_motion=bool(kg.get("has_motion", False)),
+            stack_depth=int(kg.get("bvh_stack_depth", 0)))
     return isect.intersect_bvh(
         ds["bvh_bounds"], ds["bvh_children"], ds["tri_verts"],
         ds["prim_object_packed"], o, d, tmin, tmax,
@@ -71,7 +72,8 @@ def _scene_intersect(kg, o, d, tmin, tmax, visibility, shadow=False,
         instance_blas_root=ds.get("instance_blas_root"),
         instance_object=ds.get("instance_object"),
         visibility=visibility, object_visibility=ds["object_visibility"],
-        shadow_any_hit=shadow)
+        shadow_any_hit=shadow,
+        stack_depth=int(kg.get("bvh_stack_depth", 0)))
 
 
 def _shadow_blocked(kg, o, d, tmin, tmax, time=None):

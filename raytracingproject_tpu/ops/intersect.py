@@ -218,7 +218,7 @@ def intersect_bvh(bvh_bounds, bvh_children, tri_verts, prim_object,
                   instance_w2o=None, instance_blas_root=None,
                   instance_object=None,
                   visibility=None, object_visibility=None,
-                  shadow_any_hit=False):
+                  shadow_any_hit=False, stack_depth=None):
     """Lockstep wavefront BVH traversal.
 
     bvh_bounds (M, 12) f32, bvh_children (M, 2) i32 — unified node pool
@@ -231,13 +231,14 @@ def intersect_bvh(bvh_bounds, bvh_children, tri_verts, prim_object,
     shadows).
     """
     n = o.shape[0]
+    SD = int(stack_depth) if stack_depth else STACK_DEPTH
     has_instances = instance_w2o is not None
 
     t_best0 = jnp.minimum(tmax, RAY_TMAX)
     state = {
         "node": jnp.zeros((n,), jnp.int32),           # start at root 0
         "sp": jnp.zeros((n,), jnp.int32),
-        "stack": jnp.zeros((n, STACK_DEPTH), jnp.int32),
+        "stack": jnp.zeros((n, SD), jnp.int32),
         "t": t_best0,
         "prim": jnp.full((n,), -1, jnp.int32),
         "u": jnp.zeros((n,), jnp.float32),
@@ -300,9 +301,9 @@ def intersect_bvh(bvh_bounds, bvh_children, tri_verts, prim_object,
         # push far child when both children hit
         sp = s["sp"]
         stack = s["stack"]
-        stack = stack.at[jnp.arange(n), jnp.minimum(sp, STACK_DEPTH - 1)].set(
-            jnp.where(both, far, stack[jnp.arange(n), jnp.minimum(sp, STACK_DEPTH - 1)]))
-        sp = jnp.where(both, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+        stack = stack.at[jnp.arange(n), jnp.minimum(sp, SD - 1)].set(
+            jnp.where(both, far, stack[jnp.arange(n), jnp.minimum(sp, SD - 1)]))
+        sp = jnp.where(both, jnp.minimum(sp + 1, SD), sp)
 
         next_node = jnp.where(both, near,
                               jnp.where(one_hit, only, DONE))  # DONE -> pop below
@@ -349,10 +350,10 @@ def intersect_bvh(bvh_bounds, bvh_children, tri_verts, prim_object,
             d_cur = jnp.where(is_inst_leaf[:, None], d_l, d_cur)
             cur_obj = jnp.where(is_inst_leaf, iobj, cur_obj)
             # push RESTORE, then continue at BLAS root
-            stack = stack.at[jnp.arange(n), jnp.minimum(sp, STACK_DEPTH - 1)].set(
+            stack = stack.at[jnp.arange(n), jnp.minimum(sp, SD - 1)].set(
                 jnp.where(is_inst_leaf, RESTORE,
-                          stack[jnp.arange(n), jnp.minimum(sp, STACK_DEPTH - 1)]))
-            sp = jnp.where(is_inst_leaf, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+                          stack[jnp.arange(n), jnp.minimum(sp, SD - 1)]))
+            sp = jnp.where(is_inst_leaf, jnp.minimum(sp + 1, SD), sp)
             next_node = jnp.where(is_inst_leaf, blas, next_node)
 
         # shadow early-out: lane done once any hit recorded
@@ -474,15 +475,16 @@ def intersect_bvh_packed(nodes_packed, leaf_blocks, o, d, tmin, tmax,
                          has_instances=False, o_world=None, d_world=None,
                          prim_object=None, visibility=None,
                          object_visibility=None, shadow_any_hit=False,
-                         time=None, has_motion=False):
+                         time=None, has_motion=False, stack_depth=None):
     """Lockstep traversal over the packed layout: 2 row fetches per
     iteration. Semantics identical to intersect_bvh."""
     n = o.shape[0]
+    SD = int(stack_depth) if stack_depth else STACK_DEPTH
     t_best0 = jnp.minimum(tmax, RAY_TMAX)
     state = {
         "node": jnp.zeros((n,), jnp.int32),
         "sp": jnp.zeros((n,), jnp.int32),
-        "stack": jnp.zeros((n, STACK_DEPTH), jnp.int32),
+        "stack": jnp.zeros((n, SD), jnp.int32),
         "t": t_best0,
         "prim": jnp.full((n,), -1, jnp.int32),
         "u": jnp.zeros((n,), jnp.float32),
@@ -564,10 +566,10 @@ def intersect_bvh_packed(nodes_packed, leaf_blocks, o, d, tmin, tmax,
 
         sp = s["sp"]
         stack = s["stack"]
-        stack = stack.at[jnp.arange(n), jnp.minimum(sp, STACK_DEPTH - 1)].set(
+        stack = stack.at[jnp.arange(n), jnp.minimum(sp, SD - 1)].set(
             jnp.where(both, far,
-                      stack[jnp.arange(n), jnp.minimum(sp, STACK_DEPTH - 1)]))
-        sp = jnp.where(both, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+                      stack[jnp.arange(n), jnp.minimum(sp, SD - 1)]))
+        sp = jnp.where(both, jnp.minimum(sp + 1, SD), sp)
 
         next_node = jnp.where(both, near,
                               jnp.where(one_hit, only, DONE))
@@ -642,11 +644,11 @@ def intersect_bvh_packed(nodes_packed, leaf_blocks, o, d, tmin, tmax,
             d_cur = jnp.where(is_inst_leaf[:, None], d_l, d_cur)
             cur_obj = jnp.where(is_inst_leaf, iobj, cur_obj)
             stack = stack.at[jnp.arange(n),
-                             jnp.minimum(sp, STACK_DEPTH - 1)].set(
+                             jnp.minimum(sp, SD - 1)].set(
                 jnp.where(is_inst_leaf, RESTORE,
                           stack[jnp.arange(n),
-                                jnp.minimum(sp, STACK_DEPTH - 1)]))
-            sp = jnp.where(is_inst_leaf, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+                                jnp.minimum(sp, SD - 1)]))
+            sp = jnp.where(is_inst_leaf, jnp.minimum(sp + 1, SD), sp)
             next_node = jnp.where(is_inst_leaf, blas, next_node)
 
         if shadow_any_hit:
