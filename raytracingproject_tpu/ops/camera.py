@@ -24,11 +24,13 @@ PANORAMA_MIRRORBALL = 3
 
 
 def _apply_t(m, p):
-    return (m[..., :3, :3] @ p[..., None])[..., 0] + m[..., :3, 3]
+    # exact component math — batched tiny @ lowers to bf16 MXU on TPU
+    # (see utils/math.py mat34_point)
+    return um.mat34_point(m[..., :3, :4], p)
 
 
 def _apply_d(m, d):
-    return (m[..., :3, :3] @ d[..., None])[..., 0]
+    return um.mat34_dir(m[..., :3, :4], d)
 
 
 def camera_sample_ray(cam, raster_x, raster_y, lens_u, lens_v, time_u):

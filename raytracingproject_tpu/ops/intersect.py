@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from raytracingproject_tpu.utils.math import RAY_TMAX
+from raytracingproject_tpu.utils.math import RAY_TMAX, mat34_point, mat34_dir
 
 STACK_DEPTH = 48
 # np (not jnp) so importing this module never initializes the XLA
@@ -344,8 +344,8 @@ def intersect_bvh(bvh_bounds, bvh_children, tri_verts, prim_object,
             w2o = instance_w2o[iidx]          # (N, 3, 4)
             blas = instance_blas_root[iidx]
             iobj = instance_object[iidx]
-            o_l = (w2o[:, :, :3] @ o[..., None])[..., 0] + w2o[:, :, 3]
-            d_l = (w2o[:, :, :3] @ d[..., None])[..., 0]
+            o_l = mat34_point(w2o, o)
+            d_l = mat34_dir(w2o, d)
             o_cur = jnp.where(is_inst_leaf[:, None], o_l, o_cur)
             d_cur = jnp.where(is_inst_leaf[:, None], d_l, d_cur)
             cur_obj = jnp.where(is_inst_leaf, iobj, cur_obj)
@@ -638,8 +638,8 @@ def intersect_bvh_packed(nodes_packed, leaf_blocks, o, d, tmin, tmax,
                                                 lrow[:, 32:48], time)
                 w2o_t = _tfm.quick_inverse_jnp(o2w_t)
                 w2o = jnp.where(moving[:, None, None], w2o_t, w2o)
-            o_l = (w2o[:, :, :3] @ o_world[..., None])[..., 0] + w2o[:, :, 3]
-            d_l = (w2o[:, :, :3] @ d_world[..., None])[..., 0]
+            o_l = mat34_point(w2o, o_world)
+            d_l = mat34_dir(w2o, d_world)
             o_cur = jnp.where(is_inst_leaf[:, None], o_l, o_cur)
             d_cur = jnp.where(is_inst_leaf[:, None], d_l, d_cur)
             cur_obj = jnp.where(is_inst_leaf, iobj, cur_obj)

@@ -108,9 +108,9 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None):
     obj = prow[:, lk.PT_OBJECT].astype(jnp.int32)
     orow = lk.lookup_rows(dscene["object_table"], jnp.maximum(obj, 0))
     otfm = lk.mat34(orow[:, lk.OT_TFM:lk.OT_TFM + 12])
-    v0 = (otfm[:, :, :3] @ tv[:, 0][..., None])[..., 0] + otfm[:, :, 3]
-    v1 = (otfm[:, :, :3] @ tv[:, 1][..., None])[..., 0] + otfm[:, :, 3]
-    v2 = (otfm[:, :, :3] @ tv[:, 2][..., None])[..., 0] + otfm[:, :, 3]
+    v0 = um.mat34_point(otfm, tv[:, 0])
+    v1 = um.mat34_point(otfm, tv[:, 1])
+    v2 = um.mat34_point(otfm, tv[:, 2])
     # uniform barycentric (sqrt warp)
     su = jnp.sqrt(jnp.maximum(u1, 0.0))
     tb_u = 1.0 - su
@@ -344,9 +344,9 @@ def triangle_light_pdf(dscene, prim_row, t_hit, cos_hit):
     pmf = prow[:, lk.PT_LIGHT_PMF]
     n = prow.shape[0]
     tv = prow[:, lk.PT_V0:lk.PT_V0 + 9].reshape(n, 3, 3)
-    v0 = (otfm[:, :, :3] @ tv[:, 0][..., None])[..., 0] + otfm[:, :, 3]
-    v1 = (otfm[:, :, :3] @ tv[:, 1][..., None])[..., 0] + otfm[:, :, 3]
-    v2 = (otfm[:, :, :3] @ tv[:, 2][..., None])[..., 0] + otfm[:, :, 3]
+    v0 = um.mat34_point(otfm, tv[:, 0])
+    v1 = um.mat34_point(otfm, tv[:, 1])
+    v2 = um.mat34_point(otfm, tv[:, 2])
     area = um.triangle_area(v0, v1, v2)
     pdf = um.safe_divide(t_hit * t_hit, jnp.abs(cos_hit) * area, 0.0)
     return pdf * pmf

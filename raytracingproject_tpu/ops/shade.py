@@ -114,11 +114,9 @@ def shader_setup(dscene, hit, ray_o, ray_d, time=None, ray_depth=None,
     Ns_obj = jnp.where(smooth[:, None], Ns_obj, Ng_obj)
 
     # to world: P by object tfm; normals by inverse-transpose
-    P = (otfm[:, :, :3] @ P_obj[..., None])[..., 0] + otfm[:, :, 3]
-    Ng = um.safe_normalize(
-        (jnp.swapaxes(oitfm[:, :, :3], -1, -2) @ Ng_obj[..., None])[..., 0])
-    Ns = um.safe_normalize(
-        (jnp.swapaxes(oitfm[:, :, :3], -1, -2) @ Ns_obj[..., None])[..., 0])
+    P = um.mat34_point(otfm, P_obj)
+    Ng = um.safe_normalize(um.mat33T_dir(oitfm, Ng_obj))
+    Ns = um.safe_normalize(um.mat33T_dir(oitfm, Ns_obj))
 
     # use exact ray equation for P to avoid re-transform rounding
     P = ray_o + hit["t"][:, None] * ray_d
@@ -127,7 +125,7 @@ def shader_setup(dscene, hit, ray_o, ray_d, time=None, ray_depth=None,
     # world-baked merged geometry (object_itfm_gen keeps the pre-merge
     # inverse; ref: ATTR_STD_GENERATED uses undeformed coords)
     gen_itfm = lk.mat34(orow[:, lk.OT_ITFM_GEN:lk.OT_ITFM_GEN + 12])
-    P_gen = (gen_itfm[:, :, :3] @ P[..., None])[..., 0] + gen_itfm[:, :, 3]
+    P_gen = um.mat34_point(gen_itfm, P)
 
     I = -ray_d
     backfacing = um.dot(Ng, I) < 0.0
@@ -141,7 +139,7 @@ def shader_setup(dscene, hit, ray_o, ray_d, time=None, ray_depth=None,
     # is-curve flag). Directions transform by the object linear part.
     tan_obj = prow[:, lk.PT_TANGENT:lk.PT_TANGENT + 3]
     is_curve = um.dot(tan_obj, tan_obj) > 0.25
-    tan_w = (otfm[:, :, :3] @ tan_obj[..., None])[..., 0]
+    tan_w = um.mat34_dir(otfm, tan_obj)
     dPdu = jnp.where(is_curve[:, None], um.safe_normalize(tan_w), 0.0)
 
     # generated coords: object-space position normalized to geometry
@@ -244,11 +242,10 @@ def eval_bump_normals(shaders, sd, shader_id, bump_slots):
         ww = 1.0 - uu - vv
         P_obj = ww[:, None] * tv[:, 0] + uu[:, None] * tv[:, 1] \
             + vv[:, None] * tv[:, 2]
-        P = (otfm[:, :, :3] @ P_obj[..., None])[..., 0] + otfm[:, :, 3]
+        P = um.mat34_point(otfm, P_obj)
         uv = ww[:, None] * tuv[:, 0] + uu[:, None] * tuv[:, 1] \
             + vv[:, None] * tuv[:, 2]
-        gen = (sd.gen_tfm[:, :, :3] @ P[..., None])[..., 0] \
-            + sd.gen_tfm[:, :, 3]
+        gen = um.mat34_point(sd.gen_tfm, P)
         return dataclasses.replace(sd, P=P, uv=uv, generated=gen,
                                    P_object=P_obj)
 
@@ -261,8 +258,8 @@ def eval_bump_normals(shaders, sd, shader_id, bump_slots):
     ctx2 = ctx_at(u0, v0 + DELTA)
 
     # world-space offsets corresponding to the barycentric steps
-    e1 = (otfm[:, :, :3] @ (tv[:, 1] - tv[:, 0])[..., None])[..., 0] * DELTA
-    e2 = (otfm[:, :, :3] @ (tv[:, 2] - tv[:, 0])[..., None])[..., 0] * DELTA
+    e1 = um.mat34_dir(otfm, tv[:, 1] - tv[:, 0]) * DELTA
+    e2 = um.mat34_dir(otfm, tv[:, 2] - tv[:, 0]) * DELTA
 
     N = sd.N
     new_N = N

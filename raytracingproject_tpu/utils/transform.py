@@ -97,18 +97,36 @@ def look_at(position, look, up):
     return m.astype(np.float32)
 
 
+def _xp(*arrays):
+    """np for pure-host inputs, jnp when any operand is a jax array —
+    the component math below must NOT use batched `@`: on TPU it
+    lowers to bf16 MXU passes (measured 1.3e-3 error in ray
+    directions; see utils/math.py mat34_point)."""
+    import jax
+    return jnp if any(isinstance(a, jax.Array) for a in arrays) else np
+
+
 def transform_point(t, p):
     """Apply (..., 3, 4) transform(s) to (..., 3) point(s) — jnp or np."""
-    return (t[..., :3, :3] @ p[..., None])[..., 0] + t[..., :3, 3]
+    xp = _xp(t, p)
+    return xp.stack(
+        [t[..., i, 0] * p[..., 0] + t[..., i, 1] * p[..., 1]
+         + t[..., i, 2] * p[..., 2] + t[..., i, 3] for i in range(3)], -1)
 
 
 def transform_direction(t, d):
-    return (t[..., :3, :3] @ d[..., None])[..., 0]
+    xp = _xp(t, d)
+    return xp.stack(
+        [t[..., i, 0] * d[..., 0] + t[..., i, 1] * d[..., 1]
+         + t[..., i, 2] * d[..., 2] for i in range(3)], -1)
 
 
 def transform_normal(t_inv, n):
     """Normals transform by the inverse transpose: pass the *inverse*."""
-    return (jnp.swapaxes(t_inv[..., :3, :3], -1, -2) @ n[..., None])[..., 0]
+    xp = _xp(t_inv, n)
+    return xp.stack(
+        [t_inv[..., 0, i] * n[..., 0] + t_inv[..., 1, i] * n[..., 1]
+         + t_inv[..., 2, i] * n[..., 2] for i in range(3)], -1)
 
 
 # ---------------------------------------------------------------------------
