@@ -71,6 +71,12 @@ class Mesh(Geometry):
         S("triangles", S.INT_ARRAY, np.zeros((0,), np.int32)),
         S("shader", S.INT_ARRAY, np.zeros((0,), np.int32)),  # per-tri shader slot
         S("smooth", S.BOOLEAN_ARRAY, np.zeros((0,), bool)),
+        # adaptive subdivision (ref: SubdParams/Mesh::subdivision_type,
+        # render/mesh.h; diced at sync by models/subd.py)
+        S("subdivision_type", S.ENUM, "none",
+          {"none": 0, "linear": 1, "catmull_clark": 2}),
+        S("max_subdivisions", S.INT, 3),
+        S("dicing_rate", S.FLOAT, 1.0),
     ]
 
     def __init__(self, name="", **kwargs):

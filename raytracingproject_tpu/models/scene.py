@@ -264,6 +264,66 @@ class Scene:
         return v2.astype(np.float32), vn2.astype(np.float32)
 
     # ------------------------------------------------------------------
+    def _subdivided_mesh(self, mesh, world_tfm):
+        """Adaptive dicing of a subdivision mesh into a plain Mesh
+        (ref: render/mesh_subdivision.cpp + subd/subd_split.h DiagSplit;
+        models/subd.py). Cached per (params, camera) so repeated syncs
+        don't re-dice."""
+        from raytracingproject_tpu.models import subd
+        from raytracingproject_tpu.models.mesh import Mesh as MeshCls
+        cam = self.camera
+        cam_mat = np.asarray(cam.matrix, np.float32)
+        cam_pos = cam_mat[:3, 3]
+        pixel_angle = float(cam.fov) / max(int(cam.width), 1)
+        key = (mesh.get_enum_int("subdivision_type"),
+               int(mesh.max_subdivisions), float(mesh.dicing_rate),
+               tuple(np.round(cam_pos, 4).tolist()),
+               round(pixel_angle, 9),
+               None if world_tfm is None
+               else tuple(np.asarray(world_tfm).reshape(-1).tolist()))
+        cached = getattr(mesh, "_subd_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+
+        v = mesh.verts_array
+        t = mesh.triangles_array
+        uv_attr = mesh.attribute_get("std_uv")
+        if uv_attr is not None:
+            if uv_attr.element == "corner":
+                corner_uv = np.asarray(uv_attr.data,
+                                       np.float32).reshape(-1, 3, 2)[:len(t)]
+            else:
+                corner_uv = np.asarray(uv_attr.data, np.float32)[t]
+        else:
+            corner_uv = None
+        mv_attr = mesh.attribute_get("std_motion_vertex_position")
+        extra = ((np.asarray(mv_attr.data, np.float32).reshape(-1, 3),)
+                 if mv_attr is not None else ())
+        subd_type = ("catmull_clark"
+                     if mesh.get_enum_int("subdivision_type") == 2
+                     else "linear")
+        v2, t2, uv2, sh2, sm2, extra2, levels = subd.subdivide_mesh(
+            v, t, corner_uv, np.asarray(mesh.shader, np.int32),
+            np.asarray(mesh.smooth, bool), subd_type,
+            int(mesh.max_subdivisions), float(mesh.dicing_rate),
+            cam_pos, pixel_angle,
+            to_world=(None if world_tfm is None
+                      else tfm.to_4x4(world_tfm)),
+            extra_verts=extra)
+        refined = MeshCls(mesh.name + "_subd")
+        refined.set_mesh(v2, t2, shader=sh2, smooth=sm2)
+        refined.used_shaders = mesh.used_shaders
+        if uv2 is not None:
+            refined.attribute_set("std_uv", "corner", uv2.reshape(-1, 2))
+        if extra2:
+            refined.attribute_set("std_motion_vertex_position", "vertex",
+                                  extra2[0])
+        log.vlog(1, "subdivided %s: %d -> %d tris (%d levels)",
+                 mesh.name, len(t), len(t2), levels)
+        mesh._subd_cache = (key, refined)
+        return refined
+
+    # ------------------------------------------------------------------
     def _pack_geometry(self):
         objects = self.objects
         nobj = max(len(objects), 1)
@@ -300,6 +360,11 @@ class Scene:
             if isinstance(mesh, Hair):
                 # curves ride the triangle pipeline as twisted ribbons
                 mesh = mesh.tessellate_ribbons()
+            elif mesh.get_enum_int("subdivision_type") != 0:
+                # adaptive dicing at sync (ref: subd/subd_split.h
+                # DiagSplit; models/subd.py) — before displacement so
+                # the graph evaluates on the diced vertices
+                mesh = self._subdivided_mesh(mesh, world_tfm)
             v = mesh.verts_array
             t = mesh.triangles_array
             if len(t) == 0:
