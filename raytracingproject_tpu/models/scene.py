@@ -828,6 +828,13 @@ class Scene:
         ot[:, lk.OT_BOUNDS_HI:lk.OT_BOUNDS_HI + 3] = obj_bhi
         ot[:, lk.OT_VISIBILITY] = obj_visibility.astype(np.float32)
         ot[:, lk.OT_FLAGS] = obj_flags.astype(np.float32)
+        # particle binding (ref: render/particles.cpp device_update +
+        # KernelParticle rows; models/particles.py packs inline)
+        for oi, obj in enumerate(objects):
+            ps = getattr(obj, "particle_system", None)
+            if ps is not None:
+                ot[oi, lk.OT_PARTICLE:lk.OT_PARTICLE + 14] = \
+                    ps.particle_row(getattr(obj, "particle_index", 0))
         packed["object_table"] = ot
         log.vlog(1, "packed scene: %d prims, %d nodes, %d objects, "
                  "%d instances, brute=%s", P, total_nodes, nobj,

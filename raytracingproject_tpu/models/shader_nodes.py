@@ -559,6 +559,35 @@ class ObjectInfoNode(ShaderNode):
                 "random": ctx.object_random}
 
 
+class ParticleInfoNode(ShaderNode):
+    """ref: render/nodes.h ParticleInfoNode + svm_particle_info.h.
+    Reads the hit object's particle binding from its object_table row
+    (models/particles.py layout) — zero extra lookups."""
+    NODE_NAME = "particle_info"
+    INPUTS = []
+    OUTPUTS = [("index", "float"), ("random", "float"),
+               ("age", "float"), ("lifetime", "float"),
+               ("location", "point"), ("size", "float"),
+               ("velocity", "vector"), ("angular_velocity", "vector")]
+
+    def eval(self, ctx, inp):
+        from raytracingproject_tpu.ops import lookup as lk
+        row = getattr(ctx, "object_row", None)
+        if row is None:  # background / probe contexts: no particles
+            z1 = jnp.zeros(ctx.batch_shape, jnp.float32)
+            z3 = jnp.zeros(ctx.batch_shape + (3,), jnp.float32)
+            return {"index": z1, "random": z1, "age": z1,
+                    "lifetime": z1, "location": z3, "size": z1,
+                    "velocity": z3, "angular_velocity": z3}
+        p = lk.OT_PARTICLE
+        return {"index": row[:, p], "random": row[:, p + 1],
+                "age": row[:, p + 2], "lifetime": row[:, p + 3],
+                "size": row[:, p + 4],
+                "location": row[:, p + 5:p + 8],
+                "velocity": row[:, p + 8:p + 11],
+                "angular_velocity": row[:, p + 11:p + 14]}
+
+
 class LightPathNode(ShaderNode):
     NODE_NAME = "light_path"
     INPUTS = []

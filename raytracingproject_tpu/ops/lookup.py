@@ -52,7 +52,11 @@ OT_BOUNDS_LO = 40  # 40:43
 OT_BOUNDS_HI = 43  # 43:46
 OT_VISIBILITY = 46
 OT_FLAGS = 47
-OT_COLS = 48
+OT_PARTICLE = 48   # 48:62 particle binding: [index, random, age,
+#                    lifetime, size, location(3), velocity(3),
+#                    angular_velocity(3)] (ref: KernelParticle,
+#                    kernel_types.h:1551; read by ParticleInfo)
+OT_COLS = 62
 
 # lamp_table column layout
 LT_TYPE = 0

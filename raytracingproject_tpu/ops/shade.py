@@ -54,6 +54,7 @@ class ShaderData:
     # cached wide-table rows for reuse by light MIS (avoids re-lookup)
     prim_row: Any = None
     object_tfm: Any = None
+    object_row: Any = None   # full object_table row (ParticleInfo etc.)
 
 
 _SD_ARRAY_FIELDS = [
@@ -176,6 +177,7 @@ def shader_setup(dscene, hit, ray_o, ray_d, time=None, ray_depth=None,
         batch_shape=(n,),
         prim_row=prow,
         object_tfm=otfm,
+        object_row=orow,
     )
     return sd
 
