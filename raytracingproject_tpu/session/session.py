@@ -526,7 +526,20 @@ class Session:
         rgba = self.buffers.get_display_rgba(float(self.scene.film.exposure))
         # raster y=0 is the bottom row; image files are top-down
         img = rgba[::-1]
-        if str(path).endswith((".npz", ".mlx")):
+        if str(path).endswith(".exr"):
+            # real multilayer OpenEXR (utils/exr.py): Combined plus
+            # every configured pass under its name (ref: the
+            # reference's OIIO/OpenEXR multilayer output)
+            from raytracingproject_tpu.utils import exr as exr_mod
+            layers = {"Combined": np.asarray(img)}
+            exposure = float(self.scene.film.exposure)
+            for p in self.buffers.params.passes:
+                if p.type == "combined":
+                    continue
+                layers[p.type] = np.asarray(
+                    self.buffers.get_pass_rect(p.type, exposure))[::-1]
+            exr_mod.write_multilayer_exr(path, layers)
+        elif str(path).endswith((".npz", ".mlx")):
             layers = {"combined": self.buffers.buffer[::-1]}
             if self._crypto is not None:
                 layers["crypto_object"] = self.get_cryptomatte(

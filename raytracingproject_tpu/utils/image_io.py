@@ -33,6 +33,14 @@ def read_image(path):
     if str(path).endswith((".npz", ".mlx")):
         layers = read_multilayer(path)
         return next(iter(layers.values()))
+    if str(path).endswith(".exr"):
+        # linear HDR, no sRGB decode (utils/exr.py codec)
+        from raytracingproject_tpu.utils import exr as exr_mod
+        layers = exr_mod.read_multilayer_exr(path)
+        for key in ("Combined", "", "combined"):
+            if key in layers:
+                return layers[key].astype(np.float32)
+        return next(iter(layers.values())).astype(np.float32)
     from PIL import Image
     img = Image.open(path)
     arr = np.asarray(img).astype(np.float32)
