@@ -1160,6 +1160,15 @@ class Scene:
             "use_brute": ds["use_brute"],
             "cluster_tris": ds.get("cluster_tris", 0),
             "bvh_stack_depth": ds.get("bvh_stack_depth", 0),
+            # material-sorted shading (shade.eval_shaders_sorted):
+            # profitable when many/large shader graphs would otherwise
+            # each run a full masked wavefront pass
+            "sorted_shading": (
+                self.integrator.get_enum_int("material_sort") == 1
+                or (self.integrator.get_enum_int("material_sort") == 0
+                    and len(self.shaders) >= 6
+                    and sum(len(s.graph.nodes) for s in self.shaders)
+                    >= 30)),
             "has_instances": ds.get("has_instances", False),
             "has_deform_motion": ds.get("has_deform_motion", False),
             "has_motion": any(o.use_motion for o in self.objects)

@@ -511,6 +511,11 @@ def make_path_kernel(kg, px, py, pixel_index):
             if aov_names:
                 closures, aovs = shade_ops.eval_shaders(
                     kg["shaders"], sd, sd.shader, aov_names=aov_names)
+            elif kg.get("sorted_shading"):
+                # material-sorted dispatch (ref: kernel_shader_sort.h)
+                closures = shade_ops.eval_shaders_sorted(
+                    kg["shaders"], sd, sd.shader)
+                aovs = {}
             else:
                 closures = shade_ops.eval_shaders(
                     kg["shaders"], sd, sd.shader)

@@ -215,6 +215,124 @@ def _m(mask, v):
     return mask[..., None] if v.ndim > mask.ndim else mask
 
 
+# --- material-sorted shading --------------------------------------------
+# (ref: kernel/split/kernel_shader_sort.h — the reference sorts ray
+# indices by shader so GPU warps stay coherent. The lockstep-wavefront
+# analog: masked eval costs O(num_shaders) FULL-wavefront passes no
+# matter the order, so sorting only pays when chunks become UNIFORM and
+# can dynamically dispatch ONE shader graph. eval_shaders_sorted:
+# argsort lanes by shader id, pack the lane state into one wide matrix
+# (one gather), then lax.map over fixed chunks with lax.switch on the
+# chunk's id — uniform chunks trace/execute a single graph; only the
+# <= num_shaders boundary chunks fall back to the masked loop.)
+
+def _sd_pack(sd):
+    """Flatten a ShaderData's per-lane arrays into one (N, K) f32
+    matrix + a spec to rebuild it. All int/bool/flag fields are < 2^24
+    so the f32 round-trip is exact."""
+    import dataclasses
+    spec, cols = [], []
+    n = sd.batch_shape[0]
+    for f in dataclasses.fields(sd):
+        name = f.name
+        if name in ("textures", "batch_shape"):
+            continue
+        v = getattr(sd, name)
+        if v is None:
+            spec.append((name, None, None, 0))
+            continue
+        tail = v.shape[1:]
+        w = 1
+        for s in tail:
+            w *= int(s)
+        spec.append((name, tail, v.dtype, w))
+        cols.append(v.reshape(n, w).astype(jnp.float32))
+    return jnp.concatenate(cols, axis=1), spec
+
+
+def _sd_unpack(rows, spec, textures):
+    kw, off = {}, 0
+    for name, tail, dtype, w in spec:
+        if tail is None and w == 0:
+            kw[name] = None
+            continue
+        a = rows[:, off:off + w]
+        off += w
+        a = a.reshape((rows.shape[0],) + tail) if tail else a[:, 0]
+        kw[name] = a.astype(dtype)
+    return ShaderData(textures=textures,
+                      batch_shape=(rows.shape[0],), **kw)
+
+
+def _pack_closures(c):
+    from raytracingproject_tpu.ops import closures as cl
+    cols = [c[k].reshape(c[k].shape[0], 3) for k in cl.CLOSURE_VEC_KEYS]
+    cols += [c[k][:, None] for k in cl.CLOSURE_SCALAR_KEYS]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _unpack_closures(rows):
+    from raytracingproject_tpu.ops import closures as cl
+    out, off = {}, 0
+    for k in cl.CLOSURE_VEC_KEYS:
+        out[k] = rows[:, off:off + 3]
+        off += 3
+    for k in cl.CLOSURE_SCALAR_KEYS:
+        out[k] = rows[:, off]
+        off += 1
+    return out
+
+
+def eval_shaders_sorted(shaders, sd, shader_id, chunk=4096):
+    """Material-sorted shading: bit-identical to eval_shaders, but
+    uniform sorted chunks execute exactly one shader graph."""
+    from raytracingproject_tpu.ops import closures as cl
+    n = shader_id.shape[0]
+    S = len(shaders)
+    if S <= 1 or n <= chunk:
+        return eval_shaders(shaders, sd, shader_id)
+    big, spec = _sd_pack(sd)
+    order = jnp.argsort(shader_id)
+    big_s = big[order]
+    ids_s = shader_id[order].astype(jnp.int32)
+    pad = (-n) % chunk
+    if pad:
+        big_s = jnp.pad(big_s, ((0, pad), (0, 0)))
+        ids_s = jnp.pad(ids_s, (0, pad), constant_values=-1)
+    nc = (n + pad) // chunk
+    K = big_s.shape[1]
+
+    def eval_one(slot, rows):
+        sd_c = _sd_unpack(rows, spec, sd.textures)
+        return _pack_closures(
+            shaders[slot].graph.evaluate(sd_c)["surface"])
+
+    def mixed(rows, ids):
+        sd_c = _sd_unpack(rows, spec, sd.textures)
+        out = cl.empty_closures((rows.shape[0],))
+        for slot, sh in enumerate(shaders):
+            c = sh.graph.evaluate(sd_c)["surface"]
+            m = ids == slot
+            for k in out:
+                out[k] = jnp.where(_m(m, out[k]), c[k], out[k])
+        return _pack_closures(out)
+
+    branches = [lambda a, s=s: eval_one(s, a[0]) for s in range(S)]
+    branches.append(lambda a: mixed(a[0], a[1]))
+
+    def per_chunk(args):
+        rows, ids = args
+        uniform = jnp.all(ids == ids[0]) & (ids[0] >= 0)
+        idx = jnp.where(uniform, jnp.clip(ids[0], 0, S - 1), S)
+        return jax.lax.switch(idx, branches, (rows, ids))
+
+    outs = jax.lax.map(per_chunk, (big_s.reshape(nc, chunk, K),
+                                   ids_s.reshape(nc, chunk)))
+    flat = outs.reshape(nc * chunk, -1)[:n]
+    unsorted = jnp.zeros_like(flat).at[order].set(flat)
+    return _unpack_closures(unsorted)
+
+
 def eval_bump_normals(shaders, sd, shader_id, bump_slots):
     """Shade-time bump mapping (ref: kernel/svm/svm_displace.h
     svm_node_set_bump + ShaderGraph bump duplication, render/graph.cpp).
