@@ -1163,12 +1163,16 @@ class Scene:
             # material-sorted shading (shade.eval_shaders_sorted):
             # profitable when many/large shader graphs would otherwise
             # each run a full masked wavefront pass
+            # measured crossover (tools/matsort_bench.py on v5e,
+            # 262k lanes, heavy procedural graphs): masked costs
+            # ~14 ms x num_shaders; sorted is ~flat ~205 ms (chunk
+            # serialization) -> sorted wins only above ~15 shaders
             "sorted_shading": (
                 self.integrator.get_enum_int("material_sort") == 1
                 or (self.integrator.get_enum_int("material_sort") == 0
-                    and len(self.shaders) >= 6
+                    and len(self.shaders) >= 16
                     and sum(len(s.graph.nodes) for s in self.shaders)
-                    >= 30)),
+                    >= 64)),
             "has_instances": ds.get("has_instances", False),
             "has_deform_motion": ds.get("has_deform_motion", False),
             "has_motion": any(o.use_motion for o in self.objects)
