@@ -12,6 +12,7 @@ traced jnp — the node library IS the SVM instruction set, fused by XLA.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from raytracingproject_tpu.models.node import SocketType as S
@@ -1605,3 +1606,434 @@ class IESTextureNode(ShaderNode):
         f = ((1 - wv) * ((1 - wh) * at(h0, v0) + wh * at(h1, v0))
              + wv * ((1 - wh) * at(h0, v1) + wh * at(h1, v1)))
         return {"fac": f * _bf(ctx, inp["strength"])}
+
+
+# ---------------------------------------------------------------------------
+# Round-2 utility/texture node batch (closing the ~100-node reference
+# inventory, render/nodes.h:67-1618)
+# ---------------------------------------------------------------------------
+
+class MagicTextureNode(ShaderNode):
+    """ref: nodes.h MagicTextureNode / svm_magic.h (trig interference
+    pattern, `depth` folding rounds)."""
+    NODE_NAME = "magic_texture"
+    INPUTS = [("vector", "vector", (0.0, 0.0, 0.0)),
+              ("scale", "float", 5.0),
+              ("distortion", "float", 1.0)]
+    OUTPUTS = [("color", "color"), ("fac", "float")]
+    PARAMS = [S("depth", S.INT, 2)]
+
+    def eval(self, ctx, inp):
+        link_v = inp["vector"]
+        p = ctx.generated if link_v is None or (
+            isinstance(link_v, np.ndarray) and not link_v.any()) \
+            else _bc(ctx, link_v)
+        p = p * _bf(ctx, inp["scale"])[..., None]
+        dist = _bf(ctx, inp["distortion"])
+        x = jnp.sin((p[..., 0] + p[..., 1] + p[..., 2]) * 5.0)
+        y = jnp.cos((-p[..., 0] + p[..., 1] - p[..., 2]) * 5.0)
+        z = -jnp.cos((-p[..., 0] - p[..., 1] + p[..., 2]) * 5.0)
+        n = int(self.depth)
+        if n > 0:
+            x *= dist; y *= dist; z *= dist
+            y = -jnp.cos(x - y + z); y *= dist
+        for i in range(1, n):
+            k = i % 6
+            if k == 1:
+                x = jnp.cos(x - y - z) * dist
+            elif k == 2:
+                z = jnp.sin(-x - y - z) * dist
+            elif k == 3:
+                x = -jnp.cos(-x + y - z) * dist
+            elif k == 4:
+                y = -jnp.sin(-x + y + z) * dist
+            elif k == 5:
+                y = -jnp.cos(-x + y + z) * dist
+            else:
+                x = jnp.cos(x + y + z) * dist
+        safe = jnp.where(dist != 0.0, dist * 2.0, 1.0)
+        col = jnp.stack([x, y, z], -1)
+        col = jnp.where(dist[..., None] != 0.0,
+                        0.5 - col / safe[..., None], 0.5 - col)
+        return {"color": col, "fac": jnp.mean(col, -1)}
+
+
+class WhiteNoiseTextureNode(ShaderNode):
+    """ref: nodes.h WhiteNoiseTextureNode (hash of position)."""
+    NODE_NAME = "white_noise"
+    INPUTS = [("vector", "vector", (0.0, 0.0, 0.0)),
+              ("w", "float", 0.0)]
+    OUTPUTS = [("value", "float"), ("color", "color")]
+
+    def eval(self, ctx, inp):
+        from raytracingproject_tpu.utils import rng as rngu
+        p = _bc(ctx, inp["vector"])
+        w = _bf(ctx, inp["w"])
+        def fb(x):
+            return jax.lax.bitcast_convert_type(
+                jnp.asarray(x, jnp.float32), jnp.uint32)
+        base = rngu.hash_pcg4d(fb(p[..., 0]), fb(p[..., 1]),
+                               fb(p[..., 2]), fb(w))
+        def tofloat(h):
+            return (h >> jnp.uint32(8)).astype(jnp.float32) \
+                * jnp.float32(1.0 / (1 << 24))
+        r = tofloat(base)
+        g = tofloat(rngu.hash_pcg(base))
+        b = tofloat(rngu.hash_pcg(base ^ jnp.uint32(0x9E3779B9)))
+        return {"value": r, "color": jnp.stack([r, g, b], -1)}
+
+
+class MapRangeNode(ShaderNode):
+    """ref: nodes.h MapRangeNode (linear / stepped / smoothstep)."""
+    NODE_NAME = "map_range"
+    INPUTS = [("value", "float", 1.0),
+              ("from_min", "float", 0.0), ("from_max", "float", 1.0),
+              ("to_min", "float", 0.0), ("to_max", "float", 1.0),
+              ("steps", "float", 4.0)]
+    OUTPUTS = [("result", "float")]
+    PARAMS = [S("interpolation_type", S.ENUM, "linear",
+                {"linear": 0, "stepped": 1, "smoothstep": 2,
+                 "smootherstep": 3}),
+              S("use_clamp", S.BOOLEAN, True)]
+
+    def eval(self, ctx, inp):
+        v = _bf(ctx, inp["value"])
+        fmin, fmax = _bf(ctx, inp["from_min"]), _bf(ctx, inp["from_max"])
+        tmin, tmax = _bf(ctx, inp["to_min"]), _bf(ctx, inp["to_max"])
+        span = jnp.where(fmax - fmin != 0.0, fmax - fmin, 1.0)
+        t = (v - fmin) / span
+        kind = self.get_enum_int("interpolation_type")
+        if kind == 1:
+            steps = jnp.maximum(_bf(ctx, inp["steps"]), 1.0)
+            t = jnp.floor(t * (steps + 1.0)) / steps
+        elif kind == 2:
+            tc = jnp.clip(t, 0.0, 1.0)
+            t = tc * tc * (3.0 - 2.0 * tc)
+        elif kind == 3:
+            tc = jnp.clip(t, 0.0, 1.0)
+            t = tc * tc * tc * (tc * (tc * 6.0 - 15.0) + 10.0)
+        out = tmin + t * (tmax - tmin)
+        if bool(self.use_clamp):
+            lo, hi = jnp.minimum(tmin, tmax), jnp.maximum(tmin, tmax)
+            out = jnp.clip(out, lo, hi)
+        return {"result": out}
+
+
+class ClampNode(ShaderNode):
+    """ref: nodes.h ClampNode (range / minmax)."""
+    NODE_NAME = "clamp"
+    INPUTS = [("value", "float", 1.0), ("min", "float", 0.0),
+              ("max", "float", 1.0)]
+    OUTPUTS = [("result", "float")]
+    PARAMS = [S("clamp_type", S.ENUM, "minmax",
+                {"minmax": 0, "range": 1})]
+
+    def eval(self, ctx, inp):
+        v = _bf(ctx, inp["value"])
+        lo, hi = _bf(ctx, inp["min"]), _bf(ctx, inp["max"])
+        if self.get_enum_int("clamp_type") == 1:
+            lo2, hi2 = jnp.minimum(lo, hi), jnp.maximum(lo, hi)
+            return {"result": jnp.clip(v, lo2, hi2)}
+        return {"result": jnp.minimum(jnp.maximum(v, lo), hi)}
+
+
+def _eval_curve(points, x):
+    """Piecewise-linear curve through sorted (x, y) control points."""
+    xs = jnp.asarray([p[0] for p in points], jnp.float32)
+    ys = jnp.asarray([p[1] for p in points], jnp.float32)
+    return jnp.interp(x, xs, ys)
+
+
+class RGBCurvesNode(ShaderNode):
+    """ref: nodes.h RGBCurvesNode — piecewise-linear channel curves
+    (the reference bakes its splines to a 256-entry LUT; control
+    points here evaluate directly, traced into the kernel)."""
+    NODE_NAME = "rgb_curves"
+    INPUTS = [("fac", "float", 1.0), ("color", "color", (0.0, 0.0, 0.0))]
+    OUTPUTS = [("color", "color")]
+
+    def __init__(self, name="", curves=None, **kwargs):
+        super().__init__(name, **kwargs)
+        # curves: dict with optional keys r/g/b/c, each [(x, y), ...]
+        self.curves = curves or {}
+
+    def eval(self, ctx, inp):
+        c = _bc(ctx, inp["color"])
+        fac = jnp.clip(_bf(ctx, inp["fac"]), 0.0, 1.0)
+        ident = [(0.0, 0.0), (1.0, 1.0)]
+        comp = self.curves.get("c", ident)
+        outs = []
+        for i, k in enumerate("rgb"):
+            x = _eval_curve(comp, c[..., i])
+            outs.append(_eval_curve(self.curves.get(k, ident), x))
+        out = jnp.stack(outs, -1)
+        return {"color": c + fac[..., None] * (out - c)}
+
+
+class VectorCurvesNode(ShaderNode):
+    """ref: nodes.h VectorCurvesNode (curves over [-1, 1])."""
+    NODE_NAME = "vector_curves"
+    INPUTS = [("fac", "float", 1.0), ("vector", "vector", (0.0, 0.0, 0.0))]
+    OUTPUTS = [("vector", "vector")]
+
+    def __init__(self, name="", curves=None, **kwargs):
+        super().__init__(name, **kwargs)
+        self.curves = curves or {}
+
+    def eval(self, ctx, inp):
+        v = _bc(ctx, inp["vector"])
+        fac = jnp.clip(_bf(ctx, inp["fac"]), 0.0, 1.0)
+        ident = [(-1.0, -1.0), (1.0, 1.0)]
+        out = jnp.stack(
+            [_eval_curve(self.curves.get(k, ident), v[..., i])
+             for i, k in enumerate("xyz")], -1)
+        return {"vector": v + fac[..., None] * (out - v)}
+
+
+class WavelengthNode(ShaderNode):
+    """ref: nodes.h WavelengthNode — spectral line to linear RGB
+    (piecewise-Gaussian CIE fit, public Wyman et al. approximation)."""
+    NODE_NAME = "wavelength"
+    INPUTS = [("wavelength", "float", 500.0)]
+    OUTPUTS = [("color", "color")]
+
+    def eval(self, ctx, inp):
+        w = _bf(ctx, inp["wavelength"])
+
+        def g(x, m, s1, s2):
+            t = (x - m) * jnp.where(x < m, 1.0 / s1, 1.0 / s2)
+            return jnp.exp(-0.5 * t * t)
+        X = (1.056 * g(w, 599.8, 37.9, 31.0)
+             + 0.362 * g(w, 442.0, 16.0, 26.7)
+             - 0.065 * g(w, 501.1, 20.4, 26.2))
+        Y = (0.821 * g(w, 568.8, 46.9, 40.5)
+             + 0.286 * g(w, 530.9, 16.3, 31.1))
+        Z = (1.217 * g(w, 437.0, 11.8, 36.0)
+             + 0.681 * g(w, 459.0, 26.0, 13.8))
+        r = 3.2406 * X - 1.5372 * Y - 0.4986 * Z
+        gg = -0.9689 * X + 1.8758 * Y + 0.0415 * Z
+        b = 0.0557 * X - 0.2040 * Y + 1.0570 * Z
+        return {"color": jnp.maximum(jnp.stack([r, gg, b], -1), 0.0)}
+
+
+class AttributeNode(ShaderNode):
+    """ref: nodes.h AttributeNode — named geometry attribute lookup.
+    Supported names map onto the packed shading context: 'uv'/'UVMap',
+    'generated', 'position', 'normal', 'object_color', 'random'."""
+    NODE_NAME = "attribute"
+    INPUTS = []
+    OUTPUTS = [("color", "color"), ("vector", "vector"), ("fac", "float")]
+    PARAMS = [S("attribute", S.STRING, "")]
+
+    def eval(self, ctx, inp):
+        name = str(self.attribute)
+        if name in ("uv", "UVMap", "std_uv"):
+            v = jnp.concatenate(
+                [ctx.uv, jnp.zeros(ctx.batch_shape + (1,), jnp.float32)],
+                -1)
+        elif name == "generated":
+            v = ctx.generated
+        elif name == "position":
+            v = ctx.P
+        elif name == "normal":
+            v = ctx.N
+        elif name == "object_color":
+            v = ctx.object_color
+        elif name == "random":
+            v = ctx.object_random[..., None] * jnp.ones(3)
+        else:
+            raise ValueError(
+                f"attribute node: unsupported attribute {name!r} "
+                "(supported: uv, generated, position, normal, "
+                "object_color, random)")
+        return {"color": v, "vector": v, "fac": jnp.mean(v, -1)}
+
+
+class UVMapNode(ShaderNode):
+    """ref: nodes.h UVMapNode."""
+    NODE_NAME = "uvmap"
+    INPUTS = []
+    OUTPUTS = [("uv", "point")]
+
+    def eval(self, ctx, inp):
+        return {"uv": jnp.concatenate(
+            [ctx.uv, jnp.zeros(ctx.batch_shape + (1,), jnp.float32)],
+            -1)}
+
+
+class TangentNode(ShaderNode):
+    """ref: nodes.h TangentNode — radial tangent about an axis, or the
+    packed curve/uv tangent when direction_type='uv_map'."""
+    NODE_NAME = "tangent"
+    INPUTS = []
+    OUTPUTS = [("tangent", "normal")]
+    PARAMS = [S("direction_type", S.ENUM, "radial",
+                {"radial": 0, "uv_map": 1}),
+              S("axis", S.ENUM, "z", {"x": 0, "y": 1, "z": 2})]
+
+    def eval(self, ctx, inp):
+        if self.get_enum_int("direction_type") == 1 \
+                and getattr(ctx, "dPdu", None) is not None:
+            t = ctx.dPdu
+        else:
+            ax = self.get_enum_int("axis")
+            up = jnp.zeros(ctx.batch_shape + (3,), jnp.float32) \
+                .at[..., ax].set(1.0)
+            t = um.cross(up, ctx.P_object)
+        # project to the shading plane
+        t = t - ctx.N * um.dot(t, ctx.N)[..., None]
+        return {"tangent": um.safe_normalize(t)}
+
+
+class NormalNode(ShaderNode):
+    """ref: nodes.h NormalNode — fixed direction + dot product."""
+    NODE_NAME = "normal"
+    INPUTS = [("normal", "normal", (0.0, 0.0, 1.0))]
+    OUTPUTS = [("normal", "normal"), ("dot", "float")]
+    PARAMS = [S("direction", S.VECTOR, (0.0, 0.0, 1.0))]
+
+    def eval(self, ctx, inp):
+        d = np.asarray(self.direction, np.float32)
+        d = d / max(np.linalg.norm(d), 1e-9)
+        dj = jnp.broadcast_to(jnp.asarray(d), ctx.batch_shape + (3,))
+        n = um.safe_normalize(_bc(ctx, inp["normal"]))
+        return {"normal": dj, "dot": um.dot(n, dj)}
+
+
+class HairInfoNode(ShaderNode):
+    """ref: nodes.h HairInfoNode — strand shading context. Curves ride
+    the ribbon pipeline: is_strand flags a nonzero packed tangent,
+    intercept is the along-strand uv, the offset is the across-strand
+    coordinate (ops/hair.py's h)."""
+    NODE_NAME = "hair_info"
+    INPUTS = []
+    OUTPUTS = [("is_strand", "float"), ("intercept", "float"),
+               ("thickness", "float"), ("tangent_normal", "normal"),
+               ("random", "float")]
+
+    def eval(self, ctx, inp):
+        dpdu = getattr(ctx, "dPdu", None)
+        if dpdu is None:
+            z = jnp.zeros(ctx.batch_shape, jnp.float32)
+            return {"is_strand": z, "intercept": z, "thickness": z,
+                    "tangent_normal": ctx.N, "random": z}
+        is_strand = (um.dot(dpdu, dpdu) > 0.25).astype(jnp.float32)
+        return {"is_strand": is_strand,
+                "intercept": ctx.uv[..., 1],
+                "thickness": jnp.zeros(ctx.batch_shape, jnp.float32),
+                "tangent_normal": um.safe_normalize(
+                    jnp.where(is_strand[..., None] > 0, dpdu, ctx.N)),
+                "random": ctx.object_random}
+
+
+class LightFalloffNode(ShaderNode):
+    """ref: nodes.h LightFalloffNode (svm_light_path.h falloff):
+    strength scaled by 1/d^2, 1/d or 1 with a smoothing knee."""
+    NODE_NAME = "light_falloff"
+    INPUTS = [("strength", "float", 100.0), ("smooth", "float", 0.0)]
+    OUTPUTS = [("quadratic", "float"), ("linear", "float"),
+               ("constant", "float")]
+
+    def eval(self, ctx, inp):
+        s = _bf(ctx, inp["strength"])
+        sm = jnp.maximum(_bf(ctx, inp["smooth"]), 0.0)
+        d = jnp.maximum(ctx.ray_length, 1e-9)
+        d2 = d * d
+        damp = jnp.where(sm > 0.0, d2 / (sm + d2), 1.0)
+        return {"quadratic": s * damp / d2,
+                "linear": s * damp / d,
+                "constant": s * damp}
+
+
+class VectorRotateNode(ShaderNode):
+    """ref: nodes.h VectorRotateNode (axis-angle about a center)."""
+    NODE_NAME = "vector_rotate"
+    INPUTS = [("vector", "vector", (0.0, 0.0, 0.0)),
+              ("center", "vector", (0.0, 0.0, 0.0)),
+              ("axis", "vector", (0.0, 0.0, 1.0)),
+              ("angle", "float", 0.0)]
+    OUTPUTS = [("vector", "vector")]
+    PARAMS = [S("invert", S.BOOLEAN, False)]
+
+    def eval(self, ctx, inp):
+        v = _bc(ctx, inp["vector"])
+        c = _bc(ctx, inp["center"])
+        k = um.safe_normalize(_bc(ctx, inp["axis"]))
+        ang = _bf(ctx, inp["angle"])
+        if bool(self.invert):
+            ang = -ang
+        p = v - c
+        cs, sn = jnp.cos(ang)[..., None], jnp.sin(ang)[..., None]
+        rot = (p * cs + um.cross(k, p) * sn
+               + k * um.dot(k, p)[..., None] * (1.0 - cs))
+        return {"vector": rot + c}
+
+
+class SeparateHSVNode(ShaderNode):
+    """ref: nodes.h SeparateHSVNode."""
+    NODE_NAME = "separate_hsv"
+    INPUTS = [("color", "color", (0.8, 0.8, 0.8))]
+    OUTPUTS = [("h", "float"), ("s", "float"), ("v", "float")]
+
+    def eval(self, ctx, inp):
+        c = jnp.clip(_bc(ctx, inp["color"]), 0.0, None)
+        mx, mn = jnp.max(c, -1), jnp.min(c, -1)
+        delta = mx - mn
+        safe = jnp.where(delta == 0, 1.0, delta)
+        r, g, b = c[..., 0], c[..., 1], c[..., 2]
+        h = jnp.where(mx == r, jnp.mod((g - b) / safe, 6.0),
+                      jnp.where(mx == g, (b - r) / safe + 2.0,
+                                (r - g) / safe + 4.0)) / 6.0
+        h = jnp.where(delta == 0, 0.0, h)
+        s = jnp.where(mx == 0, 0.0, delta / jnp.where(mx == 0, 1.0, mx))
+        return {"h": h, "s": s, "v": mx}
+
+
+class CombineHSVNode(ShaderNode):
+    """ref: nodes.h CombineHSVNode."""
+    NODE_NAME = "combine_hsv"
+    INPUTS = [("h", "float", 0.0), ("s", "float", 0.0),
+              ("v", "float", 0.0)]
+    OUTPUTS = [("color", "color")]
+
+    def eval(self, ctx, inp):
+        h = jnp.mod(_bf(ctx, inp["h"]), 1.0) * 6.0
+        s = jnp.clip(_bf(ctx, inp["s"]), 0.0, 1.0)
+        v = _bf(ctx, inp["v"])
+        i = jnp.floor(h)
+        f = h - i
+        p, q, t = v * (1 - s), v * (1 - s * f), v * (1 - s * (1 - f))
+        i = i.astype(jnp.int32) % 6
+        r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4],
+                       [v, q, p, p, t], v)
+        g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4],
+                       [t, v, v, q, p], p)
+        b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4],
+                       [p, p, t, v, v], q)
+        return {"color": jnp.stack([r, g, b], -1)}
+
+
+class VectorDisplacementNode(ShaderNode):
+    """ref: nodes.h VectorDisplacementNode — vector-valued
+    displacement in object or world space (tangent space falls back to
+    the N/dPdu frame)."""
+    NODE_NAME = "vector_displacement"
+    INPUTS = [("vector", "color", (0.0, 0.0, 0.0)),
+              ("midlevel", "float", 0.0),
+              ("scale", "float", 1.0)]
+    OUTPUTS = [("displacement", "vector")]
+    PARAMS = [S("space", S.ENUM, "object",
+                {"object": 0, "world": 1, "tangent": 2})]
+
+    def eval(self, ctx, inp):
+        v = _bc(ctx, inp["vector"])
+        mid = _bf(ctx, inp["midlevel"])[..., None]
+        scale = _bf(ctx, inp["scale"])[..., None]
+        d = (v - mid) * scale
+        if self.get_enum_int("space") == 2 \
+                and getattr(ctx, "dPdu", None) is not None:
+            t = um.safe_normalize(ctx.dPdu)
+            b = um.cross(ctx.N, t)
+            d = (t * d[..., 0:1] + ctx.N * d[..., 1:2]
+                 + b * d[..., 2:3])
+        return {"displacement": d}
