@@ -41,6 +41,12 @@ META_COLS = 13
 # convergence dominates big chunks) and small clusters beat big ones
 # (finer culling outweighs the extra selection rows)
 DEFAULT_CHUNK = 8192
+# clusters fetched+tested per traversal iteration. Measured on v5e
+# (tools/cluster_tune.py round 2): width 2 halves iterations but the
+# doubled one-hot contraction costs more than it saves (113 vs 83 ms
+# at 5.9k prims / 256k lanes) -> default 1; the option stays for
+# future shapes where fetch overhead dominates.
+DEFAULT_FETCH_WIDTH = 1
 
 
 def row_width(cluster_tris):
@@ -103,7 +109,7 @@ def _entry_table(cbounds, o, d, tmin, tmax):
 
 def _intersect_chunk(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
                      visibility, shadow_any_hit, has_instances,
-                     max_iters):
+                     max_iters, fetch_width=1):
     n = o.shape[0]
     c = cbounds.shape[0]
     entry = _entry_table(cbounds, o, d, tmin, tmax)
@@ -119,76 +125,100 @@ def _intersect_chunk(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
 
     def body(st):
         entry, t_best, prim_b, u_b, v_b, obj_b, it, _ = st
-        e_min = jnp.min(entry, axis=0)                      # (N,)
+        # per-lane nearest `fetch_width` unprocessed clusters
+        # (iterated select-reductions; front-to-back for free)
+        cid_list, ent = [], entry
+        for _f in range(fetch_width):
+            e_min_f = jnp.min(ent, axis=0)
+            win = ent == e_min_f[None]
+            cidf = jnp.maximum(
+                jnp.max(jnp.where(win, cids, -1), axis=0), 0)
+            cid_list.append((cidf, e_min_f))
+            if _f + 1 < fetch_width:
+                ent = jnp.where(cids == cidf[None], INF, ent)
+        e_min = cid_list[0][1]
         active = e_min < jnp.minimum(t_best, INF)
-        # nearest unprocessed cluster per lane (select-reduction; ties
-        # resolved to the largest id, then invalidated exactly by id)
-        win = entry == e_min[None]
-        cid = jnp.max(jnp.where(win, cids, -1), axis=0)
-        cid = jnp.maximum(cid, 0)
+        cid = cid_list[0][0]
 
-        # fetch the cluster row for every lane in (W, N) orientation so
-        # each component below is a contiguous lane vector. On TPU the
-        # one-hot is built directly as (C, N) and contracted from the
-        # left on the MXU (HIGHEST precision keeps f32 payloads
-        # bit-exact — 1.0*v + 0*rest is exact for finite rest); on CPU
-        # (no MXU, cheap gathers) a plain row gather wins.
+        # fetch the cluster row(s) for every lane in (W, N) orientation
+        # so each component below is a contiguous lane vector. On TPU
+        # the one-hots are concatenated to (C, fw*N) and contracted
+        # from the left on the MXU in ONE matmul (HIGHEST precision
+        # keeps f32 payloads bit-exact); on CPU (no MXU, cheap gathers)
+        # a plain row gather wins.
         if jax.default_backend() == "tpu":
-            oh = (cids == cid[None]).astype(jnp.float32)    # (C, N)
-            row = jnp.dot(ctable.T, oh,
-                          precision=jax.lax.Precision.HIGHEST,
-                          preferred_element_type=jnp.float32)  # (W, N)
+            oh = jnp.concatenate(
+                [(cids == cl[0][None]).astype(jnp.float32)
+                 for cl in cid_list], axis=1)               # (C, fw*N)
+            rows = jnp.dot(ctable.T, oh,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+            row_list = [rows[:, k * n:(k + 1) * n]
+                        for k in range(fetch_width)]
         else:
-            row = ctable[cid].T                             # (W, N)
-        if has_instances:
-            m = [row[j] for j in range(12)]                 # 3x4 rows
-            oxx = m[0] * o[:, 0] + m[1] * o[:, 1] + m[2] * o[:, 2] + m[3]
-            oyy = m[4] * o[:, 0] + m[5] * o[:, 1] + m[6] * o[:, 2] + m[7]
-            ozz = m[8] * o[:, 0] + m[9] * o[:, 1] + m[10] * o[:, 2] + m[11]
-            dxx = m[0] * d[:, 0] + m[1] * d[:, 1] + m[2] * d[:, 2]
-            dyy = m[4] * d[:, 0] + m[5] * d[:, 1] + m[6] * d[:, 2]
-            dzz = m[8] * d[:, 0] + m[9] * d[:, 1] + m[10] * d[:, 2]
-        else:
-            oxx, oyy, ozz = o[:, 0], o[:, 1], o[:, 2]
-            dxx, dyy, dzz = d[:, 0], d[:, 1], d[:, 2]
+            row_list = [ctable[cl[0]].T for cl in cid_list]
 
         pbase = META_COLS + 9 * cluster_tris
         obase = pbase + cluster_tris
         vbase = obase + cluster_tris
-        bt, bp, bu, bv, bo = t_best, prim_b, u_b, v_b, obj_b
-        for k in range(cluster_tris):
-            b = META_COLS + 9 * k
-            v0x, v0y, v0z = row[b], row[b + 1], row[b + 2]
-            e1x, e1y, e1z = row[b + 3], row[b + 4], row[b + 5]
-            e2x, e2y, e2z = row[b + 6], row[b + 7], row[b + 8]
-            px = dyy * e2z - dzz * e2y
-            py = dzz * e2x - dxx * e2z
-            pz = dxx * e2y - dyy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv = jnp.where(jnp.abs(det) > 1e-12,
-                            1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-            tx, ty, tz = oxx - v0x, oyy - v0y, ozz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dxx * qx + dyy * qy + dzz * qz) * inv
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv
-            pid = row[pbase + k]
-            hit = (active & (jnp.abs(det) > 1e-12)
-                   & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-                   & (t > tmin) & (t < bt) & (pid >= 0.0))
-            if visibility is not None:
-                vis = row[vbase + k].astype(jnp.uint32)
-                hit &= (vis & visibility) > 0
-            bt = jnp.where(hit, t, bt)
-            bp = jnp.where(hit, pid.astype(jnp.int32), bp)
-            bu = jnp.where(hit, u, bu)
-            bv = jnp.where(hit, v, bv)
-            bo = jnp.where(hit, row[obase + k].astype(jnp.int32), bo)
 
-        # retire the processed cluster; cull clusters behind the best hit
-        processed = (cids == cid[None]) & active[None]
+        def test_cluster(row, f_active, bt, bp, bu, bv, bo):
+            if has_instances:
+                m = [row[j] for j in range(12)]             # 3x4 rows
+                oxx = m[0] * o[:, 0] + m[1] * o[:, 1] + m[2] * o[:, 2] + m[3]
+                oyy = m[4] * o[:, 0] + m[5] * o[:, 1] + m[6] * o[:, 2] + m[7]
+                ozz = m[8] * o[:, 0] + m[9] * o[:, 1] + m[10] * o[:, 2] + m[11]
+                dxx = m[0] * d[:, 0] + m[1] * d[:, 1] + m[2] * d[:, 2]
+                dyy = m[4] * d[:, 0] + m[5] * d[:, 1] + m[6] * d[:, 2]
+                dzz = m[8] * d[:, 0] + m[9] * d[:, 1] + m[10] * d[:, 2]
+            else:
+                oxx, oyy, ozz = o[:, 0], o[:, 1], o[:, 2]
+                dxx, dyy, dzz = d[:, 0], d[:, 1], d[:, 2]
+            for k in range(cluster_tris):
+                b = META_COLS + 9 * k
+                v0x, v0y, v0z = row[b], row[b + 1], row[b + 2]
+                e1x, e1y, e1z = row[b + 3], row[b + 4], row[b + 5]
+                e2x, e2y, e2z = row[b + 6], row[b + 7], row[b + 8]
+                px = dyy * e2z - dzz * e2y
+                py = dzz * e2x - dxx * e2z
+                pz = dxx * e2y - dyy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv = jnp.where(jnp.abs(det) > 1e-12,
+                                1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+                tx, ty, tz = oxx - v0x, oyy - v0y, ozz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dxx * qx + dyy * qy + dzz * qz) * inv
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                pid = row[pbase + k]
+                hit = (f_active & (jnp.abs(det) > 1e-12)
+                       & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                       & (u + v <= 1.0)
+                       & (t > tmin) & (t < bt) & (pid >= 0.0))
+                if visibility is not None:
+                    vis = row[vbase + k].astype(jnp.uint32)
+                    hit &= (vis & visibility) > 0
+                bt = jnp.where(hit, t, bt)
+                bp = jnp.where(hit, pid.astype(jnp.int32), bp)
+                bu = jnp.where(hit, u, bu)
+                bv = jnp.where(hit, v, bv)
+                bo = jnp.where(hit, row[obase + k].astype(jnp.int32), bo)
+            return bt, bp, bu, bv, bo
+
+        bt, bp, bu, bv, bo = t_best, prim_b, u_b, v_b, obj_b
+        processed = jnp.zeros_like(entry, bool)
+        for f, (cidf, e_min_f) in enumerate(cid_list):
+            # cluster f is live if still in front of the current best
+            # (bt tightens as earlier fetches resolve — identical hit
+            # selection to sequential single-fetch iterations)
+            act_f = e_min_f < jnp.minimum(bt, INF)
+            bt, bp, bu, bv, bo = test_cluster(row_list[f], act_f,
+                                              bt, bp, bu, bv, bo)
+            processed |= (cids == cidf[None]) & act_f[None]
+
+        # retire the processed clusters; cull clusters behind the best
         entry = jnp.where(processed | (entry >= bt[None]), INF, entry)
         if shadow_any_hit:
             entry = jnp.where((bp >= 0)[None], INF, entry)
@@ -203,7 +233,8 @@ def _intersect_chunk(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
 
 def intersect_clusters(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
                        visibility=None, shadow_any_hit=False,
-                       has_instances=False, chunk=DEFAULT_CHUNK):
+                       has_instances=False, chunk=DEFAULT_CHUNK,
+                       fetch_width=DEFAULT_FETCH_WIDTH):
     """Closest-hit (or any-hit) over the cluster tables.
 
     o, d: (N, 3); tmin, tmax: (N,); visibility: (N,) uint32 or None.
@@ -217,7 +248,7 @@ def intersect_clusters(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
     if n <= chunk:
         return _intersect_chunk(cbounds, ctable, cluster_tris, o, d,
                                 tmin, tmax, visibility, shadow_any_hit,
-                                has_instances, max_iters)
+                                has_instances, max_iters, fetch_width)
     pad = (-n) % chunk
     nc = (n + pad) // chunk
 
@@ -237,7 +268,7 @@ def intersect_clusters(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
             (oo, dd, t0, t1), vis = xs, None
         return _intersect_chunk(cbounds, ctable, cluster_tris, oo, dd,
                                 t0, t1, vis, shadow_any_hit,
-                                has_instances, max_iters)
+                                has_instances, max_iters, fetch_width)
 
     out = jax.lax.map(one, tuple(args))
     return {k: v.reshape(-1)[:n] for k, v in out.items()}
