@@ -704,22 +704,35 @@ def make_path_kernel(kg, px, py, pixel_index):
             contrib = _clamp_contrib(contrib, clamp_val)
             can_light = alive & ls["valid"] \
                 & jnp.any(contrib != 0.0, axis=-1)
-            # shadow ray (no normal offset for volume scatter points)
+            # shadow ray (no normal offset for volume scatter points).
+            # The visibility SEGMENT is recomputed from the offset
+            # origin toward the sampled light point — offsetting the
+            # origin while keeping the original direction/length lands
+            # the endpoint past the light point, crossing the emitter
+            # plane in contact regions (measured: the ceiling sliver
+            # 0.1 above Cornell's light went dark; the reference
+            # recomputes the segment the same way).
             off = jnp.where(um.dot(ls["D"], sd.Ng)[:, None] > 0,
                             sd.Ng, -sd.Ng) \
                 * _offset_eps(sd.P, sd.ray_length)[:, None]
             if has_medium:
                 off = jnp.where(scattered[:, None], 0.0, off)
-            sh_o = P_nee + off if has_medium else sd.P + off
-            sh_tmax = jnp.where(ls["dist"] >= um.RAY_TMAX * 0.5,
-                                jnp.float32(um.RAY_TMAX),
-                                ls["dist"] * (1.0 - 1e-3) - RAY_EPS)
+            base_o = P_nee if has_medium else sd.P
+            sh_o = base_o + off
+            distant = ls["dist"] >= um.RAY_TMAX * 0.5
+            P_light = base_o + ls["D"] * ls["dist"][:, None]
+            to_l = P_light - sh_o
+            dist2 = jnp.maximum(um.length(to_l), 1e-12)
+            sh_d = jnp.where(distant[:, None], ls["D"],
+                             to_l / dist2[:, None])
+            sh_tmax = jnp.where(distant, jnp.float32(um.RAY_TMAX),
+                                dist2 * (1.0 - 1e-3) - RAY_EPS)
             sh_trans = jnp.ones((n, 3), jnp.float32)
             if "shadow" in ablate:
                 blocked = jnp.zeros((n,), bool)
             else:
                 sh_trans = _shadow_transmittance(
-                    kg, sh_o, ls["D"],
+                    kg, sh_o, sh_d,
                     jnp.full((n,), 1e-5, jnp.float32),
                     jnp.where(can_light, sh_tmax, 1e-5),
                     time=st["time"])
