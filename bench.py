@@ -28,7 +28,7 @@ CONFIGS = [
     # config 4: DoF + motion blur + adaptive Sobol
     ("dof_motion_adaptive", "dof_motion_scene", {}, 256, 256, 64, 16),
     # config 5: homogeneous volume + random-walk SSS (smoke-in-box)
-    ("volume_sss", "volume_sss_scene", {}, 256, 256, 32, 8),
+    ("volume_sss", "volume_sss_scene", {}, 256, 256, 32, 16),
 ]
 
 
