@@ -50,6 +50,19 @@ class ImageManager:
         self.names.append(name or f"image_{len(self.images)}")
         return len(self.images) - 1
 
+    def replace_image(self, slot, source, name=""):
+        """Re-bake into an existing slot (interactive parameter edits
+        must not grow the packed texture array without bound)."""
+        if not (0 <= slot < len(self.images)):
+            return self.add_image(source, name)
+        keep, self.images = self.images, []
+        new_slot = self.add_image(source, name or self.names[slot])
+        arr = self.images[0]
+        self.images = keep
+        self.images[slot] = arr
+        self.names[slot] = name or self.names[slot]
+        return slot
+
     def device_update(self):
         """Pack all images -> (TextureStore-ready data, sizes)."""
         if not self.images:

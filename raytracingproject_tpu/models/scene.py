@@ -156,9 +156,15 @@ class Scene:
                     # re-bake (new slot) only when parameters changed
                     prev_key = node._bake_key
                     img = node.bake_nishita()
-                    if node.slot < 0 or node._bake_key != prev_key:
+                    if node.slot < 0:
                         node.slot = self.image_manager.add_image(
                             img, name="__nishita_sky__")
+                    elif node._bake_key != prev_key:
+                        # parameter edit: rebake IN PLACE (a fresh slot
+                        # per edit would grow the packed texture array
+                        # without bound on interactive re-syncs)
+                        node.slot = self.image_manager.replace_image(
+                            node.slot, img, name="__nishita_sky__")
 
         # 2. geometry + objects -> packed prims + BVH
         packed = self._pack_geometry()
@@ -275,10 +281,15 @@ class Scene:
         cam_mat = np.asarray(cam.matrix, np.float32)
         cam_pos = cam_mat[:3, 3]
         pixel_angle = float(cam.fov) / max(int(cam.width), 1)
+        v_arr = np.asarray(mesh.verts_array, np.float32)
         key = (mesh.get_enum_int("subdivision_type"),
                int(mesh.max_subdivisions), float(mesh.dicing_rate),
                tuple(np.round(cam_pos, 4).tolist()),
                round(pixel_angle, 9),
+               # cheap geometry fingerprint: edits to the base mesh's
+               # verts/topology between syncs must invalidate the cache
+               len(v_arr), int(mesh.num_triangles),
+               float(v_arr.sum()) if len(v_arr) else 0.0,
                None if world_tfm is None
                else tuple(np.asarray(world_tfm).reshape(-1).tolist()))
         cached = getattr(mesh, "_subd_cache", None)

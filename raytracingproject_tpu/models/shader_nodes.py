@@ -1274,7 +1274,7 @@ class SkyTextureNode(ShaderNode):
                float(self.altitude), float(self.air_density),
                float(self.dust_density), float(self.ozone_density),
                bool(self.sun_disc), float(self.sun_size),
-               float(self.sun_intensity))
+               float(self.sun_intensity), float(self.ground_albedo))
         if key != self._bake_key:
             self._bake_img = sky_mod.sky_image(
                 512, 256, sun_dir=self.nishita_sun_direction(),

@@ -238,6 +238,22 @@ def _lobe_probs(c, include_sss=True):
             wtd / safe, wtg / safe, tot)
 
 
+def _hair_on_curves_only(c, sd):
+    """Principled-hair closures on MESH prims (no packed curve tangent)
+    fall back to a diffuse lobe instead of black: the hair lobe is only
+    evaluable on curve lanes (is_curve = nonzero tangent), so leaving
+    its mixture weight live on mesh lanes allocates pick probability to
+    a lobe whose sample is then invalid — energy loss. The reference
+    evals hair via dPdu on any prim (bsdf_hair_principled.h); a diffuse
+    fallback is the graceful wavefront analog."""
+    is_curve = um.dot(sd.dPdu, sd.dPdu) > 0.25
+    c = dict(c)
+    hw = c["hair"]
+    c["diffuse"] = c["diffuse"] + jnp.where(is_curve[..., None], 0.0, hw)
+    c["hair"] = jnp.where(is_curve[..., None], hw, 0.0)
+    return c
+
+
 def bsdf_eval(c, N, I, omega_in, features=None, want_components=False,
               sd=None):
     """Evaluate the full closure stack at direction omega_in.
@@ -255,6 +271,8 @@ def bsdf_eval(c, N, I, omega_in, features=None, want_components=False,
 
     has_sss_walk = ft.get("has_subsurface", False)
     has_hair = ft.get("has_hair", False) and sd is not None
+    if has_hair:
+        c = _hair_on_curves_only(c, sd)
     t, b = um.make_orthonormals(N)
     wo = um.to_local(I, t, b, N)
     wi = um.to_local(omega_in, t, b, N)
@@ -381,6 +399,8 @@ def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe, features=None, sd=None):
     has_refraction = ft.get("has_refraction", True)
     has_transparent = ft.get("has_transparent", True)
     has_hair = ft.get("has_hair", False) and sd is not None
+    if has_hair:
+        c = _hair_on_curves_only(c, sd)
 
     t, b = um.make_orthonormals(N)
     wo = um.to_local(I, t, b, N)

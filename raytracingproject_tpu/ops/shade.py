@@ -62,7 +62,7 @@ _SD_ARRAY_FIELDS = [
     "ray_length", "ray_depth", "path_flag", "prim", "shader",
     "object_index", "object_color", "object_location", "object_random",
     "backfacing", "dPdu", "bary_u", "bary_v", "gen_tfm",
-    "prim_row", "object_tfm"]
+    "prim_row", "object_tfm", "object_row"]
 
 
 def _sd_flatten(sd):

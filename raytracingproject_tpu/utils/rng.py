@@ -105,10 +105,11 @@ def hash_pcg(x):
     """PCG output-permutation hash of a uint32. High-quality 1-in-1-out."""
     xp = _xnp(x)
     x = _as_u32(xp, x)
-    state = x * _np_u32(747796405) + _np_u32(2891336453)
-    word = ((state >> ((state >> _np_u32(28)) + _np_u32(4))) ^ state) \
-        * _np_u32(277803737)
-    return (word >> _np_u32(22)) ^ word
+    with np.errstate(over="ignore"):  # uint32 wrap IS the algorithm
+        state = x * _np_u32(747796405) + _np_u32(2891336453)
+        word = ((state >> ((state >> _np_u32(28)) + _np_u32(4))) ^ state) \
+            * _np_u32(277803737)
+        return (word >> _np_u32(22)) ^ word
 
 
 def hash_combine(seed, v):
@@ -116,8 +117,9 @@ def hash_combine(seed, v):
     xp = _xnp(seed, v)
     seed = _as_u32(xp, seed)
     v = _as_u32(xp, v)
-    return seed ^ (hash_pcg(v) + _np_u32(0x9E3779B9)
-                   + (seed << _np_u32(6)) + (seed >> _np_u32(2)))
+    with np.errstate(over="ignore"):
+        return seed ^ (hash_pcg(v) + _np_u32(0x9E3779B9)
+                       + (seed << _np_u32(6)) + (seed >> _np_u32(2)))
 
 
 def hash_pcg2d(a, b):
@@ -153,11 +155,12 @@ def _laine_karras_permutation(x, seed):
     """Base-2 nested uniform permutation on reversed-bit ordering
     (Laine–Karras 2011 hash with Burley's improved constants)."""
     xp = _xnp(x)
-    x = _as_u32(xp, x) + _as_u32(xp, seed)
-    x ^= x * _np_u32(0x6C50B47C)
-    x ^= x * _np_u32(0xB82F1E52)
-    x ^= x * _np_u32(0xC7AFE638)
-    x ^= x * _np_u32(0x8D22F6E6)
+    with np.errstate(over="ignore"):  # uint32 wrap IS the algorithm
+        x = _as_u32(xp, x) + _as_u32(xp, seed)
+        x ^= x * _np_u32(0x6C50B47C)
+        x ^= x * _np_u32(0xB82F1E52)
+        x ^= x * _np_u32(0xC7AFE638)
+        x ^= x * _np_u32(0x8D22F6E6)
     return x
 
 

@@ -107,7 +107,12 @@ class TestSkyNode:
         n0 = len(scene.image_manager.images)
         scene.device_update()
         assert len(scene.image_manager.images) == n0
-        # parameter change re-bakes into a fresh slot
+        # parameter change re-bakes IN PLACE (a fresh slot per edit
+        # would grow the packed texture array without bound on
+        # interactive re-syncs)
+        img_before = np.asarray(scene.image_manager.images[node.slot])
         node.set("sun_elevation", float(np.radians(5.0)))
         scene.device_update()
-        assert len(scene.image_manager.images) == n0 + 1
+        assert len(scene.image_manager.images) == n0
+        img_after = np.asarray(scene.image_manager.images[node.slot])
+        assert not np.allclose(img_before, img_after)
