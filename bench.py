@@ -17,22 +17,27 @@ import time
 
 import numpy as np
 
-# (name, scene factory args, W, H, spp, chunk)
+# (name, scene factory args, W, H, spp, chunk, lanes_per_pixel)
+# lanes_per_pixel > 1 widens the wavefront to K concurrent samples per
+# pixel: the 256^2 configs would otherwise run 65k lanes, paying the
+# same fixed per-fetch latencies as a 262k wavefront for 1/4 the work
+# (docs/PERF.md primitive costs are ~flat in N up to 256k).
 CONFIGS = [
     # BASELINE config 1: Cornell diffuse, 64spp
-    ("cornell_diffuse", "cornell_box", {}, 512, 512, 64, 32),
+    ("cornell_diffuse", "cornell_box", {}, 512, 512, 64, 32, 1),
     # config 2: glossy/microfacet + area light NEE/MIS
-    ("glossy_nee_mis", "cornell_box", {"spheres": "glossy"}, 512, 512, 64, 16),
+    ("glossy_nee_mis", "cornell_box", {"spheres": "glossy"},
+     512, 512, 64, 16, 1),
     # config 3: textured mesh + instancing (two-level TLAS/BLAS)
-    ("textured_instanced", "instanced_scene", {}, 256, 256, 64, 16),
+    ("textured_instanced", "instanced_scene", {}, 256, 256, 64, 16, 4),
     # config 4: DoF + motion blur + adaptive Sobol
-    ("dof_motion_adaptive", "dof_motion_scene", {}, 256, 256, 64, 16),
+    ("dof_motion_adaptive", "dof_motion_scene", {}, 256, 256, 64, 16, 4),
     # config 5: homogeneous volume + random-walk SSS (smoke-in-box)
-    ("volume_sss", "volume_sss_scene", {}, 256, 256, 32, 16),
+    ("volume_sss", "volume_sss_scene", {}, 256, 256, 32, 16, 4),
 ]
 
 
-def bench_one(name, factory, kwargs, W, H, spp, chunk):
+def bench_one(name, factory, kwargs, W, H, spp, chunk, lpp=1):
     import jax
     import jax.numpy as jnp
     from raytracingproject_tpu.app import examples
@@ -45,12 +50,12 @@ def bench_one(name, factory, kwargs, W, H, spp, chunk):
     sync_time = time.time() - t0
 
     yy, xx = np.mgrid[0:H, 0:W]
-    px = jnp.asarray(xx.reshape(-1), jnp.int32)
-    py = jnp.asarray(yy.reshape(-1), jnp.int32)
+    px = jnp.asarray(np.tile(xx.reshape(-1), lpp), jnp.int32)
+    py = jnp.asarray(np.tile(yy.reshape(-1), lpp), jnp.int32)
     pidx = py * W + px
 
     fn = jax.jit(lambda a, b, c, s: integ.render_samples_regen(
-        kg, a, b, c, s, chunk))
+        kg, a, b, c, s, chunk, lanes_per_pixel=lpp))
     t0 = time.time()
     L, A = fn(px, py, pidx, jnp.uint32(0))
     L.block_until_ready()

@@ -833,8 +833,10 @@ def make_path_kernel(kg, px, py, pixel_index):
                 eq_ok = eq_geom & eq_lane & pos_light & (pdf_eq > 1e-12)
                 P_eq = st["o"] + st["d"] * t_eq[:, None]
                 # light geometry re-evaluated from the equiangular point
-                # (same rng -> same light entry + point, new observer)
-                ls_eq = light_ops.sample_light(ds, P_eq, sel_u, lu, lv)
+                # (same rng -> same light entry + point, new observer;
+                # the picked rows are reused so this costs zero lookups)
+                ls_eq = light_ops.sample_light(ds, P_eq, sel_u, lu, lv,
+                                               rows=ls["rows"])
                 if has_het:
                     sig_eq_t, sig_eq_s = _eval_sigma(P_eq)
                     sig_eq_s = jnp.where(het_lane[:, None], sig_eq_s,
@@ -1178,7 +1180,8 @@ def render_samples(kg, px, py, pixel_index, sample_start, num_samples):
     return L, A
 
 
-def render_samples_regen(kg, px, py, pixel_index, sample_start, num_samples):
+def render_samples_regen(kg, px, py, pixel_index, sample_start, num_samples,
+                         lanes_per_pixel=1):
     """Path-regeneration renderer: dead lanes immediately start their
     pixel's next sample, keeping the wavefront near 100% occupancy
     (ref: the split kernel's ray-regeneration queues,
@@ -1189,13 +1192,35 @@ def render_samples_regen(kg, px, py, pixel_index, sample_start, num_samples):
     sample/dimension RNG, same per-sample accumulation order) in fewer
     wavefront iterations: ~samples x E[path length] instead of
     samples x (max_bounce + 1). Aux passes are not supported here.
+
+    lanes_per_pixel=K > 1 runs K samples of each pixel CONCURRENTLY
+    (lane k covers samples {start+k, start+k+K, ...}): callers pass
+    px/py/pixel_index tiled K times. On TPU the per-iteration cost is
+    dominated by fixed-latency table fetches (docs/PERF.md), so a wider
+    wavefront renders nearly K x the samples in the same wall time for
+    small pixel counts — the split-kernel "more work per launch" lever
+    (ref: device_split_kernel.cpp:210-232) applied to sample space.
+    Accumulation per sample is unchanged; only the final K-way pixel
+    reduction reorders float adds.
     """
     assert not kg.get("aux_passes"), \
         "aux passes require the fixed-grid renderer"
+    K = int(lanes_per_pixel)
+    assert num_samples % K == 0, "lanes_per_pixel must divide num_samples"
+    per_lane = num_samples // K
     start_paths, step = make_path_kernel(kg, px, py, pixel_index)
     n = px.shape[0]
+    assert n % K == 0
+    npix = n // K
 
-    st0 = start_paths(jnp.broadcast_to(jnp.uint32(sample_start), (n,)))
+    if K == 1:
+        s0 = jnp.broadcast_to(jnp.uint32(sample_start), (n,))
+    else:
+        # lane layout: [replica k][pixel i]; replica k starts at
+        # sample_start + k and strides by K
+        s0 = jnp.uint32(sample_start) + jnp.repeat(
+            jnp.arange(K, dtype=jnp.uint32), npix)
+    st0 = start_paths(s0)
     carry0 = {
         "st": st0,
         "L_acc": jnp.zeros((n, 3), jnp.float32),
@@ -1206,7 +1231,7 @@ def render_samples_regen(kg, px, py, pixel_index, sample_start, num_samples):
 
     def cond(c):
         return jnp.any(c["st"]["alive"] | (c["fresh"])
-                       | (c["done"] < num_samples))
+                       | (c["done"] < per_lane))
 
     def body(c):
         st = c["st"]
@@ -1217,8 +1242,8 @@ def render_samples_regen(kg, px, py, pixel_index, sample_start, num_samples):
         done = c["done"] + merge.astype(jnp.int32)
         fresh = c["fresh"] & ~merge
 
-        regen = dead & ~fresh & (done < num_samples)
-        next_sample = st["sample"] + jnp.uint32(1)
+        regen = dead & ~fresh & (done < per_lane)
+        next_sample = st["sample"] + jnp.uint32(K)
         new_st = start_paths(jnp.where(regen, next_sample, st["sample"]))
         st = {k: _sel(regen, new_st[k], st[k]) for k in st}
         fresh = fresh | regen
@@ -1229,7 +1254,10 @@ def render_samples_regen(kg, px, py, pixel_index, sample_start, num_samples):
 
     out = jax.lax.while_loop(cond, body, carry0)
     # the loop exits only after every lane is dead AND merged
-    return out["L_acc"], out["A_acc"]
+    if K == 1:
+        return out["L_acc"], out["A_acc"]
+    return (jnp.sum(out["L_acc"].reshape(K, npix, 3), axis=0),
+            jnp.sum(out["A_acc"].reshape(K, npix), axis=0))
 
 
 def _sel(mask, a, b):

@@ -82,19 +82,40 @@ def portal_pdf(dscene, P, D):
     return total / k_num
 
 
-def sample_light(dscene, P, u_sel, u1, u2, time=None):
+def sample_light(dscene, P, u_sel, u1, u2, time=None, rows=None):
     """Sample one light point for NEE from shading points P (N, 3).
 
     Four wide-table lookups total (entries, prim_table, object_table,
-    lamp_table) — see ops/lookup.py for why this matters on TPU.
+    lamp_table) — see ops/lookup.py for why this matters on TPU. The
+    light PICK (CDF inversion + all four row fetches) depends only on
+    the random numbers, not on P — callers that re-evaluate the same
+    sampled light from a second observer point (the equiangular volume
+    estimator, ref: kernel_volume.h:978-1050) pass the first call's
+    returned `rows` back in and skip every lookup.
 
     Returns dict: valid, delta (no-MIS lanes), D (unit dir to light),
     dist, pdf (solid angle x selection), eval ((N,3) emitted radiance
-    toward P), Ng_l (light normal).
+    toward P), Ng_l (light normal), rows (the fetched tables, for
+    reuse).
     """
     from raytracingproject_tpu.ops import lookup as lk
     n = P.shape[0]
-    _entry, erow = light_distribution_sample(dscene, u_sel)
+    if rows is None:
+        _entry, erow = light_distribution_sample(dscene, u_sel)
+        prim0 = jnp.maximum(
+            jnp.where(erow[:, 0].astype(jnp.int32) == 1,
+                      erow[:, 1].astype(jnp.int32), 0), 0)
+        prow = lk.lookup_rows(dscene["prim_table"], prim0)
+        obj = prow[:, lk.PT_OBJECT].astype(jnp.int32)
+        orow = lk.lookup_rows(dscene["object_table"], jnp.maximum(obj, 0))
+        lamp0 = jnp.maximum(
+            jnp.where(erow[:, 0].astype(jnp.int32) == 1, 0,
+                      erow[:, 1].astype(jnp.int32)), 0)
+        lrow = lk.lookup_rows(dscene["lamp_table"], lamp0)
+        rows = {"erow": erow, "prow": prow, "orow": orow, "lrow": lrow}
+    else:
+        erow, prow, orow, lrow = (rows["erow"], rows["prow"],
+                                  rows["orow"], rows["lrow"])
     etype = erow[:, 0].astype(jnp.int32)   # 0 lamp, 1 triangle
     eid = erow[:, 1].astype(jnp.int32)
     pmf = erow[:, 2]
@@ -102,11 +123,8 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None):
     is_tri = etype == 1
     # ---------------- triangle lights (uniform area) ----------------
     prim = jnp.maximum(jnp.where(is_tri, eid, 0), 0)
-    prow = lk.lookup_rows(dscene["prim_table"], prim)
     tv = prow[:, lk.PT_V0:lk.PT_V0 + 9].reshape(n, 3, 3)
     tri_emission = prow[:, lk.PT_EMISSION:lk.PT_EMISSION + 3]
-    obj = prow[:, lk.PT_OBJECT].astype(jnp.int32)
-    orow = lk.lookup_rows(dscene["object_table"], jnp.maximum(obj, 0))
     otfm = lk.mat34(orow[:, lk.OT_TFM:lk.OT_TFM + 12])
     v0 = um.mat34_point(otfm, tv[:, 0])
     v1 = um.mat34_point(otfm, tv[:, 1])
@@ -120,8 +138,6 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None):
     area_tri = um.triangle_area(v0, v1, v2)
 
     # ---------------- lamps ----------------
-    lamp = jnp.maximum(jnp.where(is_tri, 0, eid), 0)
-    lrow = lk.lookup_rows(dscene["lamp_table"], lamp)
     ltype = lrow[:, lk.LT_TYPE].astype(jnp.int32)
     lco = lrow[:, lk.LT_CO:lk.LT_CO + 3]
     ldir = lrow[:, lk.LT_DIR:lk.LT_DIR + 3]
@@ -330,7 +346,7 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None):
         "valid": valid, "delta": delta, "D": D, "dist": dist, "pdf": pdf,
         "eval": ev, "Ng_l": Ng_l, "is_tri": is_tri, "tri_prim": prim,
         "tri_u": tb_u, "tri_v": tb_v, "is_bg": is_bg, "P_l": P_l,
-        "pmf": pmf,
+        "pmf": pmf, "rows": rows,
     }
 
 
