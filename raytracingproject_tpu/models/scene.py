@@ -1160,6 +1160,17 @@ class Scene:
                       for li in self.lights]
         num_area_lamps = lamp_types.count(3)
         tex = TextureStore(jnp.asarray(ds["tex_data"]), ds["tex_sizes"])
+        # per-prim volume-boundary mask (prim order) for the cheap
+        # two-min occlusion sweep (ops/intersect.py
+        # intersect_brute_occlusion): boundary prims belong to shaders
+        # with a volume closure
+        from raytracingproject_tpu.ops import lookup as lk
+        shv = np.array([bool(s.has_volume) for s in self.shaders]
+                       or [False])
+        pt_np = np.asarray(ds["arrays"]["prim_table"])
+        pshader = np.clip(pt_np[:, lk.PT_SHADER].astype(np.int64), 0,
+                          len(shv) - 1)
+        arrays["prim_is_boundary"] = jnp.asarray(shv[pshader])
         return {
             "dscene": arrays,
             "cam": ds["cam"],

@@ -738,11 +738,15 @@ def make_path_kernel(kg, px, py, pixel_index):
             in_vol_sh = st["vol_shader"] >= 0 if has_volume else None
 
             def _dual_sweep(o_s, d_s, on_any, on_closest, tmax_s):
-                """One dense pass -> (boundary closest hit, blocked)."""
+                """One dense pass -> ((t_boundary, t_other), blocked):
+                the winner-free occlusion sweep (see
+                intersect_brute_occlusion for why this beats a
+                closest-hit + any-hit pair ~2.4x)."""
                 dsd = kg["dscene"]
                 deform = kg.get("has_deform_motion")
-                return isect.intersect_brute_dual(
+                t_b, t_o, blk = isect.intersect_brute_occlusion(
                     dsd["tri_verts_world"], dsd["prim_object_packed"],
+                    dsd["prim_is_boundary"],
                     o_s, d_s, jnp.full((n,), 1e-5, jnp.float32),
                     tmax_closest=jnp.where(
                         on_closest, jnp.minimum(tmax_s, um.RAY_TMAX), 1e-5),
@@ -755,6 +759,7 @@ def make_path_kernel(kg, px, py, pixel_index):
                     tri_verts_t1=(dsd["tri_verts_world_t1"] if deform
                                   else None),
                     time=st["time"] if deform else None)
+                return (t_b, t_o), blk
 
             sh_trans = jnp.ones((n, 3), jnp.float32)
             bhit_sh = None
@@ -782,10 +787,19 @@ def make_path_kernel(kg, px, py, pixel_index):
                     Homogeneous lanes use the closed form; heterogeneous
                     lanes use unbiased ratio tracking through the actual
                     density field (ops/volume.py ratio_tracking)."""
+                    if "volatten" in ablate:  # profiling: skip the
+                        # boundary sweep + medium attenuation entirely
+                        return (jnp.ones((n, 3), jnp.float32),
+                                jnp.zeros((n,), bool))
                     # camera visibility: the boundary must be FOUND here
                     # (volume-only objects are excluded from shadow rays)
                     if boundary_hit is not None:
-                        sh_hit2 = boundary_hit  # from the dual sweep
+                        # winner-free occlusion sweep output: minima of
+                        # boundary-prim and other-prim hit distances
+                        t_bb, t_oo = boundary_hit
+                        t_first = jnp.minimum(t_bb, t_oo)
+                        sh_found = t_first < um.RAY_TMAX * 0.5
+                        is_boundary = t_bb <= t_oo
                     else:
                         sh_hit2 = _scene_intersect(
                             kg, P0, Dl, jnp.full((n,), 1e-5, jnp.float32),
@@ -793,16 +807,18 @@ def make_path_kernel(kg, px, py, pixel_index):
                                       jnp.minimum(dist_l, um.RAY_TMAX),
                                       1e-5),
                             jnp.full((n,), ob.PATH_RAY_CAMERA, jnp.uint32))
-                    # boundary surfaces belong to volume shaders -> not
-                    # blockers; everything else blocks
-                    bshader = ds["prim_table"][
-                        jnp.maximum(sh_hit2["prim"], 0), 24].astype(
-                            jnp.int32)
-                    is_boundary = jnp.asarray(
-                        np.array(kg["shader_has_volume"], bool))[
-                            jnp.clip(bshader, 0, len(kg["shaders"]) - 1)]
-                    sh_found = sh_hit2["prim"] >= 0
-                    t_seg = jnp.where(sh_found, sh_hit2["t"],
+                        # boundary surfaces belong to volume shaders ->
+                        # not blockers; everything else blocks
+                        bshader = ds["prim_table"][
+                            jnp.maximum(sh_hit2["prim"], 0), 24].astype(
+                                jnp.int32)
+                        is_boundary = jnp.asarray(
+                            np.array(kg["shader_has_volume"], bool))[
+                                jnp.clip(bshader, 0,
+                                         len(kg["shaders"]) - 1)]
+                        sh_found = sh_hit2["prim"] >= 0
+                        t_first = sh_hit2["t"]
+                    t_seg = jnp.where(sh_found, t_first,
                                       jnp.minimum(dist_l, 1e6))
                     trans = jnp.exp(-vc["sigma_t"] * t_seg[:, None])
                     if has_het:

@@ -445,25 +445,34 @@ def shadow_blocked_brute(tri_verts, prim_object, o, d, tmin, tmax,
     return blocked
 
 
-def intersect_brute_dual(tri_verts, prim_object, o, d, tmin,
-                         tmax_closest, tmax_any,
-                         visibility_closest, visibility_any,
-                         object_visibility, block=8,
-                         tri_verts_t1=None, time=None):
-    """ONE dense sweep, TWO reductions: closest hit under
-    visibility_closest (the volume-NEE boundary search, ref:
-    kernel_volume.h shadow transmittance) + boolean any-hit under
-    visibility_any (opaque shadow blocking, ref: kernel_shadow.h).
+def intersect_brute_occlusion(tri_verts, prim_object, boundary_mask,
+                              o, d, tmin, tmax_closest, tmax_any,
+                              visibility_closest, visibility_any,
+                              object_visibility, block=8,
+                              tri_verts_t1=None, time=None):
+    """Volume-NEE occlusion sweep with NO winner selection.
 
-    Volume NEE needs both answers for the SAME shadow segment; running
-    them as separate sweeps doubles the triangle work — per-triangle MT
-    terms are computed once here and fed to both reductions.
-    Per-reduction tmax (N,) lets the caller gate lanes independently.
-    Returns (hit_dict, blocked (N,) bool)."""
+    The closest-hit WINNER reduction (min + 3 masked-max chains) costs
+    ~2.4x the triangle math itself on TPU (measured,
+    tools/stage_profile.py STAGE_FIXED). Volume NEE never needs u/v/
+    prim from the boundary search — only "how far to the first medium
+    boundary" vs "is anything solid in front of it". Those are TWO
+    masked min-reductions over a host-precomputed per-prim boundary
+    mask, plus the shadow any-hit OR — 3 cheap reductions per block
+    (ref semantics: kernel_volume.h shadow transmittance +
+    kernel_shadow.h shadow_blocked).
+
+    Returns (t_boundary (N,), t_other (N,), blocked (N,)); t_* are
+    RAY_TMAX-capped minima over camera-visible boundary / non-boundary
+    prims inside [tmin, tmax_closest]; blocked is the any-hit under
+    visibility_any inside [tmin, tmax_any].
+    """
     n = o.shape[0]
     vis_c = object_visibility[jnp.maximum(prim_object, 0)]
     nb, v0b, e1b, e2b, pob, pvb = _pack_tri_blocks(
         tri_verts, prim_object, vis_c, block)
+    p = tri_verts.shape[0]
+    bm = jnp.pad(boundary_mask, (0, (-p) % block)).reshape(nb, block)
     deltas = None
     if tri_verts_t1 is not None:
         _, v1b, f1b, f2b, _, _ = _pack_tri_blocks(
@@ -473,11 +482,11 @@ def intersect_brute_dual(tri_verts, prim_object, o, d, tmin,
     dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
 
     def body(carry, blk):
-        t_best, prim_best, u_best, v_best, blocked = carry
+        t_b, t_o, blocked = carry
         delta = None
         if deltas is not None:
             blk, delta = blk[:-3], blk[-3:]
-        v0, e1, e2, po, pv, bbase = blk
+        v0, e1, e2, po, pv, bmk = blk
         (v0x, v0y, v0z), (e1x, e1y, e1z), (e2x, e2y, e2z) = \
             _motion_components(v0, e1, e2, delta, time)
         px = dy[None] * e2z - dz[None] * e2y
@@ -498,40 +507,25 @@ def intersect_brute_dual(tri_verts, prim_object, o, d, tmin,
         geom = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (u <= 1.0)
                 & (v >= 0.0) & (u + v <= 1.0)
                 & (t > tmin[None]) & (po[:, None] >= 0))
-        # any-hit reduction (shadow visibility)
-        hit_a = geom & (t < tmax_any[None]) \
-            & ((pv[:, None] & visibility_any[None]) > 0)
-        blocked = blocked | jnp.any(hit_a, axis=0)
-        # closest-hit reduction (boundary visibility)
-        hit_c = geom & (t < t_best[None]) \
+        blocked = blocked | jnp.any(
+            geom & (t < tmax_any[None])
+            & ((pv[:, None] & visibility_any[None]) > 0), axis=0)
+        hit_c = geom & (t < tmax_closest[None]) \
             & ((pv[:, None] & visibility_closest[None]) > 0)
-        tc = jnp.where(hit_c, t, RAY_TMAX)
-        tk = jnp.min(tc, axis=0)
-        win = tc == tk[None]
-        kidx = jax.lax.broadcasted_iota(jnp.int32, tc.shape, 0)
-        k = jnp.max(jnp.where(win, kidx, -1), axis=0)
-        uk = jnp.max(jnp.where(win, u, -jnp.inf), axis=0)
-        vk = jnp.max(jnp.where(win, v, -jnp.inf), axis=0)
-        better = tk < t_best
-        t_best = jnp.where(better, tk, t_best)
-        prim_best = jnp.where(better, bbase + k, prim_best)
-        u_best = jnp.where(better, uk, u_best)
-        v_best = jnp.where(better, vk, v_best)
-        return (t_best, prim_best, u_best, v_best, blocked), None
+        t_b = jnp.minimum(t_b, jnp.min(
+            jnp.where(hit_c & bmk[:, None], t, RAY_TMAX), axis=0))
+        t_o = jnp.minimum(t_o, jnp.min(
+            jnp.where(hit_c & ~bmk[:, None], t, RAY_TMAX), axis=0))
+        return (t_b, t_o, blocked), None
 
-    init = (jnp.minimum(tmax_closest, RAY_TMAX),
-            jnp.full((n,), -1, jnp.int32),
-            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+    init = (jnp.full((n,), RAY_TMAX, jnp.float32),
+            jnp.full((n,), RAY_TMAX, jnp.float32),
             jnp.zeros((n,), bool))
-    bbase = (jnp.arange(nb, dtype=jnp.int32) * block)
-    xs = (v0b, e1b, e2b, pob, pvb, bbase)
+    xs = (v0b, e1b, e2b, pob, pvb, bm)
     if deltas is not None:
         xs = xs + deltas
-    (t, prim, u, v, blocked), _ = jax.lax.scan(body, init, xs)
-    hit_mask = (t < jnp.minimum(tmax_closest, RAY_TMAX)) & (prim >= 0)
-    prim = jnp.where(hit_mask, prim, -1)
-    obj = jnp.where(hit_mask, prim_object[jnp.maximum(prim, 0)], -1)
-    return ({"t": t, "prim": prim, "u": u, "v": v, "object": obj}, blocked)
+    (t_b, t_o, blocked), _ = jax.lax.scan(body, init, xs)
+    return t_b, t_o, blocked
 
 
 # ===========================================================================

@@ -29,6 +29,8 @@ CONFIGS = {
 ABLATIONS = [
     (),                      # full pipeline
     ("shadow",),             # no shadow rays (NEE assumed unblocked)
+    ("volatten",),           # skip volume-NEE boundary sweeps
+    ("shadow", "volatten"),  # NEE with free visibility
     ("nee",),                # no NEE at all
     ("equiangular",),        # volume: skip the equiangular estimator
     ("volume",),
@@ -74,12 +76,23 @@ def profile_config(name, chunk=16):
     py = jnp.asarray(yy.reshape(-1), jnp.int32)
     pidx = py * W + px
 
+    # STAGE_FIXED=1: time the fixed-grid kernel instead — EXACTLY
+    # (max_bounce+1) bounce iterations per sample, so ablation deltas
+    # divide into precise per-iteration stage costs (no regen logic,
+    # no data-dependent iteration count).
+    fixed = bool(int(os.environ.get("STAGE_FIXED", "0")))
+    iters_per = (int(kg["kint"]["max_bounce"]) + 1) * chunk if fixed else 0
     base_t = None
     for ab in ABLATIONS:
         kg2 = dict(kg)
         kg2["debug_ablate"] = ab
-        fn = jax.jit(lambda a, b, c, s, _kg=kg2: integ.render_samples_regen(
-            _kg, a, b, c, s, chunk))
+        if fixed:
+            fn = jax.jit(lambda a, b, c, s, _kg=kg2: integ.render_samples(
+                _kg, a, b, c, s, chunk))
+        else:
+            fn = jax.jit(
+                lambda a, b, c, s, _kg=kg2: integ.render_samples_regen(
+                    _kg, a, b, c, s, chunk))
         try:
             t0 = time.time()
             L, A = fn(px, py, pidx, jnp.uint32(0))
@@ -98,8 +111,14 @@ def profile_config(name, chunk=16):
         elif base_t is not None:
             extra = f"  delta={1e3 * (base_t - t):+.1f}ms " \
                     f"({100 * (base_t - t) / base_t:+.0f}%)"
+            if fixed:
+                extra += f"  {1e3 * (base_t - t) / iters_per:+.3f}ms/iter"
+        per_it = f"  {1e3 * t / iters_per:.3f}ms/iter" if fixed else ""
         print(f"  ablate={lbl:<14} t={t * 1e3:8.1f}ms  msps={msps:7.2f} "
-              f"compile={compile_t:.1f}s{extra}", flush=True)
+              f"compile={compile_t:.1f}s{per_it}{extra}", flush=True)
+
+    if fixed:
+        return  # isolated-primitive timings are misleading; skip
 
     # isolated primitives on a camera wavefront
     from raytracingproject_tpu.ops import camera as cam_ops
