@@ -240,7 +240,7 @@ def intersect_ray_np(bvh: BVHArrays, tri_verts, ray_o, ray_d, tmax=1e30):
         if node < 0:
             start, count = decode_leaf(node)
             for i in range(start, start + count):
-                t, u, v = _mt_intersect_np(tri_verts[i], ray_o, ray_d)
+                t, u, v = _wt_intersect_np(tri_verts[i], ray_o, ray_d)
                 if t is not None and 1e-6 < t < best[0]:
                     best = (t, i, u, v)
             continue
@@ -257,23 +257,69 @@ def intersect_ray_np(bvh: BVHArrays, tri_verts, ray_o, ray_d, tmax=1e30):
     return best
 
 
-def _mt_intersect_np(tri, o, d):
-    e1 = tri[1] - tri[0]
-    e2 = tri[2] - tri[0]
-    pvec = np.cross(d, e2)
-    det = e1 @ pvec
-    if abs(det) < 1e-12:
+def _wt_intersect_np(tri, o, d):
+    """float32 NumPy twin of ops/intersect.py watertight_setup/_test
+    (ref: util/util_math_intersect.h:88) — the golden single-ray
+    triangle test. Same shear-basis formulation, same operation order,
+    all in np.float32 so results match the device kernel bit-for-bit."""
+    f = np.float32
+    o = np.asarray(o, np.float32)
+    d = np.asarray(d, np.float32)
+    tri = np.asarray(tri, np.float32)
+    ad = np.abs(d)
+    if ad[2] >= ad[0] and ad[2] >= ad[1]:
+        kz = 2
+    elif ad[1] >= ad[0]:
+        kz = 1
+    else:
+        kz = 0
+    if ad.max() == 0.0:
         return None, 0, 0
-    inv = 1.0 / det
-    tvec = o - tri[0]
-    u = (tvec @ pvec) * inv
-    if u < 0 or u > 1:
+    if d[kz] < 0.0:
+        kx, ky = (kz + 2) % 3, (kz + 1) % 3
+    else:
+        kx, ky = (kz + 1) % 3, (kz + 2) % 3
+    inv_kz = f(1.0) / d[kz]
+    sx, sy, sz = d[kx] * inv_kz, d[ky] * inv_kz, inv_kz
+    ex = np.zeros(3, np.float32)
+    ey = np.zeros(3, np.float32)
+    ez = np.zeros(3, np.float32)
+    ex[kx] = 1.0
+    ey[ky] = 1.0
+    ez[kz] = 1.0
+    rx = ex - sx * ez
+    ry = ey - sy * ez
+    rz = sz * ez
+    rxo = f(rx[0] * o[0] + rx[1] * o[1] + rx[2] * o[2])
+    ryo = f(ry[0] * o[0] + ry[1] * o[1] + ry[2] * o[2])
+    rzo = f(rz[0] * o[0] + rz[1] * o[1] + rz[2] * o[2])
+
+    def shear(v):
+        return (f(rx[0] * v[0] + rx[1] * v[1] + rx[2] * v[2]) - rxo,
+                f(ry[0] * v[0] + ry[1] * v[1] + ry[2] * v[2]) - ryo,
+                f(rz[0] * v[0] + rz[1] * v[1] + rz[2] * v[2]) - rzo)
+
+    axs, ays, azs = shear(tri[0])
+    bxs, bys, bzs = shear(tri[1])
+    cxs, cys, czs = shear(tri[2])
+    eps = f(4.0 * 2.0 ** -23)  # = ops/intersect.py _WT_EPS
+
+    def edge(px, py, qx, qy):
+        p1, p2 = f(px * qy), f(py * qx)
+        return f(p1 - p2), f(eps * (abs(p1) + abs(p2)))
+
+    w_a, tol_a = edge(bxs, bys, cxs, cys)
+    w_b, tol_b = edge(cxs, cys, axs, ays)
+    w_c, tol_c = edge(axs, ays, bxs, bys)
+    sign_ok = (w_a >= -tol_a and w_b >= -tol_b and w_c >= -tol_c) \
+        or (w_a <= tol_a and w_b <= tol_b and w_c <= tol_c)
+    det = f(w_a + w_b + w_c)
+    if not sign_ok or det == 0.0:
         return None, 0, 0
-    qvec = np.cross(tvec, e1)
-    v = (d @ qvec) * inv
-    if v < 0 or u + v > 1:
-        return None, 0, 0
-    t = (e2 @ qvec) * inv
+    inv = f(1.0) / det
+    t = f(f(w_a * azs + w_b * bzs + w_c * czs) * inv)
+    u = min(max(f(w_b * inv), f(0.0)), f(1.0))
+    v = min(max(f(w_c * inv), f(0.0)), f(1.0))
     return (t, u, v) if t > 0 else (None, 0, 0)
 
 

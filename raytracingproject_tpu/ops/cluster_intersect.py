@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from raytracingproject_tpu.utils.math import RAY_TMAX
 from raytracingproject_tpu.ops import lookup as lk
+from raytracingproject_tpu.ops import intersect as isect
 
 INF = jnp.float32(3e38)
 # row layout: [w2o(12), pad(1)] [tris: v0,e1,e2 (9 per tri)]
@@ -109,7 +110,7 @@ def _entry_table(cbounds, o, d, tmin, tmax):
 
 def _intersect_chunk(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
                      visibility, shadow_any_hit, has_instances,
-                     max_iters, fetch_width=1):
+                     max_iters, fetch_width=1, want_stats=False):
     n = o.shape[0]
     c = cbounds.shape[0]
     entry = _entry_table(cbounds, o, d, tmin, tmax)
@@ -174,29 +175,20 @@ def _intersect_chunk(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
             else:
                 oxx, oyy, ozz = o[:, 0], o[:, 1], o[:, 2]
                 dxx, dyy, dzz = d[:, 0], d[:, 1], d[:, 2]
+            # watertight shear basis from the (possibly object-space)
+            # ray of THIS cluster (ref: util_math_intersect.h:88; shared
+            # helper so all traversal paths stay bit-exact twins)
+            ws = isect.watertight_setup(
+                jnp.stack([oxx, oyy, ozz], -1),
+                jnp.stack([dxx, dyy, dzz], -1))
             for k in range(cluster_tris):
                 b = META_COLS + 9 * k
-                v0x, v0y, v0z = row[b], row[b + 1], row[b + 2]
-                e1x, e1y, e1z = row[b + 3], row[b + 4], row[b + 5]
-                e2x, e2y, e2z = row[b + 6], row[b + 7], row[b + 8]
-                px = dyy * e2z - dzz * e2y
-                py = dzz * e2x - dxx * e2z
-                pz = dxx * e2y - dyy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv = jnp.where(jnp.abs(det) > 1e-12,
-                                1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-                tx, ty, tz = oxx - v0x, oyy - v0y, ozz - v0z
-                u = (tx * px + ty * py + tz * pz) * inv
-                qx = ty * e1z - tz * e1y
-                qy = tz * e1x - tx * e1z
-                qz = tx * e1y - ty * e1x
-                v = (dxx * qx + dyy * qy + dzz * qz) * inv
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                v0c = (row[b], row[b + 1], row[b + 2])
+                e1c = (row[b + 3], row[b + 4], row[b + 5])
+                e2c = (row[b + 6], row[b + 7], row[b + 8])
+                hit, t, u, v = isect._wt_block(ws, v0c, e1c, e2c, tmin, bt)
                 pid = row[pbase + k]
-                hit = (f_active & (jnp.abs(det) > 1e-12)
-                       & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                       & (u + v <= 1.0)
-                       & (t > tmin) & (t < bt) & (pid >= 0.0))
+                hit = hit & f_active & (pid >= 0.0)
                 if visibility is not None:
                     vis = row[vbase + k].astype(jnp.uint32)
                     hit &= (vis & visibility) > 0
@@ -225,16 +217,19 @@ def _intersect_chunk(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
         alive = jnp.min(entry, axis=0) < jnp.minimum(bt, INF)
         return (entry, bt, bp, bu, bv, bo, it + 1, jnp.any(alive))
 
-    _, t, prim, u, v, obj, _, _ = jax.lax.while_loop(cond, body, state)
+    _, t, prim, u, v, obj, iters, _ = jax.lax.while_loop(cond, body, state)
     hit_mask = prim >= 0
-    return {"t": t, "prim": jnp.where(hit_mask, prim, -1), "u": u, "v": v,
-            "object": jnp.where(hit_mask, obj, -1)}
+    out = {"t": t, "prim": jnp.where(hit_mask, prim, -1), "u": u, "v": v,
+           "object": jnp.where(hit_mask, obj, -1)}
+    if want_stats:
+        out["iters"] = jnp.broadcast_to(iters, t.shape[:1])
+    return out
 
 
 def intersect_clusters(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
                        visibility=None, shadow_any_hit=False,
                        has_instances=False, chunk=DEFAULT_CHUNK,
-                       fetch_width=DEFAULT_FETCH_WIDTH):
+                       fetch_width=DEFAULT_FETCH_WIDTH, want_stats=False):
     """Closest-hit (or any-hit) over the cluster tables.
 
     o, d: (N, 3); tmin, tmax: (N,); visibility: (N,) uint32 or None.
@@ -248,7 +243,8 @@ def intersect_clusters(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
     if n <= chunk:
         return _intersect_chunk(cbounds, ctable, cluster_tris, o, d,
                                 tmin, tmax, visibility, shadow_any_hit,
-                                has_instances, max_iters, fetch_width)
+                                has_instances, max_iters, fetch_width,
+                                want_stats=want_stats)
     pad = (-n) % chunk
     nc = (n + pad) // chunk
 
@@ -268,7 +264,8 @@ def intersect_clusters(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
             (oo, dd, t0, t1), vis = xs, None
         return _intersect_chunk(cbounds, ctable, cluster_tris, oo, dd,
                                 t0, t1, vis, shadow_any_hit,
-                                has_instances, max_iters, fetch_width)
+                                has_instances, max_iters, fetch_width,
+                                want_stats=want_stats)
 
     out = jax.lax.map(one, tuple(args))
     return {k: v.reshape(-1)[:n] for k, v in out.items()}

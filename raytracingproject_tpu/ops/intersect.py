@@ -39,23 +39,140 @@ LEAF_UNROLL = 8  # must cover builder max leaf size
 # visibility constants live in models/object.py (PATH_RAY_*)
 
 
+# sign-test tolerance, in ulps of the edge-function product magnitudes
+# (covers one FMA-contraction asymmetry + the two product roundings)
+_WT_EPS = np.float32(4.0 * 2.0 ** -23)
+
+
+def watertight_setup(o, d):
+    """Per-ray setup for the watertight triangle test (ref:
+    util/util_math_intersect.h:88 ray_triangle_intersect — the
+    Woop/Benthin/Wald 2013 shear-basis formulation).
+
+    TPU redesign: instead of permuting triangle coordinates per lane
+    (3-way selects per scalar), the permutation AND the shear are folded
+    into three dense per-lane row vectors rx/ry/rz so every transformed
+    coordinate is one 3-term dot — pure FMA chains in the tri-major
+    sweep. The o-translation folds into per-lane scalars rxo/ryo/rzo.
+
+    For corner V: sheared coords are (rx.V - rxo, ry.V - ryo,
+    rz.V - rzo). Returns dict of 12 per-lane (N,) arrays.
+    """
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    zmax = (az >= ax) & (az >= ay)
+    ymax = ~zmax & (ay >= ax)
+    kz = jnp.where(zmax, 2, jnp.where(ymax, 1, 0))
+    d_kz = jnp.where(zmax, dz, jnp.where(ymax, dy, dx))
+    # winding-preserving cyclic axes; swap when d[kz] < 0
+    neg = d_kz < 0.0
+    kx = jnp.where(neg, (kz + 2) % 3, (kz + 1) % 3)
+    ky = jnp.where(neg, (kz + 1) % 3, (kz + 2) % 3)
+
+    def onehot(k):
+        return ((k == 0).astype(jnp.float32), (k == 1).astype(jnp.float32),
+                (k == 2).astype(jnp.float32))
+
+    ex, ey, ez = onehot(kx), onehot(ky), onehot(kz)
+
+    def pick(e, vx, vy, vz):
+        return e[0] * vx + e[1] * vy + e[2] * vz
+
+    d_kx = pick(ex, dx, dy, dz)
+    d_ky = pick(ey, dx, dy, dz)
+    inv_kz = 1.0 / jnp.where(d_kz == 0, 1.0, d_kz)
+    sx = d_kx * inv_kz
+    sy = d_ky * inv_kz
+    sz = inv_kz
+    # dense rows: rx = ex - sx*ez ; ry = ey - sy*ez ; rz = sz*ez
+    rx = tuple(ex[i] - sx * ez[i] for i in range(3))
+    ry = tuple(ey[i] - sy * ez[i] for i in range(3))
+    rz = tuple(sz * ez[i] for i in range(3))
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    return {
+        "rx": rx, "ry": ry, "rz": rz,
+        "rxo": pick(rx, ox, oy, oz),
+        "ryo": pick(ry, ox, oy, oz),
+        "rzo": pick(rz, ox, oy, oz),
+        "degenerate": (ax == 0) & (ay == 0) & (az == 0),
+    }
+
+
+def watertight_test(ws, v0c, v1c, v2c, tmin, tmax):
+    """Watertight triangle test on component tuples.
+
+    ws: watertight_setup dict; v0c/v1c/v2c: 3-tuples of corner
+    components, each broadcastable against the per-lane arrays in ws
+    (e.g. (B, 1) tri-major blocks vs (N,) lanes). tmin/tmax likewise.
+    Returns (valid, t, u, v): `valid` is the edge-sign test AND
+    t in (tmin, tmax); u is the v1 weight, v the v2 weight
+    (P = (1-u-v)*v0 + u*v1 + v*v2), matching the MT convention.
+
+    Watertight because shared edges evaluate the same 2D edge function
+    with operands swapped, and the sign test tolerates a few ulps of
+    the product magnitudes (see inline note on FMA contraction), so
+    adjacent triangles cannot both round a grazing ray to a miss (ref:
+    util_math_intersect.h:88; the reference's double-precision re-eval
+    of exact zeros is replaced by the tolerance band).
+    """
+    def shear(vc):
+        x = ws["rx"][0] * vc[0] + ws["rx"][1] * vc[1] \
+            + ws["rx"][2] * vc[2] - ws["rxo"]
+        y = ws["ry"][0] * vc[0] + ws["ry"][1] * vc[1] \
+            + ws["ry"][2] * vc[2] - ws["ryo"]
+        z = ws["rz"][0] * vc[0] + ws["rz"][1] * vc[1] \
+            + ws["rz"][2] * vc[2] - ws["rzo"]
+        return x, y, z
+
+    ax, ay, az = shear(v0c)
+    bx, by, bz = shear(v1c)
+    cx, cy, cz = shear(v2c)
+    # Edge functions with a relative tolerance: the exact-negation
+    # guarantee of the scalar formulation (shared edge -> identical
+    # expression with operands swapped) does NOT survive compilation
+    # here, because XLA/LLVM may contract one triangle's mul-sub into
+    # an FMA and not the neighbour's (measured: 19/512 edge rays leak
+    # on XLA:CPU with the exact test). Instead the sign test accepts
+    # |w| within a few ulps of the PRODUCT magnitudes as "on the edge"
+    # for BOTH signs — conservative watertightness that is independent
+    # of contraction choices; near-edge rays may hit both neighbours,
+    # which closest-hit/any-hit handle naturally.
+    def edge(px, py, qx, qy):
+        p1 = px * qy
+        p2 = py * qx
+        return p1 - p2, _WT_EPS * (jnp.abs(p1) + jnp.abs(p2))
+
+    w_a, tol_a = edge(bx, by, cx, cy)
+    w_b, tol_b = edge(cx, cy, ax, ay)
+    w_c, tol_c = edge(ax, ay, bx, by)
+    det = w_a + w_b + w_c
+    sign_ok = ((w_a >= -tol_a) & (w_b >= -tol_b) & (w_c >= -tol_c)) \
+        | ((w_a <= tol_a) & (w_b <= tol_b) & (w_c <= tol_c))
+    # a det within the same noise band is a degenerate/edge-on
+    # triangle whose w's are pure contraction noise — t would be a
+    # noise ratio (measured: zero-area padding tris "hit" at random t)
+    det_ok = jnp.abs(det) > tol_a + tol_b + tol_c
+    inv = 1.0 / jnp.where(det == 0, 1.0, det)
+    t = (w_a * az + w_b * bz + w_c * cz) * inv
+    # tolerance-band hits can give u/v a few ulps outside [0,1]; clamp
+    # so downstream barycentric interpolation stays in-simplex
+    u = jnp.clip(w_b * inv, 0.0, 1.0)
+    v = jnp.clip(w_c * inv, 0.0, 1.0)
+    valid = sign_ok & det_ok & (t > tmin) & (t < tmax) \
+        & ~ws["degenerate"]
+    return valid, t, u, v
+
+
 def ray_triangle_intersect(v0, v1, v2, o, d, tmin, tmax):
-    """Batched Möller–Trumbore. All args (..., 3); returns
-    (hit_mask, t, u, v). Matches the NumPy golden reference
-    (bvh/build.py _mt_intersect_np) bit-for-bit in fp32."""
-    e1 = v1 - v0
-    e2 = v2 - v0
-    pvec = jnp.cross(d, e2)
-    det = jnp.sum(e1 * pvec, -1)
-    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-    tvec = o - v0
-    u = jnp.sum(tvec * pvec, -1) * inv
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(d * qvec, -1) * inv
-    t = jnp.sum(e2 * qvec, -1) * inv
-    hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (u <= 1.0)
-           & (v >= 0.0) & (u + v <= 1.0) & (t > tmin) & (t < tmax))
-    return hit, t, u, v
+    """Batched watertight intersection on (..., 3) vectors (ref:
+    util/util_math_intersect.h:88). Returns (hit_mask, t, u, v) with
+    the MT barycentric convention. Matches the NumPy golden reference
+    (bvh/build.py _wt_intersect_np) bit-for-bit in fp32."""
+    ws = watertight_setup(o, d)
+    return watertight_test(
+        ws, (v0[..., 0], v0[..., 1], v0[..., 2]),
+        (v1[..., 0], v1[..., 1], v1[..., 2]),
+        (v2[..., 0], v2[..., 1], v2[..., 2]), tmin, tmax)
 
 
 def _slab_test(blo, bhi, o, inv_d, tmin, tmax):
@@ -120,6 +237,15 @@ def _motion_components(v0, e1, e2, delta, time):
             [e2[:, i, None] + tt * de2[:, i, None] for i in range(3)])
 
 
+def _wt_block(ws, v0c, e1c, e2c, tmin, tmax):
+    """watertight_test on tri-major (v0, e1, e2) component triples —
+    the shared triangle test of every dense sweep (corners rebuilt from
+    the edge layout so block packing and motion lerp stay unchanged)."""
+    v1c = tuple(v0c[i] + e1c[i] for i in range(3))
+    v2c = tuple(v0c[i] + e2c[i] for i in range(3))
+    return watertight_test(ws, v0c, v1c, v2c, tmin, tmax)
+
+
 def intersect_brute(tri_verts, prim_object, o, d, tmin, tmax,
                     visibility=None, object_visibility=None, block=8,
                     tri_verts_t1=None, time=None):
@@ -147,8 +273,7 @@ def intersect_brute(tri_verts, prim_object, o, d, tmin, tmax,
             tri_verts_t1, prim_object, None, block)
         deltas = (v1b - v0b, f1b - e1b, f2b - e2b)
 
-    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
-    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    ws = watertight_setup(o, d)
 
     def body(carry, blk):
         t_best, prim_best, u_best, v_best = carry
@@ -159,28 +284,10 @@ def intersect_brute(tri_verts, prim_object, o, d, tmin, tmax,
             v0, e1, e2, po, pv, bbase = blk
         else:
             v0, e1, e2, po, bbase = blk
-        (v0x, v0y, v0z), (e1x, e1y, e1z), (e2x, e2y, e2z) = \
-            _motion_components(v0, e1, e2, delta, time)
-        # cross products in components, (B, N) via (B,1)x(N,) broadcast
-        px = dy[None] * e2z - dz[None] * e2y
-        py = dz[None] * e2x - dx[None] * e2z
-        pz = dx[None] * e2y - dy[None] * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        inv = jnp.where(jnp.abs(det) > 1e-12,
-                        1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-        tx = ox[None] - v0x
-        ty = oy[None] - v0y
-        tz = oz[None] - v0z
-        u = (tx * px + ty * py + tz * pz) * inv
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        v = (dx[None] * qx + dy[None] * qy + dz[None] * qz) * inv
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv
-        hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (u <= 1.0)
-               & (v >= 0.0) & (u + v <= 1.0)
-               & (t > tmin[None]) & (t < t_best[None])
-               & (po[:, None] >= 0))
+        v0c, e1c, e2c = _motion_components(v0, e1, e2, delta, time)
+        hit, t, u, v = _wt_block(ws, v0c, e1c, e2c, tmin[None],
+                                 t_best[None])
+        hit &= po[:, None] >= 0
         if pvb is not None:
             hit &= (pv[:, None] & visibility[None]) > 0
         t = jnp.where(hit, t, RAY_TMAX)
@@ -401,8 +508,7 @@ def shadow_blocked_brute(tri_verts, prim_object, o, d, tmin, tmax,
         _, v1b, f1b, f2b, _, _ = _pack_tri_blocks(
             tri_verts_t1, prim_object, None, block)
         deltas = (v1b - v0b, f1b - e1b, f2b - e2b)
-    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
-    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    ws = watertight_setup(o, d)
 
     def body(blocked, blk):
         delta = None
@@ -412,27 +518,10 @@ def shadow_blocked_brute(tri_verts, prim_object, o, d, tmin, tmax,
             v0, e1, e2, po, pv = blk
         else:
             v0, e1, e2, po = blk
-        (v0x, v0y, v0z), (e1x, e1y, e1z), (e2x, e2y, e2z) = \
-            _motion_components(v0, e1, e2, delta, time)
-        px = dy[None] * e2z - dz[None] * e2y
-        py = dz[None] * e2x - dx[None] * e2z
-        pz = dx[None] * e2y - dy[None] * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        inv = jnp.where(jnp.abs(det) > 1e-12,
-                        1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-        tx = ox[None] - v0x
-        ty = oy[None] - v0y
-        tz = oz[None] - v0z
-        u = (tx * px + ty * py + tz * pz) * inv
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        v = (dx[None] * qx + dy[None] * qy + dz[None] * qz) * inv
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv
-        hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (u <= 1.0)
-               & (v >= 0.0) & (u + v <= 1.0)
-               & (t > tmin[None]) & (t < tmax[None])
-               & (po[:, None] >= 0))
+        v0c, e1c, e2c = _motion_components(v0, e1, e2, delta, time)
+        hit, t, u, v = _wt_block(ws, v0c, e1c, e2c, tmin[None],
+                                 tmax[None])
+        hit &= po[:, None] >= 0
         if pvb is not None:
             hit &= (pv[:, None] & visibility[None]) > 0
         return blocked | jnp.any(hit, axis=0), None
@@ -478,8 +567,7 @@ def intersect_brute_occlusion(tri_verts, prim_object, boundary_mask,
         _, v1b, f1b, f2b, _, _ = _pack_tri_blocks(
             tri_verts_t1, prim_object, None, block)
         deltas = (v1b - v0b, f1b - e1b, f2b - e2b)
-    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
-    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    ws = watertight_setup(o, d)
 
     def body(carry, blk):
         t_b, t_o, blocked = carry
@@ -487,26 +575,10 @@ def intersect_brute_occlusion(tri_verts, prim_object, boundary_mask,
         if deltas is not None:
             blk, delta = blk[:-3], blk[-3:]
         v0, e1, e2, po, pv, bmk = blk
-        (v0x, v0y, v0z), (e1x, e1y, e1z), (e2x, e2y, e2z) = \
-            _motion_components(v0, e1, e2, delta, time)
-        px = dy[None] * e2z - dz[None] * e2y
-        py = dz[None] * e2x - dx[None] * e2z
-        pz = dx[None] * e2y - dy[None] * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        inv = jnp.where(jnp.abs(det) > 1e-12,
-                        1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-        tx = ox[None] - v0x
-        ty = oy[None] - v0y
-        tz = oz[None] - v0z
-        u = (tx * px + ty * py + tz * pz) * inv
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        v = (dx[None] * qx + dy[None] * qy + dz[None] * qz) * inv
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv
-        geom = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (u <= 1.0)
-                & (v >= 0.0) & (u + v <= 1.0)
-                & (t > tmin[None]) & (po[:, None] >= 0))
+        v0c, e1c, e2c = _motion_components(v0, e1, e2, delta, time)
+        geom, t, u, v = _wt_block(ws, v0c, e1c, e2c, tmin[None],
+                                  jnp.float32(RAY_TMAX))
+        geom &= po[:, None] >= 0
         blocked = blocked | jnp.any(
             geom & (t < tmax_any[None])
             & ((pv[:, None] & visibility_any[None]) > 0), axis=0)
@@ -669,30 +741,16 @@ def intersect_bvh_packed(nodes_packed, leaf_blocks, o, d, tmin, tmax,
         t_best, prim_best = s["t"], s["prim"]
         u_best, v_best, obj_best = s["u"], s["v"], s["obj"]
         tri_leaf = is_leaf & ~is_inst_leaf
-        ox, oy, oz = s["o_cur"][:, 0], s["o_cur"][:, 1], s["o_cur"][:, 2]
-        dx, dy, dz = s["d_cur"][:, 0], s["d_cur"][:, 1], s["d_cur"][:, 2]
+        # the current ray changes at instance boundaries, so the shear
+        # basis is rebuilt per iteration (cheap next to the row fetches)
+        ws = watertight_setup(s["o_cur"], s["d_cur"])
         for k in range(LEAF_BLOCK_TRIS):
             base = k * 9
-            v0x, v0y, v0z = lrow[:, base], lrow[:, base + 1], lrow[:, base + 2]
-            e1x, e1y, e1z = lrow[:, base + 3], lrow[:, base + 4], lrow[:, base + 5]
-            e2x, e2y, e2z = lrow[:, base + 6], lrow[:, base + 7], lrow[:, base + 8]
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv = jnp.where(jnp.abs(det) > 1e-12,
-                            1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
-            uu = (tx * px + ty * py + tz * pz) * inv
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            vv = (dx * qx + dy * qy + dz * qz) * inv
-            tt = (e2x * qx + e2y * qy + e2z * qz) * inv
-            hit = ((jnp.abs(det) > 1e-12) & (uu >= 0.0) & (uu <= 1.0)
-                   & (vv >= 0.0) & (uu + vv <= 1.0)
-                   & (tt > tmin) & (tt < t_best)
-                   & tri_leaf & (k < count))
+            v0c = (lrow[:, base], lrow[:, base + 1], lrow[:, base + 2])
+            e1c = (lrow[:, base + 3], lrow[:, base + 4], lrow[:, base + 5])
+            e2c = (lrow[:, base + 6], lrow[:, base + 7], lrow[:, base + 8])
+            hit, tt, uu, vv = _wt_block(ws, v0c, e1c, e2c, tmin, t_best)
+            hit &= tri_leaf & (k < count)
             pidx = jnp.round(lrow[:, 72 + k]).astype(jnp.int32)
             pobj = jnp.where(s["cur_obj"] >= 0, s["cur_obj"],
                              prim_object[jnp.maximum(pidx, 0)]
