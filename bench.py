@@ -49,6 +49,11 @@ def bench_one(name, factory, kwargs, W, H, spp, chunk, lpp=1):
     kg = scene.make_kernel_globals()
     sync_time = time.time() - t0
 
+    adaptive_thr = float(scene.integrator.adaptive_threshold)
+    if name == "dof_motion_adaptive" and adaptive_thr > 0.0:
+        return bench_adaptive(name, scene, kg, W, H, spp, chunk, lpp,
+                              sync_time, adaptive_thr)
+
     yy, xx = np.mgrid[0:H, 0:W]
     px = jnp.asarray(np.tile(xx.reshape(-1), lpp), jnp.int32)
     py = jnp.asarray(np.tile(yy.reshape(-1), lpp), jnp.int32)
@@ -76,6 +81,56 @@ def bench_one(name, factory, kwargs, W, H, spp, chunk, lpp=1):
     print(f"[{name}] {W}x{H}@{spp}spp sync={sync_time:.2f}s "
           f"compile={compile_time:.2f}s render={render_time:.3f}s "
           f"msps={msps:.2f} mean={img.mean():.4f}", file=sys.stderr)
+    assert np.isfinite(img).all(), f"{name}: non-finite pixels"
+    return msps
+
+
+def bench_adaptive(name, scene, kg, W, H, spp, chunk, lpp, sync_time,
+                   threshold):
+    """Config 4 protocol: the scene declares adaptive sampling, so the
+    bench drives the fixed-shape adaptive loop (session/adaptive.py) —
+    matching the reference config ("adaptive Sobol", BASELINE.md). msps
+    counts the NOMINAL sample budget over the wall clock, so converged
+    pixels' skipped samples are throughput the error estimator earned;
+    actual samples rendered are reported alongside."""
+    import jax
+    import jax.numpy as jnp
+    from raytracingproject_tpu.ops import integrator as integ
+    from raytracingproject_tpu.session.adaptive import render_adaptive
+
+    lanes = W * H * lpp
+    min_samples = int(scene.integrator.adaptive_min_samples) \
+        or max(spp // 4, 4)
+    fn = jax.jit(lambda a, b, c, s: integ.render_samples_adaptive_chunk(
+        kg, a, b, c, s, chunk))
+
+    def render_chunk(px, py, pidx, s0):
+        L, A, E = fn(jnp.asarray(px, jnp.int32), jnp.asarray(py, jnp.int32),
+                     jnp.asarray(pidx, jnp.int32),
+                     jnp.asarray(s0, jnp.uint32))
+        return np.asarray(L), np.asarray(A), np.asarray(E)
+
+    # warm the single compiled shape (excluded, matching the other
+    # configs' compile exclusion)
+    t0 = time.time()
+    ids = np.arange(lanes, dtype=np.int32) % (W * H)
+    render_chunk(ids % W, ids // W, ids, np.zeros(lanes, np.uint32))
+    compile_time = time.time() - t0
+
+    t0 = time.time()
+    L, A, counts, stats = render_adaptive(
+        kg, W, H, spp, threshold=threshold, min_samples=min_samples,
+        chunk=chunk, lanes=lanes, render_chunk=render_chunk)
+    render_time = time.time() - t0
+    samples = W * H * spp
+    msps = samples / render_time / 1e6
+    img = L / np.maximum(counts[:, None], 1)
+    print(f"[{name}] {W}x{H}@{spp}spp(adaptive) sync={sync_time:.2f}s "
+          f"compile={compile_time:.2f}s render={render_time:.3f}s "
+          f"msps={msps:.2f} rendered={stats['samples_rendered']}"
+          f"/{stats['samples_nominal']} "
+          f"dispatches={stats['dispatches']} mean={img.mean():.4f}",
+          file=sys.stderr)
     assert np.isfinite(img).all(), f"{name}: non-finite pixels"
     return msps
 

@@ -1328,6 +1328,70 @@ def _sel(mask, a, b):
     return jnp.where(m, a, b)
 
 
+def render_samples_adaptive_chunk(kg, px, py, pixel_index, sample_start,
+                                  num_samples):
+    """One fixed-shape adaptive-sampling chunk (ref: the error-driven
+    active-pixel loop of kernel_adaptive_sampling.h +
+    render/session.cpp, redesigned for XLA's static-shape model).
+
+    The host compacts unconverged pixels and REPLICATES them to fill
+    the full wavefront — converged pixels' lanes are reassigned as
+    extra samples of still-active pixels, so occupancy stays 100% while
+    the active set shrinks. All per-lane variation (which pixel, which
+    sample index) is DATA, not shape: `sample_start` is a per-lane
+    uint32 array and each lane renders `num_samples` CONSECUTIVE
+    samples of its pixel. One compiled kernel therefore serves every
+    chunk of the adaptive loop — no shape-driven recompiles.
+
+    Returns (L_sum, A_sum, L_even_sum) per LANE; the caller
+    scatter-adds lanes into the framebuffer by pixel id. L_even_sum
+    accumulates only even-global-sample-index contributions, feeding
+    the half-buffer error estimate (ref: kernel_adaptive_sampling.h).
+    """
+    assert not kg.get("aux_passes"), \
+        "aux passes require the fixed-grid renderer"
+    start_paths, step = make_path_kernel(kg, px, py, pixel_index)
+    n = px.shape[0]
+    s0 = jnp.asarray(sample_start, jnp.uint32)
+    st0 = start_paths(s0)
+    carry0 = {
+        "st": st0,
+        "L_acc": jnp.zeros((n, 3), jnp.float32),
+        "A_acc": jnp.zeros((n,), jnp.float32),
+        "E_acc": jnp.zeros((n, 3), jnp.float32),
+        "done": jnp.zeros((n,), jnp.int32),
+        "fresh": jnp.ones((n,), bool),
+    }
+
+    def cond(c):
+        return jnp.any(c["st"]["alive"] | c["fresh"]
+                       | (c["done"] < num_samples))
+
+    def body(c):
+        st = c["st"]
+        dead = ~st["alive"]
+        merge = dead & c["fresh"]
+        L_acc = c["L_acc"] + jnp.where(merge[:, None], st["L"], 0.0)
+        A_acc = c["A_acc"] + jnp.where(merge, st["alpha"], 0.0)
+        even = merge & (st["sample"] % 2 == 0)
+        E_acc = c["E_acc"] + jnp.where(even[:, None], st["L"], 0.0)
+        done = c["done"] + merge.astype(jnp.int32)
+        fresh = c["fresh"] & ~merge
+
+        regen = dead & ~fresh & (done < num_samples)
+        new_st = start_paths(jnp.where(regen, st["sample"] + 1,
+                                       st["sample"]))
+        st = {k: _sel(regen, new_st[k], st[k]) for k in st}
+        fresh = fresh | regen
+
+        st = step(0, st)
+        return {"st": st, "L_acc": L_acc, "A_acc": A_acc, "E_acc": E_acc,
+                "done": done, "fresh": fresh}
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    return out["L_acc"], out["A_acc"], out["E_acc"]
+
+
 def render_samples_branched(kg, px, py, pixel_index, aa_start, num_aa,
                             branch):
     """Branched-path mode (ref: kernel_path_branched.h): each AA sample
