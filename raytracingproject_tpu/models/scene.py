@@ -168,6 +168,15 @@ class Scene:
 
         # 2. geometry + objects -> packed prims + BVH
         packed = self._pack_geometry()
+        # vertex colors ride a separate per-prim table gathered in
+        # shader_setup ONLY when some shader reads them (an extra
+        # 12-wide gather per shading batch otherwise wasted)
+        if not any(getattr(s, "has_vertex_color", False)
+                   for s in self.shaders):
+            packed.pop("prim_vcol", None)
+        else:
+            packed["prim_vcol"] = np.ascontiguousarray(
+                packed["prim_vcol"].reshape(-1, 12))
 
         # 3. lights -> distribution CDF
         lightd = self._pack_lights(packed)
@@ -363,6 +372,8 @@ class Scene:
         tri_verts, tri_vnormal, tri_uv = [], [], []
         tri_verts_t1 = []
         tri_tangent = []  # per-prim curve tangent (zeros for meshes)
+        tri_vcol = []     # per-corner RGBA vertex colors
+        vcol_seen = []    # packed only when some mesh carries the attr
         prim_shader, prim_smooth, prim_object = [], [], []
         deform_seen = []
 
@@ -430,6 +441,23 @@ class Scene:
                 tri_uv.append(np.tile(
                     np.array([[0, 0], [1, 0], [1, 1]], np.float32),
                     (len(t), 1, 1)))
+            # per-corner vertex colors (ref: ATTR_STD_VERTEX_COLOR,
+            # consumed by VertexColorNode); white where absent
+            vc_attr = mesh.attribute_get("std_vertex_color")
+            if vc_attr is not None:
+                vc = np.asarray(vc_attr.data, np.float32)
+                if vc.shape[-1] == 3:  # RGB -> RGBA
+                    vc = np.concatenate(
+                        [vc, np.ones(vc.shape[:-1] + (1,), np.float32)],
+                        -1)
+                if vc_attr.element == "corner":
+                    vc = vc.reshape(-1, 3, 4)[: len(t)]
+                else:  # per-vertex
+                    vc = vc[t]
+                tri_vcol.append(vc)
+                vcol_seen.append(True)
+            else:
+                tri_vcol.append(np.ones((len(t), 3, 4), np.float32))
             shader_slots = np.array(
                 [self._shader_slot(mesh, s) for s in
                  np.asarray(mesh.shader, np.int32)], np.int32)
@@ -474,6 +502,7 @@ class Scene:
                 "uv": static_uv[order], "shader": static_shader[order],
                 "smooth": static_smooth[order], "object": static_object[order],
                 "tangent": static_tangent[order],
+                "vcol": cat(tri_vcol, (3, 4))[order],
                 "root_lo": sb.root_bound_lo, "root_hi": sb.root_bound_hi,
             })
 
@@ -481,7 +510,7 @@ class Scene:
         geom_blas = {}  # id(geom) -> block index
         for gid, (geom, users) in instanced_geoms.items():
             tri_verts.clear(); tri_vnormal.clear(); tri_uv.clear()
-            tri_verts_t1.clear(); tri_tangent.clear()
+            tri_verts_t1.clear(); tri_tangent.clear(); tri_vcol.clear()
             prim_shader.clear(); prim_smooth.clear(); prim_object.clear()
             append_mesh(geom, -1, None)
             gv = cat(tri_verts, (3, 3))
@@ -495,6 +524,7 @@ class Scene:
                 "vnormal": cat(tri_vnormal, (3, 3))[order],
                 "uv": cat(tri_uv, (3, 2))[order],
                 "tangent": cat(tri_tangent, (3,))[order],
+                "vcol": cat(tri_vcol, (3, 4))[order],
                 "shader": cat(prim_shader, (), np.int32)[order],
                 "smooth": cat(prim_smooth, (), bool)[order],
                 "object": cat(prim_object, (), np.int32)[order],
@@ -564,6 +594,7 @@ class Scene:
         all_verts, all_vnormal, all_uv = [], [], []
         all_shader, all_smooth, all_object = [], [], []
         all_tangent = []
+        all_vcol = []
 
         def rebase_children(children, node_base, prim_base):
             out = children.copy()
@@ -585,6 +616,7 @@ class Scene:
             all_vnormal.append(blk["vnormal"])
             all_uv.append(blk["uv"])
             all_tangent.append(blk["tangent"])
+            all_vcol.append(blk["vcol"])
             all_shader.append(blk["shader"])
             all_smooth.append(blk["smooth"])
             all_object.append(blk["object"])
@@ -628,6 +660,8 @@ class Scene:
                        np.zeros((0, 3, 2), np.float32)),
             "prim_tangent": (np.concatenate(all_tangent) if P else
                              np.zeros((0, 3), np.float32)),
+            "prim_vcol": (np.concatenate(all_vcol) if P else
+                          np.zeros((0, 3, 4), np.float32)),
             "prim_shader": (np.concatenate(all_shader) if P else
                             np.zeros(0, np.int32)),
             "prim_smooth": (np.concatenate(all_smooth) if P else
@@ -1160,6 +1194,10 @@ class Scene:
                       for li in self.lights]
         num_area_lamps = lamp_types.count(3)
         tex = TextureStore(jnp.asarray(ds["tex_data"]), ds["tex_sizes"])
+        # static camera matrix for VectorTransformNode's camera space
+        # (ref: svm_vector_transform.h reads kernel_data.cam)
+        tex.cam_to_world = np.asarray(ds["cam"]["cam_to_world"],
+                                      np.float32)
         # per-prim volume-boundary mask (prim order) for the cheap
         # two-min occlusion sweep (ops/intersect.py
         # intersect_brute_occlusion): boundary prims belong to shaders
@@ -1272,8 +1310,35 @@ class Scene:
                                 for s in self.shaders),
                 "has_toon": any(getattr(s, "has_toon", False)
                                 for s in self.shaders),
+                "has_aniso": any(getattr(s, "has_aniso", False)
+                                 for s in self.shaders),
+                "has_classic_hair": any(
+                    getattr(s, "has_classic_hair", False)
+                    for s in self.shaders),
                 "has_sheen": any(getattr(s, "has_sheen", False)
                                  for s in self.shaders),
+                "has_ao_node": any(getattr(s, "has_ao_node", False)
+                                   for s in self.shaders),
+                "has_bevel_node": any(
+                    getattr(s, "has_bevel_node", False)
+                    for s in self.shaders),
+                # static probe budgets (max over nodes; capped — each
+                # AO sample is a shadow sweep, each bevel sample a full
+                # closest-hit sweep per shading batch)
+                "ao_node_distance": max(
+                    [getattr(s, "ao_distance", 0.0)
+                     for s in self.shaders] + [0.0]) or 1.0,
+                "ao_node_samples": min(max(
+                    [getattr(s, "ao_samples", 0)
+                     for s in self.shaders] + [0]), 8) or 4,
+                "ao_node_inside": any(getattr(s, "ao_inside", False)
+                                      for s in self.shaders),
+                "bevel_node_radius": max(
+                    [getattr(s, "bevel_radius", 0.0)
+                     for s in self.shaders] + [0.0]) or 0.05,
+                "bevel_node_samples": min(max(
+                    [getattr(s, "bevel_samples", 0)
+                     for s in self.shaders] + [0]), 8) or 4,
                 "has_bump": any(s.has_bump() for s in self.shaders),
             },
         }

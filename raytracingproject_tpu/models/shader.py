@@ -233,6 +233,16 @@ class Shader(Node):
         self.has_hair = False
         self.has_toon = False
         self.has_sheen = False
+        self.has_aniso = False
+        self.has_classic_hair = False
+        self.has_vertex_color = False
+        self.has_ao_node = False
+        self.has_bevel_node = False
+        self.ao_distance = 0.0
+        self.ao_samples = 0
+        self.ao_inside = False
+        self.bevel_radius = 0.0
+        self.bevel_samples = 0
 
         def linked(node, sock):
             return self.graph.links.get((id(node), sock)) is not None
@@ -258,6 +268,25 @@ class Shader(Node):
                 self.has_hair = True
             if isinstance(node, sn.ToonBsdfNode):
                 self.has_toon = True
+            if isinstance(node, sn.AnisotropicBsdfNode):
+                self.has_glossy = True
+                self.has_aniso = True
+            if isinstance(node, sn.HairBsdfNode):
+                self.has_classic_hair = True
+            if isinstance(node, sn.VertexColorNode):
+                self.has_vertex_color = True
+            if isinstance(node, sn.AmbientOcclusionNode):
+                self.has_ao_node = True
+                self.ao_distance = max(self.ao_distance,
+                                       float(node.distance))
+                self.ao_samples = max(self.ao_samples, int(node.samples))
+                self.ao_inside = self.ao_inside or bool(node.inside)
+            if isinstance(node, sn.BevelNode):
+                self.has_bevel_node = True
+                self.bevel_radius = max(self.bevel_radius,
+                                        float(node.radius))
+                self.bevel_samples = max(self.bevel_samples,
+                                         int(node.samples))
             if isinstance(node, sn.VelvetBsdfNode):
                 self.has_sheen = True
             if isinstance(node, sn.PrincipledBsdfNode):

@@ -737,16 +737,20 @@ class VectorMathNode(ShaderNode):
     NODE_NAME = "vector_math"
     INPUTS = [("vector1", "vector", (0.0, 0.0, 0.0)),
               ("vector2", "vector", (0.0, 0.0, 0.0)),
+              ("vector3", "vector", (0.0, 0.0, 0.0)),
               ("scale", "float", 1.0)]
     OUTPUTS = [("vector", "vector"), ("value", "float")]
     PARAMS = [S("math_type", S.ENUM, "add",
-                {k: i for i, k in enumerate(list(_VECTOR_MATH_OPS) + ["scale"])})]
+                {k: i for i, k in enumerate(list(_VECTOR_MATH_OPS)
+                                            + ["scale", "multiply_add"])})]
 
     def eval(self, ctx, inp):
         a = _bc(ctx, inp["vector1"])
         b = _bc(ctx, inp["vector2"])
         if self.math_type == "scale":
             vec, val = a * _bf(ctx, inp["scale"])[..., None], None
+        elif self.math_type == "multiply_add":
+            vec, val = a * b + _bc(ctx, inp["vector3"]), None
         else:
             vec, val = _VECTOR_MATH_OPS[self.math_type](a, b)
         zeros = jnp.zeros(ctx.batch_shape, jnp.float32)
@@ -2037,3 +2041,265 @@ class VectorDisplacementNode(ShaderNode):
             d = (t * d[..., 0:1] + ctx.N * d[..., 1:2]
                  + b * d[..., 2:3])
         return {"displacement": d}
+
+class AnisotropicBsdfNode(ShaderNode):
+    """ref: nodes.h AnisotropicBsdfNode; kernel/closure/
+    bsdf_microfacet.h GGX aniso + svm_closure.h:530-542 setup (alpha
+    split by anisotropy, tangent rotated about N). All distributions
+    map onto GGX VNDF (the reference's beckmann/ashikhmin variants
+    share the alpha parameterization)."""
+    NODE_NAME = "anisotropic_bsdf"
+    INPUTS = [("color", "color", (0.8, 0.8, 0.8)),
+              ("roughness", "float", 0.2),
+              ("anisotropy", "float", 0.5),
+              ("rotation", "float", 0.0),
+              ("normal", "normal", (0.0, 0.0, 0.0)),
+              ("tangent", "vector", (0.0, 0.0, 0.0))]
+    OUTPUTS = [("bsdf", "closure")]
+    PARAMS = [S("distribution", S.ENUM, "ggx",
+                {"beckmann": 0, "ggx": 1, "multi_ggx": 2,
+                 "ashikhmin_shirley": 3})]
+
+    def eval(self, ctx, inp):
+        c = cl.empty_closures(ctx.batch_shape)
+        c["glossy"] = _bc(ctx, inp["color"])
+        c["glossy_roughness"] = _bf(ctx, inp["roughness"])
+        c["glossy_aniso"] = jnp.clip(_bf(ctx, inp["anisotropy"]),
+                                     -0.99, 0.99)
+        T = _bc(ctx, inp["tangent"])
+        # unconnected tangent: packed curve/uv tangent when present,
+        # else a deterministic radial frame about object z (the
+        # reference defaults to the UV-map tangent attribute)
+        dpdu = getattr(ctx, "dPdu", None)
+        up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                              ctx.batch_shape + (3,))
+        radial = um.cross(up, ctx.P_object)
+        fallback = radial if dpdu is None else jnp.where(
+            um.dot(dpdu, dpdu)[..., None] > 0.25, dpdu, radial)
+        T = jnp.where(um.dot(T, T)[..., None] < 1e-12, fallback, T)
+        rot = _bf(ctx, inp["rotation"])
+        N = _normal(ctx, inp["normal"])
+        T = um.rotate_around_axis(T, N, rot * um.M_2PI)
+        c["glossy_tangent"] = um.safe_normalize(T)
+        return {"bsdf": c}
+
+
+class HairBsdfNode(ShaderNode):
+    """Classic hair BSDF (ref: nodes.h HairBsdfNode; kernel/closure/
+    bsdf_hair.h) — the pre-principled R/TT model: Cauchy lobe in the
+    half-angle theta with an offset (cuticle tilt), cosine (R) or
+    Cauchy (TT) lobe in phi."""
+    NODE_NAME = "hair_bsdf"
+    INPUTS = [("color", "color", (0.8, 0.8, 0.8)),
+              ("offset", "float", 0.0),
+              ("roughness_u", "float", 0.1),
+              ("roughness_v", "float", 1.0),
+              ("tangent", "vector", (0.0, 0.0, 0.0))]
+    OUTPUTS = [("bsdf", "closure")]
+    PARAMS = [S("component", S.ENUM, "reflection",
+                {"reflection": 0, "transmission": 1})]
+
+    def eval(self, ctx, inp):
+        c = cl.empty_closures(ctx.batch_shape)
+        ru = jnp.clip(_bf(ctx, inp["roughness_u"]), 1e-3, 1.0)
+        rv = jnp.clip(_bf(ctx, inp["roughness_v"]), 1e-3, 1.0)
+        off = _bf(ctx, inp["offset"])
+        if self.get_enum_int("component") == 1:
+            c["chair_trans"] = _bc(ctx, inp["color"])
+            c["chair_trans_r1"] = ru
+            c["chair_trans_r2"] = rv
+            c["chair_trans_off"] = off
+        else:
+            c["chair_refl"] = _bc(ctx, inp["color"])
+            c["chair_refl_r1"] = ru
+            c["chair_refl_r2"] = rv
+            c["chair_refl_off"] = off
+        return {"bsdf": c}
+
+
+class VertexColorNode(ShaderNode):
+    """ref: nodes.h VertexColorNode — per-corner color attribute,
+    barycentrically interpolated (packed in dscene prim_vcol, gathered
+    into sd.vcol by shader_setup when the scene has color attributes)."""
+    NODE_NAME = "vertex_color"
+    INPUTS = []
+    OUTPUTS = [("color", "color"), ("alpha", "float")]
+    PARAMS = [S("layer_name", S.STRING, "")]
+
+    def eval(self, ctx, inp):
+        vcol = getattr(ctx, "vcol", None)
+        if vcol is None:
+            one = jnp.ones(ctx.batch_shape + (3,), jnp.float32)
+            return {"color": one,
+                    "alpha": jnp.ones(ctx.batch_shape, jnp.float32)}
+        return {"color": vcol[..., :3],
+                "alpha": vcol[..., 3]}
+
+
+class VolumeInfoNode(ShaderNode):
+    """ref: nodes.h VolumeInfoNode — standard volume attributes
+    (color/density/flame/temperature) at the shading point. Grids
+    attach per node via set_voxel_grid (the host-voxelized analog of
+    ATTR_STD_VOLUME_*); absent grids return the reference's defaults
+    (color 1, density from the grid else 1, flame/temperature 0)."""
+    NODE_NAME = "volume_info"
+    INPUTS = []
+    OUTPUTS = [("color", "color"), ("density", "float"),
+               ("flame", "float"), ("temperature", "float")]
+
+    def __init__(self, name="", **kw):
+        super().__init__(name, **kw)
+        self._grids = {}
+
+    def set_voxel_grid(self, attr, grid, lo=(0, 0, 0), inv=(1, 1, 1)):
+        """Attach a (R,R,R) or (R,R,R,3) voxel grid for an attribute
+        ('density', 'color', 'flame', 'temperature'), object space."""
+        self._grids[attr] = (jnp.asarray(grid, jnp.float32),
+                             jnp.asarray(lo, jnp.float32),
+                             jnp.asarray(inv, jnp.float32))
+
+    def _sample(self, ctx, attr):
+        if attr not in self._grids:
+            return None
+        grid, lo, inv = self._grids[attr]
+        if grid.ndim == 4:
+            chans = [tex.sample_grid3d(grid[..., i], lo, inv,
+                                       ctx.P_object) for i in range(3)]
+            return jnp.stack(chans, -1)
+        return tex.sample_grid3d(grid, lo, inv, ctx.P_object)
+
+    def eval(self, ctx, inp):
+        ones = jnp.ones(ctx.batch_shape, jnp.float32)
+        zeros = jnp.zeros(ctx.batch_shape, jnp.float32)
+        color = self._sample(ctx, "color")
+        if color is None:
+            color = jnp.ones(ctx.batch_shape + (3,), jnp.float32)
+        elif color.ndim == len(ctx.batch_shape):
+            color = color[..., None] * jnp.ones(3)
+        density = self._sample(ctx, "density")
+        flame = self._sample(ctx, "flame")
+        temp = self._sample(ctx, "temperature")
+        return {"color": color,
+                "density": ones if density is None else density,
+                "flame": zeros if flame is None else flame,
+                "temperature": zeros if temp is None else temp}
+
+
+class VectorTransformNode(ShaderNode):
+    """ref: nodes.h VectorTransformNode (svm_vector_transform.h) —
+    convert a vector/point/normal between world, object, and camera
+    spaces using the per-lane object transform rows and the static
+    camera matrix."""
+    NODE_NAME = "vector_transform"
+    INPUTS = [("vector", "vector", (0.5, 0.5, 0.5))]
+    OUTPUTS = [("vector", "vector")]
+    PARAMS = [S("transform_type", S.ENUM, "vector",
+                {"vector": 0, "point": 1, "normal": 2}),
+              S("convert_from", S.ENUM, "world",
+                {"world": 0, "object": 1, "camera": 2}),
+              S("convert_to", S.ENUM, "object",
+                {"world": 0, "object": 1, "camera": 2})]
+
+    def _tfms(self, ctx, space):
+        """(fwd 3x4 to world, inv 3x4 from world) for a space id."""
+        from raytracingproject_tpu.ops import lookup as lk
+        from raytracingproject_tpu.utils import transform as tfm
+        if space == 1:  # object
+            otfm = ctx.object_tfm
+            oitfm = lk.mat34(
+                ctx.object_row[:, lk.OT_ITFM:lk.OT_ITFM + 12])
+            return otfm, oitfm
+        # camera: static matrices attached to the texture store
+        c2w = getattr(ctx.textures, "cam_to_world", None)
+        if c2w is None:
+            c2w = np.eye(3, 4, dtype=np.float32)
+        c2w = np.asarray(c2w, np.float32)
+        w2c = tfm.inverse(c2w)
+        bs = ctx.batch_shape + (3, 4)
+        return (jnp.broadcast_to(jnp.asarray(c2w), bs),
+                jnp.broadcast_to(jnp.asarray(w2c), bs))
+
+    def eval(self, ctx, inp):
+        v = _bc(ctx, inp["vector"])
+        ttype = self.get_enum_int("transform_type")
+        src = self.get_enum_int("convert_from")
+        dst = self.get_enum_int("convert_to")
+        if src == dst:
+            return {"vector": v}
+
+        def apply(mat, vec, inverse_transpose):
+            if ttype == 1:
+                return um.mat34_point(mat, vec)
+            if ttype == 2 and inverse_transpose is not None:
+                return um.mat33T_dir(inverse_transpose, vec)
+            return um.mat34_dir(mat, vec)
+
+        # src -> world
+        if src != 0:
+            fwd, inv = self._tfms(ctx, src)
+            v = apply(fwd, v, inv if ttype == 2 else None)
+        # world -> dst
+        if dst != 0:
+            fwd, inv = self._tfms(ctx, dst)
+            v = apply(inv, v, fwd if ttype == 2 else None)
+        if ttype == 2:
+            v = um.safe_normalize(v)
+        return {"vector": v}
+
+
+class SetNormalNode(ShaderNode):
+    """ref: nodes.h SetNormalNode — overrides the shading normal for
+    downstream closure nodes (connect 'normal' into their normal
+    sockets); also passes the direction through."""
+    NODE_NAME = "set_normal"
+    INPUTS = [("direction", "vector", (0.0, 0.0, 1.0))]
+    OUTPUTS = [("normal", "normal")]
+
+    def eval(self, ctx, inp):
+        return {"normal": um.safe_normalize(_bc(ctx, inp["direction"]))}
+
+
+class AmbientOcclusionNode(ShaderNode):
+    """ref: nodes.h AmbientOcclusionNode (kernel svm_ao) — shade-time
+    hemisphere occlusion probes. The wavefront analog: the integrator
+    casts the probe rays ONCE per shading batch (gated on the scene
+    having this node) and stores the scalar in sd.ao; this node reads
+    it. `samples`/`distance`/`inside` are honored as STATIC scene-wide
+    values (max over nodes) — a connected per-lane Distance input is
+    not supported (documented divergence; the reference compiles it as
+    a constant into SVM for unconnected sockets too)."""
+    NODE_NAME = "ambient_occlusion"
+    INPUTS = [("color", "color", (1.0, 1.0, 1.0)),
+              ("distance", "float", 1.0),
+              ("normal", "normal", (0.0, 0.0, 0.0))]
+    OUTPUTS = [("color", "color"), ("ao", "float")]
+    PARAMS = [S("samples", S.INT, 4),
+              S("inside", S.BOOLEAN, False),
+              S("only_local", S.BOOLEAN, False)]
+
+    def eval(self, ctx, inp):
+        ao = getattr(ctx, "ao", None)
+        if ao is None:
+            ao = jnp.ones(ctx.batch_shape, jnp.float32)
+        return {"color": _bc(ctx, inp["color"]) * ao[..., None],
+                "ao": ao}
+
+
+class BevelNode(ShaderNode):
+    """ref: nodes.h BevelNode (kernel svm_bevel disk probes) — rounds
+    hard edges by averaging the normals of nearby geometry within
+    `radius`. The wavefront analog: the integrator disk-probes once per
+    shading batch into sd.bevel_N (gated on the scene having this
+    node); this node returns it. `radius`/`samples` are static
+    scene-wide values (max over nodes)."""
+    NODE_NAME = "bevel"
+    INPUTS = [("radius", "float", 0.05),
+              ("normal", "normal", (0.0, 0.0, 0.0))]
+    OUTPUTS = [("normal", "normal")]
+    PARAMS = [S("samples", S.INT, 4)]
+
+    def eval(self, ctx, inp):
+        bn = getattr(ctx, "bevel_N", None)
+        if bn is None:
+            return {"normal": ctx.N}
+        return {"normal": bn}

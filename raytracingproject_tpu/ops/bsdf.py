@@ -77,6 +77,181 @@ def _sample_ggx_vndf(v_local, alpha, u1, u2):
     return h
 
 
+def _sample_ggx_vndf_aniso(v_local, ax, ay, u1, u2):
+    """Anisotropic VNDF sampling (Heitz 2018): stretch by (ax, ay),
+    sample the iso hemisphere, unstretch."""
+    vh = um.normalize(jnp.stack([ax * v_local[..., 0],
+                                 ay * v_local[..., 1],
+                                 v_local[..., 2]], -1))
+    lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
+    inv = jnp.where(lensq > 1e-12,
+                    1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-12)), 0.0)
+    t1 = jnp.where(lensq[..., None] > 1e-12,
+                   jnp.stack([-vh[..., 1] * inv, vh[..., 0] * inv,
+                              jnp.zeros_like(inv)], -1),
+                   jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+                                    vh.shape))
+    t2 = jnp.cross(vh, t1)
+    r = jnp.sqrt(u1)
+    phi = um.M_2PI * u2
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vh[..., 2])
+    p2 = (1.0 - s) * um.safe_sqrt(1.0 - p1 * p1) + s * p2
+    p3 = um.safe_sqrt(1.0 - p1 * p1 - p2 * p2)
+    nh = p1[..., None] * t1 + p2[..., None] * t2 + p3[..., None] * vh
+    return um.normalize(jnp.stack([ax * nh[..., 0], ay * nh[..., 1],
+                                   jnp.maximum(nh[..., 2], 1e-6)], -1))
+
+
+def _ggx_lambda_aniso(v, ax, ay):
+    """Smith Lambda for anisotropic GGX, v in tangent space."""
+    vz2 = jnp.maximum(v[..., 2] * v[..., 2], 1e-12)
+    a2 = (ax * ax * v[..., 0] ** 2 + ay * ay * v[..., 1] ** 2) / vz2
+    return 0.5 * (jnp.sqrt(1.0 + a2) - 1.0)
+
+
+def _ggx_reflect_eval_aniso(wo, wi, ax, ay):
+    """Anisotropic GGX reflection f*cos and pdf in tangent space
+    (ref: bsdf_microfacet.h GGX aniso branch — Heitz 2014 D/G)."""
+    cos_o = wo[..., 2]
+    cos_i = wi[..., 2]
+    valid = (cos_o > 1e-6) & (cos_i > 1e-6)
+    h = um.normalize(wo + wi)
+    hh = (h[..., 0] / ax) ** 2 + (h[..., 1] / ay) ** 2 + h[..., 2] ** 2
+    d = 1.0 / jnp.maximum(um.M_PI * ax * ay * hh * hh, 1e-12)
+    lam_o = _ggx_lambda_aniso(wo, ax, ay)
+    lam_i = _ggx_lambda_aniso(wi, ax, ay)
+    g = 1.0 / (1.0 + lam_o + lam_i)
+    g1_o = 1.0 / (1.0 + lam_o)
+    f_cos = jnp.where(valid, d * g / jnp.maximum(4.0 * cos_o, 1e-12), 0.0)
+    pdf = jnp.where(valid, g1_o * d / jnp.maximum(4.0 * cos_o, 1e-12), 0.0)
+    return f_cos, pdf
+
+
+def _aniso_glossy_alphas(c):
+    """(alpha_x, alpha_y) from roughness + anisotropy (ref:
+    svm_closure.h:535-542 anisotropic GGX setup semantics)."""
+    alpha = jnp.maximum(c["glossy_roughness"] ** 2, 1e-7)
+    a = jnp.clip(c["glossy_aniso"], -0.99, 0.99)
+    ax = jnp.where(a < 0.0, alpha / (1.0 + a), alpha * (1.0 - a))
+    ay = jnp.where(a < 0.0, alpha * (1.0 + a), alpha / (1.0 - a))
+    return jnp.maximum(ax, 1e-7), jnp.maximum(ay, 1e-7)
+
+
+def _aniso_frame(c, N):
+    """Shading frame with x along the closure tangent where one is set
+    (projected to the shading plane); the default frame elsewhere.
+    Isotropic lobes are frame-rotation invariant, so sharing one frame
+    across the whole stack is exact."""
+    t0, b0 = um.make_orthonormals(N)
+    T = c["glossy_tangent"]
+    tp = T - N * um.dot(T, N)[..., None]
+    ok = um.dot(tp, tp) > 1e-12
+    t = jnp.where(ok[..., None], um.safe_normalize(tp), t0)
+    b = jnp.cross(N, t)
+    return t, b
+
+
+def _chair_frame(T, I):
+    """Classic-hair shared geometry (ref: bsdf_hair.h): local frame
+    around the curve tangent with y toward the viewer projection, and
+    the viewer inclination theta_r measured from the normal plane."""
+    Tn = um.safe_normalize(T)
+    Iz = um.dot(Tn, I)
+    locy = um.safe_normalize(I - Tn * Iz[..., None])
+    locx = jnp.cross(locy, Tn)
+    theta_r = um.M_PI * 0.5 - jnp.arccos(jnp.clip(Iz, -1.0, 1.0))
+    return Tn, locx, locy, theta_r
+
+
+def _chair_angles(Tn, locy, omega_in):
+    wz = um.dot(Tn, omega_in)
+    wy = um.safe_normalize(omega_in - Tn * wz[..., None])
+    theta_i = um.M_PI * 0.5 - jnp.arccos(jnp.clip(wz, -1.0, 1.0))
+    cosphi_i = um.dot(wy, locy)
+    return theta_i, cosphi_i
+
+
+def _chair_theta_pdf(theta_i, theta_r, r1, off, a, b):
+    t = (theta_i + theta_r) * 0.5 - off
+    costheta_i = jnp.cos(theta_i)
+    return r1 / jnp.maximum(
+        2.0 * (t * t + r1 * r1) * (a - b) * costheta_i, 1e-12)
+
+
+def _chair_ab(theta_r, r1, off):
+    inv = 1.0 / r1
+    a = jnp.arctan(((um.M_PI * 0.5 + theta_r) * 0.5 - off) * inv)
+    b = jnp.arctan(((-um.M_PI * 0.5 + theta_r) * 0.5 - off) * inv)
+    return a, b
+
+
+def _chair_refl_eval(T, I, omega_in, r1, r2, off):
+    """Classic hair reflection R lobe pdf (= grayscale eval; ref:
+    bsdf_hair.h bsdf_hair_reflection_eval_reflect)."""
+    Tn, _locx, locy, theta_r = _chair_frame(T, I)
+    theta_i, cosphi_i = _chair_angles(Tn, locy, omega_in)
+    grazing = um.M_PI * 0.5 - jnp.abs(theta_i) < 0.001
+    phi_i = jnp.minimum(
+        jnp.arccos(jnp.clip(cosphi_i, -1.0, 1.0)) / r2, um.M_PI)
+    a, b = _chair_ab(theta_r, r1, off)
+    theta_pdf = _chair_theta_pdf(theta_i, theta_r, r1, off, a, b)
+    phi_pdf = jnp.cos(phi_i * 0.5) * 0.25 / r2
+    pdf = jnp.where(grazing | (cosphi_i < 0.0), 0.0,
+                    jnp.abs(phi_pdf * theta_pdf))
+    return pdf
+
+
+def _chair_trans_eval(T, I, omega_in, r1, r2, off):
+    """Classic hair transmission TT lobe pdf (ref: bsdf_hair.h
+    bsdf_hair_transmission_eval_transmit)."""
+    Tn, _locx, locy, theta_r = _chair_frame(T, I)
+    theta_i, cosphi_i = _chair_angles(Tn, locy, omega_in)
+    grazing = um.M_PI * 0.5 - jnp.abs(theta_i) < 0.001
+    phi_i = jnp.arccos(jnp.clip(cosphi_i, -1.0, 1.0))
+    a, b = _chair_ab(theta_r, r1, off)
+    c_tt = 2.0 * jnp.arctan(um.M_PI * 0.5 / r2)
+    theta_pdf = _chair_theta_pdf(theta_i, theta_r, r1, off, a, b)
+    p = um.M_PI - jnp.abs(phi_i)
+    phi_pdf = r2 / jnp.maximum(c_tt * (p * p + r2 * r2), 1e-12)
+    # transmission exits the far side only (cosphi <= 0) — the
+    # reference reaches this eval through its eval_transmit dispatch;
+    # gating here keeps the eval support equal to the sample support
+    # (the sampled phi = p + pi never leaves the back half), so the
+    # pdf integrates to exactly 1 over the sphere
+    return jnp.where(grazing | (cosphi_i > 0.0), 0.0,
+                     jnp.abs(phi_pdf * theta_pdf))
+
+
+def _chair_sample(T, I, r1, r2, off, u1, u2, transmit):
+    """Sample the classic-hair R (or TT) lobe; returns (omega, pdf)
+    (ref: bsdf_hair.h bsdf_hair_{reflection,transmission}_sample)."""
+    Tn, locx, locy, theta_r = _chair_frame(T, I)
+    a, b = _chair_ab(theta_r, r1, off)
+    t = r1 * jnp.tan(u1 * (a - b) + b)
+    theta_h = t + off
+    theta_i = 2.0 * theta_h - theta_r
+    costheta_i = jnp.cos(theta_i)
+    sintheta_i = jnp.sin(theta_i)
+    if transmit:
+        c_tt = 2.0 * jnp.arctan(um.M_PI * 0.5 / r2)
+        p = r2 * jnp.tan(c_tt * (u2 - 0.5))
+        phi = p + um.M_PI
+        phi_pdf = r2 / jnp.maximum(c_tt * (p * p + r2 * r2), 1e-12)
+    else:
+        phi = 2.0 * um.safe_asin(1.0 - 2.0 * u2) * r2
+        phi_pdf = jnp.cos(phi * 0.5) * 0.25 / r2
+    theta_pdf = r1 / jnp.maximum(
+        2.0 * (t * t + r1 * r1) * (a - b) * costheta_i, 1e-12)
+    omega = (jnp.cos(phi) * costheta_i)[..., None] * locy \
+        - (jnp.sin(phi) * costheta_i)[..., None] * locx \
+        + sintheta_i[..., None] * Tn
+    pdf = jnp.where(um.M_PI * 0.5 - jnp.abs(theta_i) < 0.001, 0.0,
+                    jnp.abs(phi_pdf * theta_pdf))
+    return omega, pdf
+
+
 def _ggx_reflect_eval(wo, wi, alpha):
     """GGX reflection f*cos and pdf in tangent space (z = normal)."""
     cos_o = wo[..., 2]
@@ -232,25 +407,32 @@ def _lobe_probs(c, include_sss=True):
     wh = jnp.mean(jnp.abs(c["hair"]), -1)
     wtd = jnp.mean(jnp.abs(c["toon_diffuse"]), -1)
     wtg = jnp.mean(jnp.abs(c["toon_glossy"]), -1)
-    tot = wd + wg + wr + wt + wh + wtd + wtg
+    whr = jnp.mean(jnp.abs(c["chair_refl"]), -1)
+    wht = jnp.mean(jnp.abs(c["chair_trans"]), -1)
+    tot = wd + wg + wr + wt + wh + wtd + wtg + whr + wht
     safe = jnp.maximum(tot, 1e-12)
     return (wd / safe, wg / safe, wr / safe, wt / safe, wh / safe,
-            wtd / safe, wtg / safe, tot)
+            wtd / safe, wtg / safe, whr / safe, wht / safe, tot)
 
 
 def _hair_on_curves_only(c, sd):
-    """Principled-hair closures on MESH prims (no packed curve tangent)
-    fall back to a diffuse lobe instead of black: the hair lobe is only
+    """Hair closures on MESH prims (no packed curve tangent) fall back
+    to a diffuse lobe instead of black: the hair lobes are only
     evaluable on curve lanes (is_curve = nonzero tangent), so leaving
-    its mixture weight live on mesh lanes allocates pick probability to
-    a lobe whose sample is then invalid — energy loss. The reference
+    their mixture weight live on mesh lanes allocates pick probability
+    to a lobe whose sample is then invalid — energy loss. The reference
     evals hair via dPdu on any prim (bsdf_hair_principled.h); a diffuse
-    fallback is the graceful wavefront analog."""
+    fallback is the graceful wavefront analog. Applies to both the
+    principled lobe and the classic R/TT lobes (bsdf_hair.h)."""
     is_curve = um.dot(sd.dPdu, sd.dPdu) > 0.25
     c = dict(c)
-    hw = c["hair"]
-    c["diffuse"] = c["diffuse"] + jnp.where(is_curve[..., None], 0.0, hw)
-    c["hair"] = jnp.where(is_curve[..., None], hw, 0.0)
+    onc = is_curve[..., None]
+    fallback = jnp.where(onc, 0.0,
+                         c["hair"] + c["chair_refl"] + c["chair_trans"])
+    c["diffuse"] = c["diffuse"] + fallback
+    c["hair"] = jnp.where(onc, c["hair"], 0.0)
+    c["chair_refl"] = jnp.where(onc, c["chair_refl"], 0.0)
+    c["chair_trans"] = jnp.where(onc, c["chair_trans"], 0.0)
     return c
 
 
@@ -271,13 +453,18 @@ def bsdf_eval(c, N, I, omega_in, features=None, want_components=False,
 
     has_sss_walk = ft.get("has_subsurface", False)
     has_hair = ft.get("has_hair", False) and sd is not None
-    if has_hair:
+    has_chair = ft.get("has_classic_hair", False) and sd is not None
+    has_aniso = ft.get("has_aniso", False)
+    if has_hair or has_chair:
         c = _hair_on_curves_only(c, sd)
-    t, b = um.make_orthonormals(N)
+    if has_aniso:
+        t, b = _aniso_frame(c, N)
+    else:
+        t, b = um.make_orthonormals(N)
     wo = um.to_local(I, t, b, N)
     wi = um.to_local(omega_in, t, b, N)
 
-    pd, pg, pr, pt, ph, ptd, ptg, tot = _lobe_probs(
+    pd, pg, pr, pt, ph, ptd, ptg, phr, pht, tot = _lobe_probs(
         c, include_sss=not has_sss_walk)
 
     reflect_side = wi[..., 2] > 0.0
@@ -302,7 +489,11 @@ def bsdf_eval(c, N, I, omega_in, features=None, want_components=False,
     if has_glossy:
         alpha_g = jnp.maximum(c["glossy_roughness"] ** 2, 1e-7)
         glossy_delta = c["glossy_roughness"] < SHARP_ROUGHNESS
-        fg, pdfg = _ggx_reflect_eval(wo, wi, alpha_g)
+        if has_aniso:
+            ax_g, ay_g = _aniso_glossy_alphas(c)
+            fg, pdfg = _ggx_reflect_eval_aniso(wo, wi, ax_g, ay_g)
+        else:
+            fg, pdfg = _ggx_reflect_eval(wo, wi, alpha_g)
         f_gloss = jnp.where((~glossy_delta & reflect_side)[..., None],
                             c["glossy"] * fg[..., None], 0.0)
         pdf_gloss = jnp.where(~glossy_delta & reflect_side, pdfg, 0.0)
@@ -382,6 +573,28 @@ def bsdf_eval(c, N, I, omega_in, features=None, want_components=False,
         if want_components:
             comp["glossy"] = comp.get("glossy", 0.0) + f_hair
 
+    if has_chair:
+        # classic hair R / TT lobes (ref: bsdf_hair.h): grayscale eval
+        # equals the pdf (perfect importance sampling), colored by the
+        # closure weight; live on curve lanes only (nonzero tangent)
+        is_curve_c = um.dot(sd.dPdu, sd.dPdu) > 0.25
+        r1r = jnp.clip(c["chair_refl_r1"], 1e-3, 1.0)
+        r2r = jnp.clip(c["chair_refl_r2"], 1e-3, 1.0)
+        pdf_hr = _chair_refl_eval(sd.dPdu, I, omega_in, r1r, r2r,
+                                  c["chair_refl_off"])
+        pdf_hr = jnp.where(is_curve_c, pdf_hr, 0.0)
+        r1t = jnp.clip(c["chair_trans_r1"], 1e-3, 1.0)
+        r2t = jnp.clip(c["chair_trans_r2"], 1e-3, 1.0)
+        pdf_ht = _chair_trans_eval(sd.dPdu, I, omega_in, r1t, r2t,
+                                   c["chair_trans_off"])
+        pdf_ht = jnp.where(is_curve_c, pdf_ht, 0.0)
+        f_chair = c["chair_refl"] * pdf_hr[..., None] \
+            + c["chair_trans"] * pdf_ht[..., None]
+        f = f + f_chair
+        pdf = pdf + phr * pdf_hr + pht * pdf_ht
+        if want_components:
+            comp["glossy"] = comp.get("glossy", 0.0) + f_chair
+
     if want_components:
         return f, pdf, comp
     return f, pdf
@@ -399,47 +612,52 @@ def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe, features=None, sd=None):
     has_refraction = ft.get("has_refraction", True)
     has_transparent = ft.get("has_transparent", True)
     has_hair = ft.get("has_hair", False) and sd is not None
-    if has_hair:
+    has_chair = ft.get("has_classic_hair", False) and sd is not None
+    has_aniso = ft.get("has_aniso", False)
+    if has_hair or has_chair:
         c = _hair_on_curves_only(c, sd)
 
-    t, b = um.make_orthonormals(N)
+    if has_aniso:
+        t, b = _aniso_frame(c, N)
+    else:
+        t, b = um.make_orthonormals(N)
     wo = um.to_local(I, t, b, N)
 
     has_toon = ft.get("has_toon", False)
-    pd, pg, pr, pt, phh, ptd, ptg, tot = _lobe_probs(
+    pd, pg, pr, pt, phh, ptd, ptg, phr, pht, tot = _lobe_probs(
         c, include_sss=not ft.get("has_subsurface", False))
-    cdf_d = pd
-    cdf_g = pd + pg
-    cdf_r = pd + pg + pr
-    cdf_t = pd + pg + pr + pt
-    pick_d = u_lobe < cdf_d
-    pick_g = ~pick_d & (u_lobe < cdf_g) if has_glossy \
-        else jnp.zeros_like(pick_d)
-    pick_r = ~pick_d & ~pick_g & (u_lobe < cdf_r) if has_refraction \
-        else jnp.zeros_like(pick_d)
-    rest = ~pick_d & ~pick_g & ~pick_r
-    zeros_b = jnp.zeros_like(pick_d)
-    if has_toon:
-        # chain extends past transparent/hair into the toon cones
-        cdf_h = cdf_t + phh
-        cdf_td = cdf_h + ptd
-        pick_t = rest & (u_lobe < cdf_t) if has_transparent else zeros_b
-        pick_h = (rest & ~pick_t & (u_lobe < cdf_h)) if has_hair \
-            else zeros_b
-        pick_td = rest & ~pick_t & ~pick_h & (u_lobe < cdf_td)
-        pick_tg = rest & ~pick_t & ~pick_h & ~pick_td
-    elif has_hair:
-        pick_t = rest & (u_lobe < cdf_t) if has_transparent \
-            else jnp.zeros_like(pick_d)
-        pick_h = rest & ~pick_t
-        pick_td = pick_tg = zeros_b
-    else:
-        pick_t = rest if has_transparent else jnp.zeros_like(pick_d)
-        pick_h = jnp.zeros_like(pick_d)
-        pick_td = pick_tg = zeros_b
-    if not (has_glossy or has_refraction or has_transparent or has_hair
-            or has_toon):
-        pick_d = jnp.ones_like(pick_d)
+    # statically-unrolled pick chain over the enabled lobes: each lobe
+    # claims [cdf, cdf + p) of u_lobe; disabled lobes carry zero weight
+    # (no node can produce them) so their intervals are empty anyway,
+    # and the final enabled lobe absorbs the tail for fp robustness
+    zeros_b = jnp.zeros_like(u_lobe < 0)
+    chain = [("d", pd, True),
+             ("g", pg, has_glossy),
+             ("r", pr, has_refraction),
+             ("t", pt, has_transparent),
+             ("h", phh, has_hair),
+             ("td", ptd, has_toon),
+             ("tg", ptg, has_toon),
+             ("hr", phr, has_chair),
+             ("ht", pht, has_chair)]
+    enabled = [nm for nm, _p, en in chain if en]
+    picks = {}
+    cdf = None
+    taken = zeros_b
+    for nm, p, en in chain:
+        if not en:
+            picks[nm] = zeros_b
+            continue
+        cdf = p if cdf is None else cdf + p
+        if nm == enabled[-1]:
+            picks[nm] = ~taken  # absorb the fp tail
+        else:
+            picks[nm] = ~taken & (u_lobe < cdf)
+        taken = taken | picks[nm]
+    pick_d, pick_g, pick_r, pick_t = (picks["d"], picks["g"], picks["r"],
+                                      picks["t"])
+    pick_h, pick_td, pick_tg = picks["h"], picks["td"], picks["tg"]
+    pick_hr, pick_ht = picks["hr"], picks["ht"]
 
     # --- diffuse: cosine hemisphere ---
     r = jnp.sqrt(u1)
@@ -458,7 +676,11 @@ def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe, features=None, sd=None):
     if has_glossy:
         # --- glossy: VNDF half-vector, reflect ---
         alpha_g = jnp.maximum(c["glossy_roughness"] ** 2, 1e-7)
-        h_g = _sample_ggx_vndf(wo, alpha_g, u1, u2)
+        if has_aniso:
+            ax_g, ay_g = _aniso_glossy_alphas(c)
+            h_g = _sample_ggx_vndf_aniso(wo, ax_g, ay_g, u1, u2)
+        else:
+            h_g = _sample_ggx_vndf(wo, alpha_g, u1, u2)
         wi_gloss = 2.0 * um.dot3(wo, h_g) * h_g - wo
         wi_gloss_delta = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
         wi_gloss = jnp.where(glossy_delta[..., None], wi_gloss_delta, wi_gloss)
@@ -523,6 +745,22 @@ def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe, features=None, sd=None):
             c["hair_alpha"], jnp.maximum(c["hair_ior"], 1.01))
         omega = jnp.where(pick_h[..., None], omega_h, omega)
         label = jnp.where(pick_h, LABEL_GLOSSY, label)
+
+    if has_chair:
+        # classic hair R / TT lobes sample in world space around the
+        # curve tangent (ref: bsdf_hair.h *_sample)
+        omega_hr, _pdf_hr = _chair_sample(
+            sd.dPdu, I, jnp.clip(c["chair_refl_r1"], 1e-3, 1.0),
+            jnp.clip(c["chair_refl_r2"], 1e-3, 1.0),
+            c["chair_refl_off"], u1, u2, transmit=False)
+        omega_ht, _pdf_ht = _chair_sample(
+            sd.dPdu, I, jnp.clip(c["chair_trans_r1"], 1e-3, 1.0),
+            jnp.clip(c["chair_trans_r2"], 1e-3, 1.0),
+            c["chair_trans_off"], u1, u2, transmit=True)
+        omega = jnp.where(pick_hr[..., None], omega_hr, omega)
+        omega = jnp.where(pick_ht[..., None], omega_ht, omega)
+        label = jnp.where(pick_hr, LABEL_GLOSSY, label)
+        label = jnp.where(pick_ht, LABEL_TRANSMIT | LABEL_GLOSSY, label)
 
     # --- combine: delta lanes bypass the mixture eval ---
     sampled_delta = ((pick_g & glossy_delta) | (pick_r & refr_delta) | pick_t)

@@ -28,18 +28,22 @@ import jax.numpy as jnp
 CLOSURE_VEC_KEYS = ("emission", "diffuse", "glossy", "refraction",
                     "transparent", "subsurface", "subsurface_radius",
                     "holdout", "hair", "hair_sigma",
-                    "toon_diffuse", "toon_glossy", "sheen")
+                    "toon_diffuse", "toon_glossy", "sheen",
+                    "glossy_tangent", "chair_refl", "chair_trans")
 CLOSURE_SCALAR_KEYS = ("glossy_roughness", "refraction_roughness", "ior",
                        "diffuse_roughness", "glossy_multiscatter",
                        "subsurface_burley", "hair_v", "hair_s",
                        "hair_alpha", "hair_ior",
                        "toon_diffuse_size", "toon_diffuse_smooth",
                        "toon_glossy_size", "toon_glossy_smooth",
-                       "sheen_sigma")
+                       "sheen_sigma", "glossy_aniso",
+                       "chair_refl_r1", "chair_refl_r2", "chair_refl_off",
+                       "chair_trans_r1", "chair_trans_r2", "chair_trans_off")
 
 # vec keys that are PARAMETERS of their slot, not weights: they do not
 # scale with mix factors, they blend by the slot's weight
-_PARAM_VEC = {"subsurface_radius": "subsurface", "hair_sigma": "hair"}
+_PARAM_VEC = {"subsurface_radius": "subsurface", "hair_sigma": "hair",
+              "glossy_tangent": "glossy"}
 
 # which slot's weight governs a scalar parameter's blend in add/mix
 _SCALAR_SLOT = {
@@ -58,6 +62,13 @@ _SCALAR_SLOT = {
     "toon_glossy_size": "toon_glossy",
     "toon_glossy_smooth": "toon_glossy",
     "sheen_sigma": "sheen",
+    "glossy_aniso": "glossy",
+    "chair_refl_r1": "chair_refl",
+    "chair_refl_r2": "chair_refl",
+    "chair_refl_off": "chair_refl",
+    "chair_trans_r1": "chair_trans",
+    "chair_trans_r2": "chair_trans",
+    "chair_trans_off": "chair_trans",
 }
 
 

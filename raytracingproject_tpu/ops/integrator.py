@@ -515,6 +515,127 @@ def make_path_kernel(kg, px, py, pixel_index):
             ds, hit, st["o"], st["d"], time=st["time"],
             ray_depth=bounce,
             path_flag=st["path_flag"], textures=kg["textures"])
+
+        # ---- shade-time probe rays for AmbientOcclusionNode /
+        # BevelNode (ref: nodes.h AmbientOcclusionNode + BevelNode,
+        # kernel svm_ao/svm_bevel). Computed ONCE per shading batch and
+        # handed to the nodes through sd — the wavefront analog of the
+        # reference's in-shader probe loops. All K probes ride one
+        # flattened (K*N)-lane sweep instead of K dispatches. ----
+        if bool(features.get("has_ao_node", False)) \
+                and "shade" not in ablate:
+            K = int(features.get("ao_node_samples", 4))
+            ao_dist = float(features.get("ao_node_distance", 1.0))
+            n_ao = -sd.N if features.get("ao_node_inside") else sd.N
+            us, vs = rng2_batch(
+                [jnp.uint32(100_000 + bounce * 64 + k)
+                 for k in range(K)], samples=st["sample"])
+            d_k, _ = um.sample_cos_hemisphere(
+                jnp.broadcast_to(n_ao[None], (K, n, 3)), us, vs)
+            eps = _offset_eps(sd.P, sd.ray_length)
+            off = jnp.where(um.dot(d_k, sd.Ng[None])[..., None] > 0,
+                            sd.Ng[None], -sd.Ng[None]) \
+                * eps[None, :, None]
+            blocked = _shadow_blocked(
+                kg, (sd.P[None] + off).reshape(-1, 3),
+                d_k.reshape(-1, 3),
+                jnp.full((K * n,), 1e-5, jnp.float32),
+                jnp.full((K * n,), min(ao_dist, 1e30), jnp.float32),
+                time=jnp.broadcast_to(st["time"][None],
+                                      (K, n)).reshape(-1)
+                if st["time"] is not None else None)
+            sd.ao = 1.0 - jnp.mean(
+                blocked.reshape(K, n).astype(jnp.float32), axis=0)
+        if bool(features.get("has_bevel_node", False)) \
+                and "shade" not in ablate:
+            # ref: svm/svm_bevel.h svm_bevel — BSSRDF-style disk
+            # probes with a RANDOM axis pick among {Ng, T, B}
+            # (0.5/0.25/0.25) and 3-axis MIS. The tangent-axis probes
+            # are what see the adjacent face of a CONVEX edge (a probe
+            # along -N is parallel to it and can never hit). Closest
+            # hit stands in for the reference's LOCAL_MAX_HITS
+            # multi-hit list; all-object instead of same-object.
+            K = int(features.get("bevel_node_samples", 4))
+            r_bev = float(features.get("bevel_node_radius", 0.05))
+            us, vs = rng2_batch(
+                [jnp.uint32(200_000 + bounce * 64 + k)
+                 for k in range(K)], samples=st["sample"])
+            ng = sd.Ng
+            t1, b1 = um.make_orthonormals(ng)
+            # per-lane axis pick from the u random (ref lines 67-92)
+            pick_n = us < 0.5
+            pick_t = (us >= 0.5) & (us < 0.75)
+            disk_u = jnp.where(pick_n, us * 2.0,
+                               jnp.where(pick_t, (us - 0.5) * 4.0,
+                                         (us - 0.75) * 4.0))
+
+            def _sel(v_n, v_t, v_b):
+                return jnp.where(pick_n[..., None], v_n,
+                                 jnp.where(pick_t[..., None], v_t, v_b))
+            axes = (jnp.broadcast_to(ng[None], (K, n, 3)),
+                    jnp.broadcast_to(t1[None], (K, n, 3)),
+                    jnp.broadcast_to(b1[None], (K, n, 3)))
+            disk_N = _sel(axes[0], axes[1], axes[2])
+            disk_T = _sel(axes[1], axes[0], axes[1])
+            disk_B = _sel(axes[2], axes[2], axes[0])
+            pp_n = jnp.where(pick_n, 0.5, 0.25)
+            pp_t = jnp.where(pick_t, 0.5, 0.25)
+            pp_b = jnp.where(pick_n | pick_t, 0.25, 0.5)
+            # cubic-falloff radius sample (ref bssrdf_cubic_sample):
+            # invert the quintic CDF 10x^2-20x^3+15x^4-4x^5 by Newton
+            x = jnp.full_like(vs, 0.25)
+            for _ in range(8):
+                x2, nx = x * x, 1.0 - x
+                f = 10.0 * x2 - 20.0 * x2 * x + 15.0 * x2 * x2 \
+                    - 4.0 * x2 * x2 * x - vs
+                fp = 20.0 * x * nx * nx * nx
+                x = jnp.clip(x - f / jnp.maximum(fp, 1e-6), 0.0, 1.0)
+            disk_r = r_bev * x                               # (K, n)
+            disk_h = jnp.sqrt(jnp.maximum(
+                r_bev * r_bev - disk_r * disk_r, 0.0))
+            phi = um.M_2PI * disk_u
+            o_b = (sd.P[None] + disk_N * disk_h[..., None]
+                   + disk_T * (disk_r * jnp.cos(phi))[..., None]
+                   + disk_B * (disk_r * jnp.sin(phi))[..., None]) \
+                .reshape(-1, 3)
+            d_b = (-disk_N).reshape(-1, 3)
+            t_b = jnp.broadcast_to(st["time"][None],
+                                   (K, n)).reshape(-1) \
+                if st["time"] is not None else None
+            hit_b = _scene_intersect(
+                kg, o_b, d_b, jnp.zeros((K * n,), jnp.float32),
+                (2.0 * disk_h).reshape(-1),
+                jnp.full((K * n,), ob.PATH_RAY_DIFFUSE, jnp.uint32),
+                time=t_b)
+            sd_b = shade_ops.shader_setup(
+                ds, hit_b, o_b, d_b, time=t_b,
+                path_flag=jnp.full((K * n,), ob.PATH_RAY_DIFFUSE,
+                                   jnp.uint32),
+                textures=kg["textures"])
+            hit_ng = sd_b.Ng.reshape(K, n, 3)
+            # 3-axis MIS (power heuristic, ref lines 169-180)
+            pdf_n = pp_n * jnp.abs(um.dot(disk_N, hit_ng))
+            pdf_t = pp_t * jnp.abs(um.dot(disk_T, hit_ng))
+            pdf_b = pp_b * jnp.abs(um.dot(disk_B, hit_ng))
+            w = pdf_n / jnp.maximum(
+                pdf_n * pdf_n + pdf_t * pdf_t + pdf_b * pdf_b, 1e-20)
+            # reweight sampled disk radius -> real distance to hit
+            # (ref bssrdf_cubic_pdf: 10 (R-r)^3 / (pi R^5))
+            P_hit = (o_b + d_b * hit_b["t"][:, None]).reshape(K, n, 3)
+            r_real = um.length(P_hit - sd.P[None])
+
+            def _cubic(r):
+                f = jnp.maximum(r_bev - r, 0.0)
+                return 10.0 * f * f * f / (um.M_PI * r_bev ** 5)
+            w = w * _cubic(r_real) / jnp.maximum(_cubic(disk_r), 1e-20)
+            valid = (hit_b["prim"].reshape(K, n) >= 0)
+            w = jnp.where(valid, w, 0.0)
+            sum_N = jnp.sum(w[..., None] * sd_b.N.reshape(K, n, 3),
+                            axis=0)
+            bev = um.safe_normalize(sum_N)
+            sd.bevel_N = jnp.where(
+                um.dot(bev, bev)[..., None] < 0.5, sd.N, bev)
+
         if bool(features.get("has_bump", False)) and "bump" not in ablate:
             # bump mapping perturbs N BEFORE closure eval so fresnel/
             # layer-weight nodes see the bumped frame (ref: ShaderGraph

@@ -49,6 +49,13 @@ class ShaderData:
     bary_u: Any = None       # (N,) hit barycentric u (bump differencing)
     bary_v: Any = None
     gen_tfm: Any = None      # (N, 3, 4) world P -> generated coords
+    vcol: Any = None         # (N, 4) interpolated vertex color (RGBA);
+                             # None when the scene packs no color attr
+    ao: Any = None           # (N,) shade-time AO probe result for
+                             # AmbientOcclusionNode (integrator fills
+                             # it only when the scene has the node)
+    bevel_N: Any = None      # (N, 3) probe-averaged normal for
+                             # BevelNode; None without the node
     textures: Any = None
     batch_shape: tuple = field(default_factory=tuple)
     # cached wide-table rows for reuse by light MIS (avoids re-lookup)
@@ -61,8 +68,8 @@ _SD_ARRAY_FIELDS = [
     "P", "N", "Ng", "Ns", "I", "uv", "generated", "P_object", "time",
     "ray_length", "ray_depth", "path_flag", "prim", "shader",
     "object_index", "object_color", "object_location", "object_random",
-    "backfacing", "dPdu", "bary_u", "bary_v", "gen_tfm",
-    "prim_row", "object_tfm", "object_row"]
+    "backfacing", "dPdu", "bary_u", "bary_v", "gen_tfm", "vcol",
+    "ao", "bevel_N", "prim_row", "object_tfm", "object_row"]
 
 
 def _sd_flatten(sd):
@@ -143,6 +150,15 @@ def shader_setup(dscene, hit, ray_o, ray_d, time=None, ray_depth=None,
     tan_w = um.mat34_dir(otfm, tan_obj)
     dPdu = jnp.where(is_curve[:, None], um.safe_normalize(tan_w), 0.0)
 
+    # per-corner vertex colors (ref: ATTR_STD_VERTEX_COLOR consumed by
+    # VertexColorNode/svm_attribute): a separate 12-wide table, gathered
+    # only when the scene packs the attribute (scene.py gates it on
+    # some shader actually reading it)
+    vcol = None
+    if "prim_vcol" in dscene:
+        vrow = lk.lookup_rows(dscene["prim_vcol"], prim).reshape(n, 3, 4)
+        vcol = w * vrow[:, 0] + u * vrow[:, 1] + v * vrow[:, 2]
+
     # generated coords: object-space position normalized to geometry
     # bounds (ref: ATTR_STD_GENERATED semantics)
     glo = orow[:, lk.OT_BOUNDS_LO:lk.OT_BOUNDS_LO + 3]
@@ -170,7 +186,7 @@ def shader_setup(dscene, hit, ray_o, ray_d, time=None, ray_depth=None,
         object_color=orow[:, lk.OT_COLOR:lk.OT_COLOR + 3],
         object_location=otfm[:, :, 3],
         dPdu=dPdu,
-        bary_u=hit["u"], bary_v=hit["v"], gen_tfm=gen_tfm,
+        bary_u=hit["u"], bary_v=hit["v"], gen_tfm=gen_tfm, vcol=vcol,
         object_random=orow[:, lk.OT_RANDOM],
         backfacing=backfacing,
         textures=textures,

@@ -145,6 +145,18 @@ def safe_acos(x):
     return jnp.arccos(jnp.clip(x, -1.0, 1.0))
 
 
+def safe_asin(x):
+    return jnp.arcsin(jnp.clip(x, -1.0, 1.0))
+
+
+def rotate_around_axis(v, axis, angle):
+    """Rodrigues rotation of v about unit axis by angle (radians)."""
+    c = jnp.cos(angle)[..., None]
+    s = jnp.sin(angle)[..., None]
+    d = dot(axis, v)[..., None]
+    return v * c + cross(axis, v) * s + axis * d * (1.0 - c)
+
+
 def sqr(x):
     return x * x
 
