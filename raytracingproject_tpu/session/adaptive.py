@@ -69,8 +69,17 @@ def render_adaptive(kg, W, H, spp, *, threshold, min_samples=None,
         extra = n - R * A
         reps = np.full(A, R, np.int64)
         reps[:extra] += 1
-        # never start a replica wholly past the per-pixel budget
-        cap = np.maximum((spp - counts[active] + chunk - 1) // chunk, 1)
+        # per-dispatch milestone: stop at min_samples for the first
+        # convergence check, then at each doubling (ref:
+        # kernel_adaptive_sampling.h checks on a power-of-two-ish
+        # cadence) — otherwise a wide wavefront (lanes >> active*chunk)
+        # would exhaust the whole spp budget in one dispatch and the
+        # error estimator never gets to cull anything
+        ca = counts[active]
+        milestone = np.where(ca < min_samples, min_samples,
+                             np.minimum(np.maximum(ca * 2, ca + chunk),
+                                        spp))
+        cap = np.maximum((milestone - ca + chunk - 1) // chunk, 1)
         reps_c = np.minimum(reps, cap)
         lane_pix = np.repeat(active, reps_c)
         offs = np.repeat(np.cumsum(reps_c) - reps_c, reps_c)
