@@ -35,6 +35,9 @@ class Integrator(Node):
         # volume
         S("volume_max_steps", S.INT, 1024),
         S("volume_step_rate", S.FLOAT, 1.0),
+        # nested-media stack depth (ref: kernel_types.h:1035
+        # VolumeStack; static here — it sizes a wavefront state array)
+        S("volume_stack_depth", S.INT, 4),
         # caustics / filtering
         S("caustics_reflective", S.BOOLEAN, True),
         S("caustics_refractive", S.BOOLEAN, True),

@@ -1220,6 +1220,7 @@ class Scene:
             "use_brute": ds["use_brute"],
             "cluster_tris": ds.get("cluster_tris", 0),
             "bvh_stack_depth": ds.get("bvh_stack_depth", 0),
+            "volume_stack_depth": int(self.integrator.volume_stack_depth),
             # material-sorted shading (shade.eval_shaders_sorted):
             # profitable when many/large shader graphs would otherwise
             # each run a full masked wavefront pass

@@ -16,6 +16,7 @@ TPU analog of the reference's feature-pruned kernel compiles
 """
 
 from __future__ import annotations
+from raytracingproject_tpu.utils import precision as prec
 
 import jax
 import jax.numpy as jnp
@@ -125,7 +126,7 @@ def _shadow_transmittance(kg, o, d, tmin, tmax, time=None):
     is_st = jnp.asarray(np.array(kg["shader_shadow_transparent"], bool))
     max_hits = max(int(kg["kint"]["transparent_max_bounce"]), 1)
 
-    trans = jnp.ones((n, 3), jnp.float32)
+    trans = jnp.ones((n, 3), prec.FT)
     active = tmax > tmin
     t_lo = tmin
     for _ in range(max_hits):
@@ -242,9 +243,9 @@ def make_path_kernel(kg, px, py, pixel_index):
             # shoots probe rays at the surface instead of camera rays)
             ro = kg["ray_override"]
             ray = {"o": ro["o"], "d": ro["d"],
-                   "tmin": jnp.zeros((n,), jnp.float32),
-                   "tmax": ro.get("tmax", jnp.full((n,), 1e30, jnp.float32)),
-                   "time": jnp.zeros((n,), jnp.float32)}
+                   "tmin": jnp.zeros((n,), prec.FT),
+                   "tmax": ro.get("tmax", jnp.full((n,), 1e30, prec.FT)),
+                   "time": jnp.zeros((n,), prec.FT)}
         else:
             # --- camera sample (ref: kernel_path.h:643-660) ---
             cu, cv = rng2_batch(
@@ -252,9 +253,9 @@ def make_path_kernel(kg, px, py, pixel_index):
                 samples=samples_cam)
             (fu, lens_u, time_u), (fv, lens_v, _) = cu, cv
             ft = kg["filter_table"]
-            raster_x = px.astype(jnp.float32) + 0.5 \
+            raster_x = px.astype(prec.FT) + 0.5 \
                 + film_ops.filter_table_lookup(ft, fu)
-            raster_y = py.astype(jnp.float32) + 0.5 \
+            raster_y = py.astype(prec.FT) + 0.5 \
                 + film_ops.filter_table_lookup(ft, fv)
             ray = cam_ops.camera_sample_ray(kg["cam"], raster_x, raster_y,
                                             lens_u, lens_v, time_u)
@@ -262,12 +263,12 @@ def make_path_kernel(kg, px, py, pixel_index):
             "o": ray["o"], "d": ray["d"],
             "tmin": ray["tmin"], "tmax": ray["tmax"],
             "time": ray["time"],
-            "throughput": jnp.ones((n, 3), jnp.float32),
-            "L": jnp.zeros((n, 3), jnp.float32),
-            "alpha": (jnp.zeros((n,), jnp.float32) if kg["film_transparent"]
-                      else jnp.ones((n,), jnp.float32)),
+            "throughput": jnp.ones((n, 3), prec.FT),
+            "L": jnp.zeros((n, 3), prec.FT),
+            "alpha": (jnp.zeros((n,), prec.FT) if kg["film_transparent"]
+                      else jnp.ones((n,), prec.FT)),
             "alive": jnp.ones((n,), bool),
-            "pdf_prev": jnp.zeros((n,), jnp.float32),
+            "pdf_prev": jnp.zeros((n,), prec.FT),
             "singular_prev": jnp.ones((n,), bool),  # camera: weight 1
             "path_flag": jnp.full((n,), ob.PATH_RAY_CAMERA, jnp.uint32),
             "diffuse_depth": jnp.zeros((n,), jnp.int32),
@@ -278,42 +279,44 @@ def make_path_kernel(kg, px, py, pixel_index):
             "sample": samples_u32,
         }
         if has_volume:
-            # two-level volume stack (ref: volume stack,
-            # kernel_types.h:1035): current medium + one enclosing
-            # medium (covers glass-in-smoke etc.; deeper nesting later)
+            # K-level volume stack (ref: kernel_types.h:1035
+            # VolumeStack): vol_shader = current medium (top),
+            # vol_rest = the K-1 enclosing media below it, so e.g.
+            # liquid-in-glass-in-smoke resolves correctly
+            vk = max(2, int(kg.get("volume_stack_depth", 4)))
             state["vol_shader"] = jnp.full((n,), -1, jnp.int32)
-            state["vol_outer"] = jnp.full((n,), -1, jnp.int32)
+            state["vol_rest"] = jnp.full((n, vk - 1), -1, jnp.int32)
         if has_sss:
             # random-walk SSS medium (ref: kernel_subsurface.h random
             # walk; the walk reuses the volume scattering machinery)
             state["in_sss"] = jnp.zeros((n,), bool)
-            state["sss_sigma_t"] = jnp.zeros((n, 3), jnp.float32)
-            state["sss_albedo"] = jnp.ones((n, 3), jnp.float32)
+            state["sss_sigma_t"] = jnp.zeros((n, 3), prec.FT)
+            state["sss_albedo"] = jnp.ones((n, 3), prec.FT)
         # aux pass collection (ref: kernel_passes.h; first-hit data)
         if aux_names:
-            state["aux_normal"] = jnp.zeros((n, 3), jnp.float32)
-            state["aux_albedo"] = jnp.zeros((n, 3), jnp.float32)
-            state["aux_depth"] = jnp.zeros((n,), jnp.float32)
-            state["aux_object_id"] = jnp.full((n,), -1.0, jnp.float32)
-            state["aux_material_id"] = jnp.full((n,), -1.0, jnp.float32)
-            state["aux_emission"] = jnp.zeros((n, 3), jnp.float32)
-            state["aux_background"] = jnp.zeros((n, 3), jnp.float32)
+            state["aux_normal"] = jnp.zeros((n, 3), prec.FT)
+            state["aux_albedo"] = jnp.zeros((n, 3), prec.FT)
+            state["aux_depth"] = jnp.zeros((n,), prec.FT)
+            state["aux_object_id"] = jnp.full((n,), -1.0, prec.FT)
+            state["aux_material_id"] = jnp.full((n,), -1.0, prec.FT)
+            state["aux_emission"] = jnp.zeros((n, 3), prec.FT)
+            state["aux_background"] = jnp.zeros((n, 3), prec.FT)
             if "ao" in aux_names:
-                state["aux_ao"] = jnp.zeros((n, 3), jnp.float32)
+                state["aux_ao"] = jnp.zeros((n, 3), prec.FT)
             for nm in aov_names:
-                state["aux_aov:" + nm] = jnp.zeros((n, 3), jnp.float32)
+                state["aux_aov:" + nm] = jnp.zeros((n, 3), prec.FT)
             if "mist" in aux_names:
-                state["aux_mist"] = jnp.zeros((n,), jnp.float32)
+                state["aux_mist"] = jnp.zeros((n,), prec.FT)
         if light_passes:
             # per-category radiance split (ref: kernel_accumulate.h
             # PathRadiance direct/indirect/color decomposition); the
             # category is fixed by the FIRST bounce's lobe.
             for cat in LP_CATS:
-                state[f"aux_{cat}_direct"] = jnp.zeros((n, 3), jnp.float32)
-                state[f"aux_{cat}_indirect"] = jnp.zeros((n, 3), jnp.float32)
-            state["aux_diffuse_color"] = jnp.zeros((n, 3), jnp.float32)
-            state["aux_glossy_color"] = jnp.zeros((n, 3), jnp.float32)
-            state["aux_transmission_color"] = jnp.zeros((n, 3), jnp.float32)
+                state[f"aux_{cat}_direct"] = jnp.zeros((n, 3), prec.FT)
+                state[f"aux_{cat}_indirect"] = jnp.zeros((n, 3), prec.FT)
+            state["aux_diffuse_color"] = jnp.zeros((n, 3), prec.FT)
+            state["aux_glossy_color"] = jnp.zeros((n, 3), prec.FT)
+            state["aux_transmission_color"] = jnp.zeros((n, 3), prec.FT)
             state["first_cat"] = jnp.full((n,), -1, jnp.int32)
         return state
 
@@ -499,13 +502,13 @@ def make_path_kernel(kg, px, py, pixel_index):
             w_bg = jnp.where(st["singular_prev"], 1.0,
                              um.power_heuristic(st["pdf_prev"], pdf_bg))
         else:
-            w_bg = jnp.ones((n,), jnp.float32)
+            w_bg = jnp.ones((n,), prec.FT)
         contrib = _clamp_contrib(throughput * bg * w_bg[:, None], clamp_val)
         L = jnp.where(miss[:, None], L + contrib, L)
         # transparent film: any surface hit makes the pixel opaque;
         # opaque film: alpha is 1 everywhere (set at init).
         alpha = jnp.maximum(st["alpha"],
-                            (alive & (found | scattered)).astype(jnp.float32)) \
+                            (alive & (found | scattered)).astype(prec.FT)) \
             if kg["film_transparent"] else st["alpha"]
         alive = alive & (found | scattered)
         on_surface = alive & ~scattered
@@ -539,13 +542,13 @@ def make_path_kernel(kg, px, py, pixel_index):
             blocked = _shadow_blocked(
                 kg, (sd.P[None] + off).reshape(-1, 3),
                 d_k.reshape(-1, 3),
-                jnp.full((K * n,), 1e-5, jnp.float32),
-                jnp.full((K * n,), min(ao_dist, 1e30), jnp.float32),
+                jnp.full((K * n,), 1e-5, prec.FT),
+                jnp.full((K * n,), min(ao_dist, 1e30), prec.FT),
                 time=jnp.broadcast_to(st["time"][None],
                                       (K, n)).reshape(-1)
                 if st["time"] is not None else None)
             sd.ao = 1.0 - jnp.mean(
-                blocked.reshape(K, n).astype(jnp.float32), axis=0)
+                blocked.reshape(K, n).astype(prec.FT), axis=0)
         if bool(features.get("has_bevel_node", False)) \
                 and "shade" not in ablate:
             # ref: svm/svm_bevel.h svm_bevel — BSSRDF-style disk
@@ -603,7 +606,7 @@ def make_path_kernel(kg, px, py, pixel_index):
                                    (K, n)).reshape(-1) \
                 if st["time"] is not None else None
             hit_b = _scene_intersect(
-                kg, o_b, d_b, jnp.zeros((K * n,), jnp.float32),
+                kg, o_b, d_b, jnp.zeros((K * n,), prec.FT),
                 (2.0 * disk_h).reshape(-1),
                 jnp.full((K * n,), ob.PATH_RAY_DIFFUSE, jnp.uint32),
                 time=t_b)
@@ -677,8 +680,8 @@ def make_path_kernel(kg, px, py, pixel_index):
             for k in _cls.CLOSURE_VEC_KEYS:
                 if k == "subsurface_radius":
                     continue
-                base_v = jnp.ones((n, 3), jnp.float32) if k == "diffuse" \
-                    else jnp.zeros((n, 3), jnp.float32)
+                base_v = jnp.ones((n, 3), prec.FT) if k == "diffuse" \
+                    else jnp.zeros((n, 3), prec.FT)
                 closures[k] = jnp.where(sss_exit[:, None], base_v,
                                         closures[k])
             closures["diffuse_roughness"] = jnp.where(
@@ -702,8 +705,8 @@ def make_path_kernel(kg, px, py, pixel_index):
                 * _offset_eps(sd.P, sd.ray_length)[:, None]
             ao_blocked = _shadow_blocked(
                 kg, sd.P + ao_off, ao_dir,
-                jnp.full((n,), 1e-5, jnp.float32),
-                jnp.full((n,), min(ao_dist, 1e30), jnp.float32),
+                jnp.full((n,), 1e-5, prec.FT),
+                jnp.full((n,), min(ao_dist, 1e30), prec.FT),
                 time=st["time"])
             ao_first = on_surface & (bounce == 0)
             st = dict(st)
@@ -725,15 +728,15 @@ def make_path_kernel(kg, px, py, pixel_index):
                 + closures["subsurface"], st["aux_albedo"])
             st["aux_depth"] = jnp.where(fh, hit["t"], st["aux_depth"])
             st["aux_object_id"] = jnp.where(
-                fh, hit["object"].astype(jnp.float32), st["aux_object_id"])
+                fh, hit["object"].astype(prec.FT), st["aux_object_id"])
             st["aux_material_id"] = jnp.where(
-                fh, sd.shader.astype(jnp.float32), st["aux_material_id"])
+                fh, sd.shader.astype(prec.FT), st["aux_material_id"])
             st["aux_background"] = jnp.where(
                 (miss & first)[:, None], bg, st["aux_background"])
             for nm in aov_names:
                 st["aux_aov:" + nm] = jnp.where(
                     fh[:, None], aovs.get(
-                        nm, jnp.zeros((n, 3), jnp.float32)),
+                        nm, jnp.zeros((n, 3), prec.FT)),
                     st["aux_aov:" + nm])
             if "mist" in aux_names:
                 # ref: kernel_passes.h kernel_write_data_passes mist:
@@ -854,7 +857,7 @@ def make_path_kernel(kg, px, py, pixel_index):
             dist2 = jnp.maximum(um.length(to_l), 1e-12)
             sh_d = jnp.where(distant[:, None], ls["D"],
                              to_l / dist2[:, None])
-            sh_tmax = jnp.where(distant, jnp.float32(um.RAY_TMAX),
+            sh_tmax = jnp.where(distant, prec.FT(um.RAY_TMAX),
                                 dist2 * (1.0 - 1e-3) - RAY_EPS)
             in_vol_sh = st["vol_shader"] >= 0 if has_volume else None
 
@@ -868,7 +871,7 @@ def make_path_kernel(kg, px, py, pixel_index):
                 t_b, t_o, blk = isect.intersect_brute_occlusion(
                     dsd["tri_verts_world"], dsd["prim_object_packed"],
                     dsd["prim_is_boundary"],
-                    o_s, d_s, jnp.full((n,), 1e-5, jnp.float32),
+                    o_s, d_s, jnp.full((n,), 1e-5, prec.FT),
                     tmax_closest=jnp.where(
                         on_closest, jnp.minimum(tmax_s, um.RAY_TMAX), 1e-5),
                     tmax_any=jnp.where(on_any, tmax_s, 1e-5),
@@ -882,7 +885,7 @@ def make_path_kernel(kg, px, py, pixel_index):
                     time=st["time"] if deform else None)
                 return (t_b, t_o), blk
 
-            sh_trans = jnp.ones((n, 3), jnp.float32)
+            sh_trans = jnp.ones((n, 3), prec.FT)
             bhit_sh = None
             if "shadow" in ablate:
                 blocked = jnp.zeros((n,), bool)
@@ -894,7 +897,7 @@ def make_path_kernel(kg, px, py, pixel_index):
             else:
                 sh_trans = _shadow_transmittance(
                     kg, sh_o, sh_d,
-                    jnp.full((n,), 1e-5, jnp.float32),
+                    jnp.full((n,), 1e-5, prec.FT),
                     jnp.where(can_light, sh_tmax, 1e-5),
                     time=st["time"])
                 contrib = contrib * sh_trans
@@ -910,7 +913,7 @@ def make_path_kernel(kg, px, py, pixel_index):
                     density field (ops/volume.py ratio_tracking)."""
                     if "volatten" in ablate:  # profiling: skip the
                         # boundary sweep + medium attenuation entirely
-                        return (jnp.ones((n, 3), jnp.float32),
+                        return (jnp.ones((n, 3), prec.FT),
                                 jnp.zeros((n,), bool))
                     # camera visibility: the boundary must be FOUND here
                     # (volume-only objects are excluded from shadow rays)
@@ -923,7 +926,7 @@ def make_path_kernel(kg, px, py, pixel_index):
                         is_boundary = t_bb <= t_oo
                     else:
                         sh_hit2 = _scene_intersect(
-                            kg, P0, Dl, jnp.full((n,), 1e-5, jnp.float32),
+                            kg, P0, Dl, jnp.full((n,), 1e-5, prec.FT),
                             jnp.where(on_mask,
                                       jnp.minimum(dist_l, um.RAY_TMAX),
                                       1e-5),
@@ -1044,7 +1047,7 @@ def make_path_kernel(kg, px, py, pixel_index):
                     ls_eq["dist"] * (1.0 - 1e-3) - RAY_EPS, 1e-5)
                 bhit_eq = None
                 if "shadow" in ablate:
-                    sh_trans_eq = jnp.ones((n, 3), jnp.float32)
+                    sh_trans_eq = jnp.ones((n, 3), prec.FT)
                 elif use_dual_shadow:
                     bhit_eq, blk_eq = _dual_sweep(
                         P_eq, ls_eq["D"], sh_on_eq, sh_on_eq, sh_tmax_eq)
@@ -1052,7 +1055,7 @@ def make_path_kernel(kg, px, py, pixel_index):
                 else:
                     sh_trans_eq = _shadow_transmittance(
                         kg, P_eq, ls_eq["D"],
-                        jnp.full((n,), 1e-5, jnp.float32),
+                        jnp.full((n,), 1e-5, prec.FT),
                         jnp.where(sh_on_eq, sh_tmax_eq, 1e-5),
                         time=st["time"])
                 contrib_eq = contrib_eq * sh_trans_eq
@@ -1096,7 +1099,7 @@ def make_path_kernel(kg, px, py, pixel_index):
                 shadowed = is_catch & (blocked | ~ls["valid"])
                 if kg["film_transparent"]:
                     alpha = jnp.where(is_catch,
-                                      shadowed.astype(jnp.float32), alpha)
+                                      shadowed.astype(prec.FT), alpha)
                 alive = alive & ~is_catch
                 can_light = can_light & ~is_catch
             L = jnp.where((can_light & ~blocked)[:, None], L + contrib, L)
@@ -1181,7 +1184,7 @@ def make_path_kernel(kg, px, py, pixel_index):
                 A_c * (-5.09406 + A_c * (2.61188 - 4.31805 * A_c)))
             s_scale = 1.9 - A_c + 3.5 * (A_c - 0.8) ** 2
             entry_color = jnp.where(is_burley[:, None],
-                                    jnp.ones((n, 3), jnp.float32),
+                                    jnp.ones((n, 3), prec.FT),
                                     closures["subsurface"])
             bs["f_cos"] = jnp.where(entry[:, None],
                                     entry_color * pdf_in[:, None],
@@ -1258,15 +1261,29 @@ def make_path_kernel(kg, px, py, pixel_index):
             crossing = (is_trans | is_transp) & on_surface & alive2
             entering = crossing & shader_vol & ~sd.backfacing
             exiting = crossing & sd.backfacing
-            # push/pop the 2-level stack (ref: kernel_volume_stack_*)
-            exit_cur = exiting & (sd.shader == st["vol_shader"])
-            exit_outer = exiting & ~exit_cur & (sd.shader == st["vol_outer"])
-            new_outer = jnp.where(entering, st["vol_shader"],
-                                  jnp.where(exit_cur | exit_outer, -1,
-                                            st["vol_outer"]))
-            new_vol = jnp.where(entering, sd.shader,
-                                jnp.where(exit_cur, st["vol_outer"],
-                                          st["vol_shader"]))
+            # K-level stack (ref: kernel_volume_stack_* semantics over
+            # kernel_types.h:1035 VolumeStack): vol_shader is the top
+            # (current medium), vol_rest the K-1 media below it.
+            stack = jnp.concatenate(
+                [st["vol_shader"][:, None], st["vol_rest"]], axis=1)
+            # enter: push on top; the bottom entry drops on overflow
+            pushed = jnp.concatenate(
+                [sd.shader[:, None], stack[:, :-1]], axis=1)
+            # exit: remove the FIRST entry matching the crossed shader
+            # (it may be below the top when surfaces interleave),
+            # shifting deeper entries up; no match leaves the stack
+            # unchanged
+            match = stack == sd.shader[:, None]
+            first = match & (jnp.cumsum(match, axis=1) == 1)
+            seen = jnp.cumsum(first.astype(jnp.int32), axis=1) > 0
+            shifted = jnp.concatenate(
+                [stack[:, 1:], jnp.full_like(stack[:, :1], -1)], axis=1)
+            popped = jnp.where(seen, shifted, stack)
+            new_stack = jnp.where(entering[:, None], pushed,
+                                  jnp.where(exiting[:, None], popped,
+                                            stack))
+            new_vol = new_stack[:, 0]
+            new_rest = new_stack[:, 1:]
 
         if light_passes:
             cat_now = jnp.where(
@@ -1280,8 +1297,8 @@ def make_path_kernel(kg, px, py, pixel_index):
         out = {
             "o": jnp.where(alive2[:, None], new_o, st["o"]),
             "d": jnp.where(alive2[:, None], bs["omega"], st["d"]),
-            "tmin": jnp.full((n,), 1e-5, jnp.float32),
-            "tmax": jnp.full((n,), um.RAY_TMAX, jnp.float32),
+            "tmin": jnp.full((n,), 1e-5, prec.FT),
+            "tmax": jnp.full((n,), um.RAY_TMAX, prec.FT),
             "time": st["time"],
             "throughput": jnp.where(alive2[:, None], new_throughput,
                                     throughput),
@@ -1298,7 +1315,7 @@ def make_path_kernel(kg, px, py, pixel_index):
         }
         if has_volume:
             out["vol_shader"] = new_vol
-            out["vol_outer"] = new_outer
+            out["vol_rest"] = new_rest
         if has_sss:
             radius = jnp.clip(closures["subsurface_radius"], 1e-5, 1e8)
             out["in_sss"] = ((st["in_sss"] & ~sss_exit) | entry) & alive2
@@ -1311,7 +1328,7 @@ def make_path_kernel(kg, px, py, pixel_index):
             out["sss_albedo"] = jnp.where(
                 entry[:, None],
                 jnp.where(is_burley[:, None], alpha_w,
-                          jnp.ones((n, 3), jnp.float32)),
+                          jnp.ones((n, 3), prec.FT)),
                 st["sss_albedo"])
         if light_passes:
             out["first_cat"] = first_cat
@@ -1405,8 +1422,8 @@ def render_samples_regen(kg, px, py, pixel_index, sample_start, num_samples,
     st0 = start_paths(s0)
     carry0 = {
         "st": st0,
-        "L_acc": jnp.zeros((n, 3), jnp.float32),
-        "A_acc": jnp.zeros((n,), jnp.float32),
+        "L_acc": jnp.zeros((n, 3), prec.FT),
+        "A_acc": jnp.zeros((n,), prec.FT),
         "done": jnp.zeros((n,), jnp.int32),   # samples completed per lane
         "fresh": jnp.ones((n,), bool),        # lane holds unmerged sample
     }
@@ -1477,9 +1494,9 @@ def render_samples_adaptive_chunk(kg, px, py, pixel_index, sample_start,
     st0 = start_paths(s0)
     carry0 = {
         "st": st0,
-        "L_acc": jnp.zeros((n, 3), jnp.float32),
-        "A_acc": jnp.zeros((n,), jnp.float32),
-        "E_acc": jnp.zeros((n, 3), jnp.float32),
+        "L_acc": jnp.zeros((n, 3), prec.FT),
+        "A_acc": jnp.zeros((n,), prec.FT),
+        "E_acc": jnp.zeros((n, 3), prec.FT),
         "done": jnp.zeros((n,), jnp.int32),
         "fresh": jnp.ones((n,), bool),
     }
@@ -1542,5 +1559,5 @@ def render_samples_branched(kg, px, py, pixel_index, aa_start, num_aa,
         return jax.lax.fori_loop(
             0, branch, lambda k, a: one(aa, k, a), acc)
 
-    init = (jnp.zeros((n, 3), jnp.float32), jnp.zeros((n,), jnp.float32))
+    init = (jnp.zeros((n, 3), prec.FT), jnp.zeros((n,), prec.FT))
     return jax.lax.fori_loop(0, num_aa, aa_body, init)

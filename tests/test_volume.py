@@ -206,3 +206,63 @@ class TestNestedVolumes:
         # pure-scattering albedo-1 fog + lossless transparent box in a
         # unit furnace must still conserve energy
         assert abs(float(img.mean()) - 1.0) < 0.05, img.mean()
+
+
+class TestNestedStack:
+    """K-level volume stack (ref: kernel_types.h:1035 VolumeStack +
+    kernel_volume.h stack enter/exit): triple-nested absorbing media
+    must attenuate by every enclosing medium, not just the top two."""
+
+    D_IN, D_MID, D_OUT = 0.8, 0.6, 0.4
+
+    def _scene(self, depth):
+        from raytracingproject_tpu.app.examples import (
+            Scene, Object, volume_shader, make_box_mesh,
+            background_shader)
+        from raytracingproject_tpu.utils import transform as tfm
+        scene = Scene()
+        scene.camera.set("matrix",
+                         tfm.look_at((0, -6, 0), (0, 0, 0), (0, 0, 1)))
+        scene.camera.set("fov", 0.25)
+        scene.camera.set("width", 8)
+        scene.camera.set("height", 8)
+        for nm, half, dens in (("outer", 1.5, self.D_OUT),
+                               ("mid", 1.0, self.D_MID),
+                               ("inner", 0.5, self.D_IN)):
+            # pure absorption: color=0 (no scatter), absorption_color=0
+            sh = volume_shader(nm, color=(0, 0, 0), density=dens,
+                               absorption=(0, 0, 0))
+            scene.add_shader(sh)
+            box = make_box_mesh((-half,) * 3, (half,) * 3, 0,
+                                nm + "_box")
+            box.used_shaders = [sh]
+            scene.add_object(Object(nm, box))
+        scene.background.shader = background_shader("bg", (1, 1, 1), 1.0)
+        scene.integrator.set("max_bounce", 32)
+        scene.integrator.set("transparent_max_bounce", 16)
+        scene.integrator.set("sample_clamp_indirect", 0.0)
+        scene.integrator.set("volume_stack_depth", depth)
+        return scene
+
+    def _center(self, depth, spp=128):
+        sc = self._scene(depth)
+        sc.camera.set("width", 16)
+        sc.camera.set("height", 16)
+        img = render(sc, 16, 16, spp)
+        assert np.isfinite(img).all()
+        return float(img[5:11, 5:11].mean())
+
+    def test_triple_nesting_attenuates_all_levels(self):
+        # ray path: 1.0 in outer-only, 1.0 in mid-only, 1.0 in inner;
+        # absorption is sampled by termination, so the estimate is
+        # binomial — 6x6 px * 128 spp puts 1 std at ~0.005
+        expect = np.exp(-(self.D_IN + self.D_MID + self.D_OUT))
+        wrong = np.exp(-(self.D_IN + self.D_MID + self.D_OUT * 0.5))
+        got = self._center(depth=4)
+        got2 = self._center(depth=2)
+        assert abs(got - expect) < 0.02, (got, expect)
+        # with only 2 slots the outer medium is forgotten while inside
+        # the inner box, so its back half-thickness goes unattenuated —
+        # the regression the K-level stack fixes
+        assert abs(got2 - wrong) < 0.02, (got2, wrong)
+        assert got2 - got > 0.02, (got2, got)
