@@ -10,6 +10,7 @@ traced jnp — the node library IS the SVM instruction set, fused by XLA.
 """
 
 from __future__ import annotations
+from raytracingproject_tpu.utils import precision as prec
 
 import numpy as np
 import jax
@@ -25,8 +26,8 @@ from raytracingproject_tpu.utils import math as um
 def _b(ctx, v):
     """Broadcast a python/np constant to the batch."""
     if isinstance(v, (float, int)):
-        return jnp.full(ctx.batch_shape, float(v), jnp.float32)
-    v = jnp.asarray(v, jnp.float32)
+        return jnp.full(ctx.batch_shape, float(v), prec.FT)
+    v = jnp.asarray(v, prec.FT)
     if v.ndim == 1 and v.shape[0] == 3:
         return jnp.broadcast_to(v, ctx.batch_shape + (3,))
     return v
@@ -34,8 +35,8 @@ def _b(ctx, v):
 
 def _bf(ctx, v):
     if isinstance(v, (float, int)):
-        return jnp.full(ctx.batch_shape, float(v), jnp.float32)
-    v = jnp.asarray(v, jnp.float32)
+        return jnp.full(ctx.batch_shape, float(v), prec.FT)
+    v = jnp.asarray(v, prec.FT)
     if v.ndim > len(ctx.batch_shape):  # a color linked into a float socket
         return jnp.mean(v, axis=-1)
     return jnp.broadcast_to(v, ctx.batch_shape)
@@ -43,13 +44,13 @@ def _bf(ctx, v):
 
 def _bc(ctx, v):
     """To color (..., 3)."""
-    v = jnp.asarray(v, jnp.float32)
+    v = jnp.asarray(v, prec.FT)
     if v.shape and v.shape[-1] == 3 and v.shape != ctx.batch_shape:
         # constant (3,) or batched (..., 3) color
         return jnp.broadcast_to(v, ctx.batch_shape + (3,))
     # scalar or per-lane float linked into a color socket
     if v.ndim == 0:
-        return jnp.full(ctx.batch_shape + (3,), v, jnp.float32)
+        return jnp.full(ctx.batch_shape + (3,), v, prec.FT)
     return jnp.broadcast_to(v[..., None], ctx.batch_shape + (3,))
 
 
@@ -146,7 +147,7 @@ class GlossyBsdfNode(ShaderNode):
         c["glossy_roughness"] = rough
         if self.get_enum_int("distribution") == 3:  # multi_ggx
             c["glossy_multiscatter"] = jnp.ones(ctx.batch_shape,
-                                                jnp.float32)
+                                                prec.FT)
         return {"bsdf": c}
 
 
@@ -253,14 +254,14 @@ class PrincipledHairBsdfNode(ShaderNode):
             eu = qty * (1.0 - red)
             pheo = qty * red
             sigma = (eu[..., None]
-                     * jnp.asarray([0.506, 0.841, 1.653], jnp.float32)
+                     * jnp.asarray([0.506, 0.841, 1.653], prec.FT)
                      + pheo[..., None]
-                     * jnp.asarray([0.343, 0.733, 1.924], jnp.float32))
+                     * jnp.asarray([0.343, 0.733, 1.924], prec.FT))
             tint = _bc(ctx, inp["tint"])
             sigma = sigma + self._sigma_from_color(tint, beta_n)
         else:
             sigma = self._sigma_from_color(_bc(ctx, inp["color"]), beta_n)
-        c["hair"] = jnp.ones(ctx.batch_shape + (3,), jnp.float32)
+        c["hair"] = jnp.ones(ctx.batch_shape + (3,), prec.FT)
         c["hair_sigma"] = sigma
         c["hair_v"] = hair_ops.roughness_to_v(beta_m)
         c["hair_s"] = hair_ops.roughness_to_s(beta_n)
@@ -290,8 +291,8 @@ class TranslucentBsdfNode(ShaderNode):
     def eval(self, ctx, inp):
         c = cl.empty_closures(ctx.batch_shape)
         c["refraction"] = _bc(ctx, inp["color"])
-        c["refraction_roughness"] = jnp.ones(ctx.batch_shape, jnp.float32)
-        c["ior"] = jnp.ones(ctx.batch_shape, jnp.float32)
+        c["refraction_roughness"] = jnp.ones(ctx.batch_shape, prec.FT)
+        c["ior"] = jnp.ones(ctx.batch_shape, prec.FT)
         return {"bsdf": c}
 
 
@@ -326,7 +327,7 @@ class HoldoutNode(ShaderNode):
 
     def eval(self, ctx, inp):
         c = cl.empty_closures(ctx.batch_shape)
-        c["holdout"] = jnp.ones(ctx.batch_shape + (3,), jnp.float32)
+        c["holdout"] = jnp.ones(ctx.batch_shape + (3,), prec.FT)
         return {"holdout": c}
 
 
@@ -345,7 +346,7 @@ class SubsurfaceScatteringNode(ShaderNode):
         c["subsurface"] = _bc(ctx, inp["color"])
         c["subsurface_radius"] = _bc(ctx, inp["radius"]) * _bf(ctx, inp["scale"])[..., None]
         if self.get_enum_int("falloff") == 0:  # burley
-            c["subsurface_burley"] = jnp.ones(ctx.batch_shape, jnp.float32)
+            c["subsurface_burley"] = jnp.ones(ctx.batch_shape, prec.FT)
         return {"bssrdf": c}
 
 
@@ -532,7 +533,7 @@ class GeometryNode(ShaderNode):
     def eval(self, ctx, inp):
         return {"position": ctx.P, "normal": ctx.N, "true_normal": ctx.Ng,
                 "incoming": ctx.I,
-                "backfacing": (um.dot(ctx.I, ctx.Ng) < 0.0).astype(jnp.float32)}
+                "backfacing": (um.dot(ctx.I, ctx.Ng) < 0.0).astype(prec.FT)}
 
 
 class TextureCoordinateNode(ShaderNode):
@@ -543,7 +544,7 @@ class TextureCoordinateNode(ShaderNode):
 
     def eval(self, ctx, inp):
         uv3 = jnp.concatenate(
-            [ctx.uv, jnp.zeros(ctx.batch_shape + (1,), jnp.float32)], -1)
+            [ctx.uv, jnp.zeros(ctx.batch_shape + (1,), prec.FT)], -1)
         return {"generated": ctx.generated, "uv": uv3, "normal": ctx.N,
                 "object": ctx.P_object}
 
@@ -556,7 +557,7 @@ class ObjectInfoNode(ShaderNode):
 
     def eval(self, ctx, inp):
         return {"location": ctx.object_location, "color": ctx.object_color,
-                "object_index": ctx.object_index.astype(jnp.float32),
+                "object_index": ctx.object_index.astype(prec.FT),
                 "random": ctx.object_random}
 
 
@@ -575,8 +576,8 @@ class ParticleInfoNode(ShaderNode):
         from raytracingproject_tpu.ops import lookup as lk
         row = getattr(ctx, "object_row", None)
         if row is None:  # background / probe contexts: no particles
-            z1 = jnp.zeros(ctx.batch_shape, jnp.float32)
-            z3 = jnp.zeros(ctx.batch_shape + (3,), jnp.float32)
+            z1 = jnp.zeros(ctx.batch_shape, prec.FT)
+            z3 = jnp.zeros(ctx.batch_shape + (3,), prec.FT)
             return {"index": z1, "random": z1, "age": z1,
                     "lifetime": z1, "location": z3, "size": z1,
                     "velocity": z3, "angular_velocity": z3}
@@ -603,7 +604,7 @@ class LightPathNode(ShaderNode):
         flag = ctx.path_flag
 
         def has(bit):
-            return ((flag & bit) > 0).astype(jnp.float32)
+            return ((flag & bit) > 0).astype(prec.FT)
 
         return {
             "is_camera_ray": has(ob.PATH_RAY_CAMERA),
@@ -614,7 +615,7 @@ class LightPathNode(ShaderNode):
             "is_reflection_ray": has(ob.PATH_RAY_REFLECT),
             "is_transmission_ray": has(ob.PATH_RAY_TRANSMIT),
             "ray_length": ctx.ray_length,
-            "ray_depth": ctx.ray_depth.astype(jnp.float32),
+            "ray_depth": ctx.ray_depth.astype(prec.FT),
         }
 
 
@@ -693,8 +694,8 @@ _MATH_OPS = {
     "modulo": lambda a, b: jnp.where(b != 0, jnp.fmod(a, jnp.where(b == 0, 1, b)), 0.0),
     "absolute": lambda a, b: jnp.abs(a),
     "sqrt": lambda a, b: um.safe_sqrt(a),
-    "less_than": lambda a, b: (a < b).astype(jnp.float32),
-    "greater_than": lambda a, b: (a > b).astype(jnp.float32),
+    "less_than": lambda a, b: (a < b).astype(prec.FT),
+    "greater_than": lambda a, b: (a > b).astype(prec.FT),
 }
 
 
@@ -753,7 +754,7 @@ class VectorMathNode(ShaderNode):
             vec, val = a * b + _bc(ctx, inp["vector3"]), None
         else:
             vec, val = _VECTOR_MATH_OPS[self.math_type](a, b)
-        zeros = jnp.zeros(ctx.batch_shape, jnp.float32)
+        zeros = jnp.zeros(ctx.batch_shape, prec.FT)
         return {"vector": vec if vec is not None else jnp.zeros_like(a),
                 "value": val if val is not None else zeros}
 
@@ -1003,7 +1004,7 @@ class CheckerTextureNode(ShaderNode):
         c1 = _bc(ctx, inp["color1"])
         c2 = _bc(ctx, inp["color2"])
         return {"color": jnp.where(check[..., None], c1, c2),
-                "fac": check.astype(jnp.float32)}
+                "fac": check.astype(prec.FT)}
 
 
 class NoiseTextureNode(ShaderNode):
@@ -1174,7 +1175,7 @@ class MusgraveTextureNode(ShaderNode):
         lac = float(max(np.mean(self.lacunarity), 1e-3))
         h = max(lac, 1e-3) ** (-max(dim, 1e-4))
         octaves = int(np.floor(detail)) + 1
-        value = jnp.zeros(ctx.batch_shape, jnp.float32)
+        value = jnp.zeros(ctx.batch_shape, prec.FT)
         amp, fscale = 1.0, 1.0
         for _ in range(octaves):
             value = value + amp * tex.perlin_3d(p * fscale)
@@ -1227,7 +1228,7 @@ class BrickTextureNode(ShaderNode):
         cm = _bc(ctx, inp["mortar"])
         brick_col = um.mix3(c1, c2, jnp.clip(tint, 0.0, 1.0))
         color = jnp.where(mortar[..., None], cm, brick_col)
-        return {"color": color, "fac": mortar.astype(jnp.float32)}
+        return {"color": color, "fac": mortar.astype(prec.FT)}
 
 
 class SkyTextureNode(ShaderNode):
@@ -1453,7 +1454,7 @@ class WireframeNode(ShaderNode):
         v = ctx.uv[..., 1]
         w = 1.0 - u - v
         edge = jnp.minimum(jnp.minimum(jnp.abs(u), jnp.abs(v)), jnp.abs(w))
-        return {"fac": (edge < _bf(ctx, inp["size"])).astype(jnp.float32)}
+        return {"fac": (edge < _bf(ctx, inp["size"])).astype(prec.FT)}
 
 
 class CameraDataNode(ShaderNode):
@@ -1530,9 +1531,9 @@ class PointDensityTextureNode(ShaderNode):
     def _ensure_grid(self):
         if self._grid is None:
             if self.points is None or len(self.points) == 0:
-                self._grid = (jnp.zeros((2, 2, 2), jnp.float32),
-                              jnp.zeros(3, jnp.float32),
-                              jnp.ones(3, jnp.float32))
+                self._grid = (jnp.zeros((2, 2, 2), prec.FT),
+                              jnp.zeros(3, prec.FT),
+                              jnp.ones(3, prec.FT))
             else:
                 g, lo, inv = tex.build_point_density_grid(
                     self.points, float(self.radius),
@@ -1577,7 +1578,7 @@ class IESTextureNode(ShaderNode):
                 self._grid = jnp.asarray(iesu.load_ies_grid(txt))
             else:
                 self._grid = jnp.ones(
-                    (iesu.IES_RES_H, iesu.IES_RES_V), jnp.float32)
+                    (iesu.IES_RES_H, iesu.IES_RES_V), prec.FT)
         return self._grid
 
     def eval(self, ctx, inp):
@@ -1675,12 +1676,12 @@ class WhiteNoiseTextureNode(ShaderNode):
         w = _bf(ctx, inp["w"])
         def fb(x):
             return jax.lax.bitcast_convert_type(
-                jnp.asarray(x, jnp.float32), jnp.uint32)
+                jnp.asarray(x, prec.FT), jnp.uint32)
         base = rngu.hash_pcg4d(fb(p[..., 0]), fb(p[..., 1]),
                                fb(p[..., 2]), fb(w))
         def tofloat(h):
-            return (h >> jnp.uint32(8)).astype(jnp.float32) \
-                * jnp.float32(1.0 / (1 << 24))
+            return (h >> jnp.uint32(8)).astype(prec.FT) \
+                * prec.FT(1.0 / (1 << 24))
         r = tofloat(base)
         g = tofloat(rngu.hash_pcg(base))
         b = tofloat(rngu.hash_pcg(base ^ jnp.uint32(0x9E3779B9)))
@@ -1743,8 +1744,8 @@ class ClampNode(ShaderNode):
 
 def _eval_curve(points, x):
     """Piecewise-linear curve through sorted (x, y) control points."""
-    xs = jnp.asarray([p[0] for p in points], jnp.float32)
-    ys = jnp.asarray([p[1] for p in points], jnp.float32)
+    xs = jnp.asarray([p[0] for p in points], prec.FT)
+    ys = jnp.asarray([p[1] for p in points], prec.FT)
     return jnp.interp(x, xs, ys)
 
 
@@ -1833,7 +1834,7 @@ class AttributeNode(ShaderNode):
         name = str(self.attribute)
         if name in ("uv", "UVMap", "std_uv"):
             v = jnp.concatenate(
-                [ctx.uv, jnp.zeros(ctx.batch_shape + (1,), jnp.float32)],
+                [ctx.uv, jnp.zeros(ctx.batch_shape + (1,), prec.FT)],
                 -1)
         elif name == "generated":
             v = ctx.generated
@@ -1861,7 +1862,7 @@ class UVMapNode(ShaderNode):
 
     def eval(self, ctx, inp):
         return {"uv": jnp.concatenate(
-            [ctx.uv, jnp.zeros(ctx.batch_shape + (1,), jnp.float32)],
+            [ctx.uv, jnp.zeros(ctx.batch_shape + (1,), prec.FT)],
             -1)}
 
 
@@ -1881,7 +1882,7 @@ class TangentNode(ShaderNode):
             t = ctx.dPdu
         else:
             ax = self.get_enum_int("axis")
-            up = jnp.zeros(ctx.batch_shape + (3,), jnp.float32) \
+            up = jnp.zeros(ctx.batch_shape + (3,), prec.FT) \
                 .at[..., ax].set(1.0)
             t = um.cross(up, ctx.P_object)
         # project to the shading plane
@@ -1918,13 +1919,13 @@ class HairInfoNode(ShaderNode):
     def eval(self, ctx, inp):
         dpdu = getattr(ctx, "dPdu", None)
         if dpdu is None:
-            z = jnp.zeros(ctx.batch_shape, jnp.float32)
+            z = jnp.zeros(ctx.batch_shape, prec.FT)
             return {"is_strand": z, "intercept": z, "thickness": z,
                     "tangent_normal": ctx.N, "random": z}
-        is_strand = (um.dot(dpdu, dpdu) > 0.25).astype(jnp.float32)
+        is_strand = (um.dot(dpdu, dpdu) > 0.25).astype(prec.FT)
         return {"is_strand": is_strand,
                 "intercept": ctx.uv[..., 1],
-                "thickness": jnp.zeros(ctx.batch_shape, jnp.float32),
+                "thickness": jnp.zeros(ctx.batch_shape, prec.FT),
                 "tangent_normal": um.safe_normalize(
                     jnp.where(is_strand[..., None] > 0, dpdu, ctx.N)),
                 "random": ctx.object_random}
@@ -2071,7 +2072,7 @@ class AnisotropicBsdfNode(ShaderNode):
         # else a deterministic radial frame about object z (the
         # reference defaults to the UV-map tangent attribute)
         dpdu = getattr(ctx, "dPdu", None)
-        up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+        up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], prec.FT),
                               ctx.batch_shape + (3,))
         radial = um.cross(up, ctx.P_object)
         fallback = radial if dpdu is None else jnp.where(
@@ -2129,9 +2130,9 @@ class VertexColorNode(ShaderNode):
     def eval(self, ctx, inp):
         vcol = getattr(ctx, "vcol", None)
         if vcol is None:
-            one = jnp.ones(ctx.batch_shape + (3,), jnp.float32)
+            one = jnp.ones(ctx.batch_shape + (3,), prec.FT)
             return {"color": one,
-                    "alpha": jnp.ones(ctx.batch_shape, jnp.float32)}
+                    "alpha": jnp.ones(ctx.batch_shape, prec.FT)}
         return {"color": vcol[..., :3],
                 "alpha": vcol[..., 3]}
 
@@ -2154,9 +2155,9 @@ class VolumeInfoNode(ShaderNode):
     def set_voxel_grid(self, attr, grid, lo=(0, 0, 0), inv=(1, 1, 1)):
         """Attach a (R,R,R) or (R,R,R,3) voxel grid for an attribute
         ('density', 'color', 'flame', 'temperature'), object space."""
-        self._grids[attr] = (jnp.asarray(grid, jnp.float32),
-                             jnp.asarray(lo, jnp.float32),
-                             jnp.asarray(inv, jnp.float32))
+        self._grids[attr] = (jnp.asarray(grid, prec.FT),
+                             jnp.asarray(lo, prec.FT),
+                             jnp.asarray(inv, prec.FT))
 
     def _sample(self, ctx, attr):
         if attr not in self._grids:
@@ -2169,11 +2170,11 @@ class VolumeInfoNode(ShaderNode):
         return tex.sample_grid3d(grid, lo, inv, ctx.P_object)
 
     def eval(self, ctx, inp):
-        ones = jnp.ones(ctx.batch_shape, jnp.float32)
-        zeros = jnp.zeros(ctx.batch_shape, jnp.float32)
+        ones = jnp.ones(ctx.batch_shape, prec.FT)
+        zeros = jnp.zeros(ctx.batch_shape, prec.FT)
         color = self._sample(ctx, "color")
         if color is None:
-            color = jnp.ones(ctx.batch_shape + (3,), jnp.float32)
+            color = jnp.ones(ctx.batch_shape + (3,), prec.FT)
         elif color.ndim == len(ctx.batch_shape):
             color = color[..., None] * jnp.ones(3)
         density = self._sample(ctx, "density")
@@ -2280,7 +2281,7 @@ class AmbientOcclusionNode(ShaderNode):
     def eval(self, ctx, inp):
         ao = getattr(ctx, "ao", None)
         if ao is None:
-            ao = jnp.ones(ctx.batch_shape, jnp.float32)
+            ao = jnp.ones(ctx.batch_shape, prec.FT)
         return {"color": _bc(ctx, inp["color"]) * ao[..., None],
                 "ao": ao}
 

@@ -20,6 +20,7 @@ toward the viewer, omega_in toward the light.
 """
 
 from __future__ import annotations
+from raytracingproject_tpu.utils import precision as prec
 
 import numpy as np
 import jax.numpy as jnp
@@ -61,7 +62,7 @@ def _sample_ggx_vndf(v_local, alpha, u1, u2):
     t1 = jnp.where(lensq[..., None] > 1e-12,
                    jnp.stack([-vh[..., 1] * inv, vh[..., 0] * inv,
                               jnp.zeros_like(inv)], -1),
-                   jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+                   jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], prec.FT),
                                     vh.shape))
     t2 = jnp.cross(vh, t1)
     r = jnp.sqrt(u1)
@@ -89,7 +90,7 @@ def _sample_ggx_vndf_aniso(v_local, ax, ay, u1, u2):
     t1 = jnp.where(lensq[..., None] > 1e-12,
                    jnp.stack([-vh[..., 1] * inv, vh[..., 0] * inv,
                               jnp.zeros_like(inv)], -1),
-                   jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+                   jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], prec.FT),
                                     vh.shape))
     t2 = jnp.cross(vh, t1)
     r = jnp.sqrt(u1)
@@ -695,7 +696,7 @@ def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe, features=None, sd=None):
         h_r = _sample_ggx_vndf(wo, alpha_r, u1, u2)
         h_r_eff = jnp.where(refr_delta[..., None],
                             jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0],
-                                                         jnp.float32),
+                                                         prec.FT),
                                              h_r.shape),
                             h_r)
         cos_oh = jnp.sum(wo * h_r_eff, -1)
@@ -719,7 +720,7 @@ def bsdf_sample(c, N, Ng, I, u1, u2, u_lobe, features=None, sd=None):
     if has_toon:
         # uniform-cone samples around N (diffuse toon) / the mirror
         # direction (glossy toon); pdf accounted in bsdf_eval
-        z_ax = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+        z_ax = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], prec.FT),
                                 wi.shape)
         _, ced = _toon_cones(c["toon_diffuse_size"],
                              c["toon_diffuse_smooth"])
@@ -884,8 +885,8 @@ def _ms_energy_lookup(mu, rough):
     r0 = jnp.floor(fr).astype(jnp.int32)
     m1 = jnp.minimum(m0 + 1, MS_TABLE_MU - 1)
     r1 = jnp.minimum(r0 + 1, MS_TABLE_R - 1)
-    wm = fm - m0.astype(jnp.float32)
-    wr = fr - r0.astype(jnp.float32)
+    wm = fm - m0.astype(prec.FT)
+    wr = fr - r0.astype(prec.FT)
     cols = jnp.arange(MS_TABLE_MU * MS_TABLE_R, dtype=jnp.int32)
 
     def fetch(mi, ri):
@@ -903,7 +904,7 @@ def _ms_eavg_lookup(rough):
     fr = jnp.clip(rough * MS_TABLE_R - 0.5, 0.0, MS_TABLE_R - 1.0)
     r0 = jnp.floor(fr).astype(jnp.int32)
     r1 = jnp.minimum(r0 + 1, MS_TABLE_R - 1)
-    wr = fr - r0.astype(jnp.float32)
+    wr = fr - r0.astype(prec.FT)
     cols = jnp.arange(MS_TABLE_R, dtype=jnp.int32)
 
     def fetch(ri):

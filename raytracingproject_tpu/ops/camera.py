@@ -7,6 +7,7 @@ shutter — the reference's camera_sample_* suite as fused VPU math.
 """
 
 from __future__ import annotations
+from raytracingproject_tpu.utils import precision as prec
 
 import jax.numpy as jnp
 
@@ -71,7 +72,7 @@ def camera_sample_ray(cam, raster_x, raster_y, lens_u, lens_v, time_u):
         pcam = _apply_t(r2c, praster)
         o = jnp.concatenate([pcam[..., 0:2],
                              jnp.zeros_like(ones)[..., None]], -1)
-        d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), o.shape)
+        d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], prec.FT), o.shape)
     else:  # panorama
         uvw = _apply_t(r2c, praster)
         u, v = uvw[..., 0], uvw[..., 1]
@@ -108,7 +109,7 @@ def camera_sample_ray(cam, raster_x, raster_y, lens_u, lens_v, time_u):
             valid = rho2 <= 1.0
             z = um.safe_sqrt(1.0 - rho2)
             n = jnp.stack([x, y, z], -1)
-            i = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0], jnp.float32),
+            i = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0], prec.FT),
                                  n.shape)
             d = um.reflect(-i, n)
             d = jnp.where(valid[..., None], d, 0.0)

@@ -22,6 +22,7 @@ VPU math.
 """
 
 from __future__ import annotations
+from raytracingproject_tpu.utils import precision as prec
 
 import jax.numpy as jnp
 
@@ -73,11 +74,11 @@ _SCALAR_SLOT = {
 
 
 def empty_closures(batch_shape):
-    c = {k: jnp.zeros(batch_shape + (3,), jnp.float32) for k in CLOSURE_VEC_KEYS}
+    c = {k: jnp.zeros(batch_shape + (3,), prec.FT) for k in CLOSURE_VEC_KEYS}
     for k in CLOSURE_SCALAR_KEYS:
-        c[k] = jnp.zeros(batch_shape, jnp.float32)
-    c["ior"] = jnp.full(batch_shape, 1.45, jnp.float32)
-    c["hair_ior"] = jnp.full(batch_shape, 1.55, jnp.float32)
+        c[k] = jnp.zeros(batch_shape, prec.FT)
+    c["ior"] = jnp.full(batch_shape, 1.45, prec.FT)
+    c["hair_ior"] = jnp.full(batch_shape, 1.55, prec.FT)
     return c
 
 
@@ -91,10 +92,10 @@ def is_closure(v):
 def empty_volume_closures(batch_shape):
     return {
         "volume": True,
-        "sigma_t": jnp.zeros(batch_shape + (3,), jnp.float32),
-        "sigma_s": jnp.zeros(batch_shape + (3,), jnp.float32),
-        "v_emission": jnp.zeros(batch_shape + (3,), jnp.float32),
-        "anisotropy": jnp.zeros(batch_shape, jnp.float32),
+        "sigma_t": jnp.zeros(batch_shape + (3,), prec.FT),
+        "sigma_s": jnp.zeros(batch_shape + (3,), prec.FT),
+        "v_emission": jnp.zeros(batch_shape + (3,), prec.FT),
+        "anisotropy": jnp.zeros(batch_shape, prec.FT),
     }
 
 

@@ -25,6 +25,7 @@ contract as ops/intersect.py.
 """
 
 from __future__ import annotations
+from raytracingproject_tpu.utils import precision as prec
 
 import numpy as np
 import jax
@@ -34,7 +35,7 @@ from raytracingproject_tpu.utils.math import RAY_TMAX
 from raytracingproject_tpu.ops import lookup as lk
 from raytracingproject_tpu.ops import intersect as isect
 
-INF = jnp.float32(3e38)
+INF = prec.FT(3e38)
 # row layout: [w2o(12), pad(1)] [tris: v0,e1,e2 (9 per tri)]
 # [prim id per tri] [object id per tri] [visibility per tri]
 META_COLS = 13
@@ -118,7 +119,7 @@ def _intersect_chunk(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
 
     t0 = jnp.minimum(tmax, RAY_TMAX)
     state = (entry, t0, jnp.full((n,), -1, jnp.int32),
-             jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+             jnp.zeros((n,), prec.FT), jnp.zeros((n,), prec.FT),
              jnp.full((n,), -1, jnp.int32), jnp.int32(0), jnp.bool_(True))
 
     def cond(st):
@@ -149,11 +150,11 @@ def _intersect_chunk(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
         # a plain row gather wins.
         if jax.default_backend() == "tpu":
             oh = jnp.concatenate(
-                [(cids == cl[0][None]).astype(jnp.float32)
+                [(cids == cl[0][None]).astype(prec.FT)
                  for cl in cid_list], axis=1)               # (C, fw*N)
             rows = jnp.dot(ctable.T, oh,
                            precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=prec.FT)
             row_list = [rows[:, k * n:(k + 1) * n]
                         for k in range(fetch_width)]
         else:

@@ -11,6 +11,7 @@ feature-space transform. O(search^2) fused passes over the image.
 """
 
 from __future__ import annotations
+from raytracingproject_tpu.utils import precision as prec
 
 import jax
 import jax.numpy as jnp
@@ -44,13 +45,13 @@ def nlm_denoise(color, albedo=None, normal=None, depth=None,
     feature passes; depth (H, W). Returns denoised (H, W, 3).
     ref: NLM weights w = exp(-max(0, dist)/k^2) with feature guidance.
     """
-    color = jnp.asarray(color, jnp.float32)
+    color = jnp.asarray(color, prec.FT)
     eps = 1e-4
     k2 = jnp.maximum(strength, 1e-3) ** 2
     fk2 = jnp.maximum(feature_strength, 1e-3) ** 2
 
     acc = jnp.zeros_like(color)
-    wsum = jnp.zeros(color.shape[:2] + (1,), jnp.float32)
+    wsum = jnp.zeros(color.shape[:2] + (1,), prec.FT)
 
     # luminance-normalized color for distance (reduces halo around
     # bright lights; ref: filter_nlm_calc_difference scaling)
@@ -111,19 +112,19 @@ def nlm_denoise_temporal(colors, target, albedo=None, normal=None,
     frame's guides (camera assumed static-ish across the window, like
     the reference's per-frame guided weighting).
     """
-    tgt = jnp.asarray(colors[target], jnp.float32)
+    tgt = jnp.asarray(colors[target], prec.FT)
     eps = 1e-4
     k2 = jnp.maximum(strength, 1e-3) ** 2
     fk2 = jnp.maximum(feature_strength, 1e-3) ** 2
     acc = jnp.zeros_like(tgt)
-    wsum = jnp.zeros(tgt.shape[:2] + (1,), jnp.float32)
+    wsum = jnp.zeros(tgt.shape[:2] + (1,), prec.FT)
 
     def dist_img(a, b, k):
         d = (a - b) ** 2 / (k * (eps + a ** 2 + b ** 2))
         return jnp.mean(d, axis=-1, keepdims=True)
 
     for src in colors:
-        src = jnp.asarray(src, jnp.float32)
+        src = jnp.asarray(src, prec.FT)
         for dy in range(-search_radius, search_radius + 1):
             for dx in range(-search_radius, search_radius + 1):
                 shifted = _shift2(src, dy, dx)

@@ -10,6 +10,7 @@ display conversion applies exposure and 1/num_samples scaling
 """
 
 from __future__ import annotations
+from raytracingproject_tpu.utils import precision as prec
 
 import jax.numpy as jnp
 
@@ -24,7 +25,7 @@ def filter_table_lookup(filter_table, u):
     n = filter_table.shape[0]
     x = u * (n - 1)
     i = jnp.clip(x.astype(jnp.int32), 0, n - 2)
-    f = x - i.astype(jnp.float32)
+    f = x - i.astype(prec.FT)
     pair_table = jnp.stack([filter_table[:-1], filter_table[1:]], -1)
     pair = lk.lookup_rows(pair_table, i)
     return pair[..., 0] * (1.0 - f) + pair[..., 1] * f

@@ -20,6 +20,7 @@ geometric tail), so a white furnace stays at 1 for any roughness.
 """
 
 from __future__ import annotations
+from raytracingproject_tpu.utils import precision as prec
 
 import jax.numpy as jnp
 
@@ -200,8 +201,8 @@ def hair_eval(T, Zf, h, I, omega_in, sigma_a, v, s, alpha, eta):
     ap_pdf = ap_lum / jnp.maximum(jnp.sum(ap_lum, -1, keepdims=True),
                                   1e-12)
 
-    f = jnp.zeros(T.shape[:-1] + (3,), jnp.float32)
-    pdf = jnp.zeros(T.shape[:-1], jnp.float32)
+    f = jnp.zeros(T.shape[:-1] + (3,), prec.FT)
+    pdf = jnp.zeros(T.shape[:-1], prec.FT)
     for p in range(4):
         mp = _mp(cos_ti, coss[p], sin_ti, sins[p], vs[p])
         if p < 3:

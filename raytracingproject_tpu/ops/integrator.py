@@ -46,8 +46,31 @@ def _offset_eps(P, t):
     return RAY_EPS * scale
 
 
+def _merge_curve_hit(kg, hit, o, d, tmin, visibility):
+    """Sweep native hair segments and merge into `hit` by min-t.
+
+    Curves live OUTSIDE the BVH in their own dense SoA table (ref
+    capability: kernel/geom/geom_curve_intersect.h; TPU redesign:
+    ops/intersect.py intersect_curves_ribbon docstring)."""
+    ds = kg["dscene"]
+    if "curve_p0" not in ds:
+        return hit
+    return isect.intersect_curves_ribbon(
+        ds["curve_p0"], ds["curve_e"], ds["curve_r0"], ds["curve_r1"],
+        ds["curve_object"], int(kg["curve_prim_base"]), o, d, tmin,
+        hit["t"], hit0=hit, visibility=visibility,
+        object_visibility=ds["object_visibility"])
+
+
 def _scene_intersect(kg, o, d, tmin, tmax, visibility, shadow=False,
                      time=None):
+    hit = _scene_intersect_tris(kg, o, d, tmin, tmax, visibility,
+                                shadow=shadow, time=time)
+    return _merge_curve_hit(kg, hit, o, d, tmin, visibility)
+
+
+def _scene_intersect_tris(kg, o, d, tmin, tmax, visibility, shadow=False,
+                          time=None):
     ds = kg["dscene"]
     if kg["use_brute"]:
         deform = kg.get("has_deform_motion") and time is not None
@@ -93,12 +116,19 @@ def _shadow_blocked(kg, o, d, tmin, tmax, time=None):
     ds = kg["dscene"]
     if kg["use_brute"]:
         deform = kg.get("has_deform_motion") and time is not None
-        return isect.shadow_blocked_brute(
+        blocked = isect.shadow_blocked_brute(
             ds["tri_verts_world"], ds["prim_object_packed"], o, d, tmin,
             tmax, visibility=vis,
             object_visibility=ds["object_visibility"],
             tri_verts_t1=ds["tri_verts_world_t1"] if deform else None,
             time=time if deform else None)
+        if "curve_p0" in ds:
+            blocked = blocked | isect.curves_any_hit(
+                ds["curve_p0"], ds["curve_e"], ds["curve_r0"],
+                ds["curve_r1"], ds["curve_object"], o, d, tmin, tmax,
+                visibility=vis,
+                object_visibility=ds["object_visibility"])
+        return blocked
     hit = _scene_intersect(kg, o, d, tmin, tmax, vis, shadow=True,
                            time=time)
     return hit["prim"] >= 0
@@ -883,6 +913,29 @@ def make_path_kernel(kg, px, py, pixel_index):
                     tri_verts_t1=(dsd["tri_verts_world_t1"] if deform
                                   else None),
                     time=st["time"] if deform else None)
+                if "curve_p0" in dsd:
+                    # hair is never a volume boundary: its closest hit
+                    # feeds t_other and the shadow any-hit
+                    chit = isect.intersect_curves_ribbon(
+                        dsd["curve_p0"], dsd["curve_e"], dsd["curve_r0"],
+                        dsd["curve_r1"], dsd["curve_object"],
+                        int(kg["curve_prim_base"]), o_s, d_s,
+                        jnp.full((n,), 1e-5, prec.FT),
+                        jnp.where(on_closest,
+                                  jnp.minimum(tmax_s, um.RAY_TMAX), 1e-5),
+                        visibility=jnp.full((n,), ob.PATH_RAY_CAMERA,
+                                            jnp.uint32),
+                        object_visibility=dsd["object_visibility"])
+                    t_o = jnp.minimum(t_o, jnp.where(
+                        chit["prim"] >= 0, chit["t"], um.RAY_TMAX))
+                    blk = blk | isect.curves_any_hit(
+                        dsd["curve_p0"], dsd["curve_e"], dsd["curve_r0"],
+                        dsd["curve_r1"], dsd["curve_object"], o_s, d_s,
+                        jnp.full((n,), 1e-5, prec.FT),
+                        jnp.where(on_any, tmax_s, 1e-5),
+                        visibility=jnp.full((n,), ob.PATH_RAY_SHADOW,
+                                            jnp.uint32),
+                        object_visibility=dsd["object_visibility"])
                 return (t_b, t_o), blk
 
             sh_trans = jnp.ones((n, 3), prec.FT)

@@ -16,6 +16,7 @@ kernel_emission.h:209-233). Area lamps are virtual (not in the BVH);
 """
 
 from __future__ import annotations
+from raytracingproject_tpu.utils import precision as prec
 
 import jax.numpy as jnp
 
@@ -46,7 +47,7 @@ def bg_map_pdf(dscene, D):
     (ref: kernel_light.h background_map_pdf); uniform-sphere fallback."""
     bg_h, bg_w = dscene["bg_pdf_map"].shape
     if bg_h <= 1:
-        return jnp.full(D.shape[:1], 1.0 / um.M_4PI, jnp.float32)
+        return jnp.full(D.shape[:1], 1.0 / um.M_4PI, prec.FT)
     bu, bvv = um.direction_to_equirectangular(D)
     row = jnp.clip((bvv * bg_h).astype(jnp.int32), 0, bg_h - 1)
     col = jnp.clip((bu * bg_w).astype(jnp.int32), 0, bg_w - 1)
@@ -60,8 +61,8 @@ def portal_pdf(dscene, P, D):
     pd = dscene["portal_data"]
     k_num = int(pd.shape[0])
     if k_num == 0:
-        return jnp.zeros(P.shape[:1], jnp.float32)
-    total = jnp.zeros(P.shape[:1], jnp.float32)
+        return jnp.zeros(P.shape[:1], prec.FT)
+    total = jnp.zeros(P.shape[:1], prec.FT)
     for k in range(k_num):          # static small loop
         co, au, av = pd[k, 0:3], pd[k, 3:6], pd[k, 6:9]
         nrm = pd[k, 9:12]
@@ -203,8 +204,8 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None, rows=None):
             jnp.asarray(u2 * 16777216.0, jnp.uint32))
         ju = rngu.uint_to_float_01(jbits)
         jv = rngu.uint_to_float_01(rngu.hash_pcg(jbits))
-        bu = (col.astype(jnp.float32) + ju) / bg_w
-        bvv = (row.astype(jnp.float32) + jv) / bg_h
+        bu = (col.astype(prec.FT) + ju) / bg_w
+        bvv = (row.astype(prec.FT) + jv) / bg_h
         D_bg = um.equirectangular_to_direction(bu, bvv)
     else:
         # fallback uniform sphere MUST consume the remapped u1b —
@@ -312,7 +313,7 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None, rows=None):
         fh = phi / um.M_2PI * IES_RES_H
         v0 = jnp.clip(jnp.floor(fv).astype(jnp.int32), 0, IES_RES_V - 1)
         v1 = jnp.minimum(v0 + 1, IES_RES_V - 1)
-        wv = fv - v0.astype(jnp.float32)
+        wv = fv - v0.astype(prec.FT)
         h0 = jnp.floor(fh).astype(jnp.int32) % IES_RES_H
         h1 = (h0 + 1) % IES_RES_H
         wh = fh - jnp.floor(fh)

@@ -22,6 +22,7 @@ fall back to a single row gather.
 """
 
 from __future__ import annotations
+from raytracingproject_tpu.utils import precision as prec
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +41,13 @@ PT_OBJECT = 30
 PT_TANGENT = 31    # 31:34 curve tangent (zeros for non-curve prims);
 #                    hair ribbons carry the strand direction here
 #                    (ref: ATTR_STD_CURVE_TANGENT / geom_curve.h tangent)
-PT_COLS = 34
+PT_CURVE = 34      # 1.0 on native curve-segment rows. Those rows remap
+#                    the triangle slots (ref: geom_curve_intersect.h
+#                    primitives live in their own table; here they share
+#                    the prim table so shader_setup stays one gather):
+#                    V0:V0+3 = segment p0, V0+3:V0+6 = p1-p0,
+#                    V0+6/V0+7 = r0/r1, UV/UV+1 = strand v at the ends
+PT_COLS = 35
 
 # object_table column layout
 OT_TFM = 0         # 0:12
@@ -96,9 +103,9 @@ def lookup_rows(table, idx, method="auto"):
             out = jnp.where((idx == i)[..., None], table[i], out)
         return out
     if method == "onehot":
-        oh = jax.nn.one_hot(idx, p, dtype=jnp.float32)
+        oh = jax.nn.one_hot(idx, p, dtype=prec.FT)
         return jnp.dot(oh, table, precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=prec.FT)
     return table[idx]
 
 

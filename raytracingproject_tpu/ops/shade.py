@@ -10,6 +10,7 @@ by shader id so each masked eval is dense.
 """
 
 from __future__ import annotations
+from raytracingproject_tpu.utils import precision as prec
 
 from dataclasses import dataclass, field
 from typing import Any
@@ -150,6 +151,27 @@ def shader_setup(dscene, hit, ray_o, ray_d, time=None, ray_depth=None,
     tan_w = um.mat34_dir(otfm, tan_obj)
     dPdu = jnp.where(is_curve[:, None], um.safe_normalize(tan_w), 0.0)
 
+    # native curve-segment rows (PT_CURVE layout, ops/lookup.py): the
+    # ribbon faces the ray, so Ng is the view direction's component
+    # perpendicular to the tangent (ref: geom_curve.h curve ribbon
+    # normal); uv = (across in [0,1], strand v lerped from the row)
+    if "curve_p0" in dscene:
+        ncurve = prow[:, lk.PT_CURVE] > 0.5
+        onc = ncurve[:, None]
+        ng_c = um.safe_normalize(I - dPdu * um.dot(dPdu, I)[:, None])
+        Ng = jnp.where(onc, ng_c, Ng)
+        Ns = jnp.where(onc, ng_c, Ns)
+        # the ribbon always faces the ray: never backfacing
+        backfacing = jnp.where(ncurve, False, backfacing)
+        Ngf = jnp.where(onc, ng_c, Ngf)
+        Nf = jnp.where(onc, ng_c, Nf)
+        s_along = hit["u"]
+        v_strand = (prow[:, lk.PT_UV]
+                    + (prow[:, lk.PT_UV + 1] - prow[:, lk.PT_UV])
+                    * s_along)
+        uv = jnp.where(
+            onc, jnp.stack([0.5 * (hit["v"] + 1.0), v_strand], -1), uv)
+
     # per-corner vertex colors (ref: ATTR_STD_VERTEX_COLOR consumed by
     # VertexColorNode/svm_attribute): a separate 12-wide table, gathered
     # only when the scene packs the attribute (scene.py gates it on
@@ -175,7 +197,7 @@ def shader_setup(dscene, hit, ray_o, ray_d, time=None, ray_depth=None,
     sd = ShaderData(
         P=P, N=Nf, Ng=Ngf, Ns=Ns, I=I, uv=uv, generated=generated,
         P_object=P_gen,
-        time=time if time is not None else jnp.zeros(n, jnp.float32),
+        time=time if time is not None else jnp.zeros(n, prec.FT),
         ray_length=hit["t"],
         ray_depth=(ray_depth if ray_depth is not None
                    else jnp.zeros(n, jnp.int32)),
@@ -210,7 +232,7 @@ def eval_shaders(shaders, sd, shader_id, aov_names=()):
     """
     from raytracingproject_tpu.ops import closures as cl
     out = cl.empty_closures(sd.batch_shape)
-    aovs = {nm: jnp.zeros(sd.batch_shape + (3,), jnp.float32)
+    aovs = {nm: jnp.zeros(sd.batch_shape + (3,), prec.FT)
             for nm in aov_names}
     for slot, shader in enumerate(shaders):
         res = shader.graph.evaluate(sd)
@@ -262,7 +284,7 @@ def _sd_pack(sd):
         for s in tail:
             w *= int(s)
         spec.append((name, tail, v.dtype, w))
-        cols.append(v.reshape(n, w).astype(jnp.float32))
+        cols.append(v.reshape(n, w).astype(prec.FT))
     return jnp.concatenate(cols, axis=1), spec
 
 
@@ -434,7 +456,7 @@ def eval_transparency(shaders, sd, shader_id, shader_mask):
     weight, evaluated only for shaders flagged in shader_mask (the
     shadow-transparent subset). Non-flagged shaders return 0 = opaque
     (ref: shader_bsdf_transparency, kernel/kernel_shader.h)."""
-    tp = jnp.zeros(sd.batch_shape + (3,), jnp.float32)
+    tp = jnp.zeros(sd.batch_shape + (3,), prec.FT)
     for slot, shader in enumerate(shaders):
         if not shader_mask[slot]:
             continue
@@ -449,15 +471,15 @@ def eval_background(shaders, background_shader_slot, ray_d, textures=None,
     """Evaluate the background shader for missed rays
     (ref: indirect_background, kernel/kernel_emission.h:333)."""
     n = ray_d.shape[0]
-    zeros = jnp.zeros((n, 3), jnp.float32)
+    zeros = jnp.zeros((n, 3), prec.FT)
     if background_shader_slot < 0:
         return zeros
     sd = ShaderData(
         P=zeros, N=-ray_d, Ng=-ray_d, Ns=-ray_d, I=-ray_d,
-        uv=jnp.zeros((n, 2), jnp.float32),
+        uv=jnp.zeros((n, 2), prec.FT),
         generated=ray_d, P_object=ray_d,
-        time=jnp.zeros(n, jnp.float32),
-        ray_length=jnp.full(n, um.RAY_TMAX, jnp.float32),
+        time=jnp.zeros(n, prec.FT),
+        ray_length=jnp.full(n, um.RAY_TMAX, prec.FT),
         ray_depth=jnp.zeros(n, jnp.int32),
         path_flag=(path_flag if path_flag is not None
                    else jnp.full(n, PATH_RAY_CAMERA, jnp.uint32)),
@@ -465,7 +487,7 @@ def eval_background(shaders, background_shader_slot, ray_d, textures=None,
         shader=jnp.full(n, background_shader_slot, jnp.int32),
         object_index=jnp.full(n, -1, jnp.int32),
         object_color=zeros, object_location=zeros,
-        object_random=jnp.zeros(n, jnp.float32),
+        object_random=jnp.zeros(n, prec.FT),
         backfacing=jnp.zeros(n, bool),
         textures=textures, batch_shape=(n,),
     )

@@ -8,6 +8,7 @@ Image data lives in a packed store (models/image.py ImageManager): one
 """
 
 from __future__ import annotations
+from raytracingproject_tpu.utils import precision as prec
 
 import jax.numpy as jnp
 import numpy as np
@@ -137,13 +138,13 @@ def voronoi_f1_3d(p, randomness=1.0):
     (ref: svm_voronoi.h, euclidean metric)."""
     pi = jnp.floor(p)
     pf = p - pi
-    min_d = jnp.full(p.shape[:-1], 1e10, jnp.float32)
+    min_d = jnp.full(p.shape[:-1], 1e10, prec.FT)
     min_off = jnp.zeros_like(p)
     min_hash = jnp.zeros(p.shape[:-1], jnp.uint32)
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
             for dz in (-1, 0, 1):
-                cell = pi + jnp.asarray([dx, dy, dz], jnp.float32)
+                cell = pi + jnp.asarray([dx, dy, dz], prec.FT)
                 h = _hash3_to_u32(cell[..., 0].astype(jnp.int32),
                                   cell[..., 1].astype(jnp.int32),
                                   cell[..., 2].astype(jnp.int32))
@@ -151,7 +152,7 @@ def voronoi_f1_3d(p, randomness=1.0):
                 oy = rngu.uint_to_float_01(rngu.hash_pcg(h))
                 oz = rngu.uint_to_float_01(rngu.hash_pcg(rngu.hash_pcg(h)))
                 off = jnp.stack([ox, oy, oz], -1) * randomness \
-                    + jnp.asarray([dx, dy, dz], jnp.float32)
+                    + jnp.asarray([dx, dy, dz], prec.FT)
                 d = jnp.linalg.norm(off - pf, axis=-1)
                 closer = d < min_d
                 min_d = jnp.where(closer, d, min_d)

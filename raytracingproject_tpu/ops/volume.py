@@ -11,6 +11,7 @@ into the bounce loop of ops/integrator.py.
 """
 
 from __future__ import annotations
+from raytracingproject_tpu.utils import precision as prec
 
 import jax
 import jax.numpy as jnp
@@ -188,7 +189,7 @@ def ratio_tracking(eval_sigma, o, d, t_max, sigma_max, u_seed, steps=32):
         t = jnp.where(done, t, t_new)
         return (t, T, done)
 
-    init = (jnp.zeros((n,), jnp.float32), jnp.ones((n, 3), jnp.float32),
+    init = (jnp.zeros((n,), prec.FT), jnp.ones((n, 3), prec.FT),
             ~active0)
     _t, T, _done = jax.lax.fori_loop(0, steps, body, init)
     return jnp.where(active0[:, None], T, 1.0)
@@ -253,9 +254,9 @@ def woodcock_sample(eval_sigma, o, d, t_max, sigma_max, u_seed, steps=32):
         t_hit = jnp.where(accept, t_new, t_hit)
         return (t, done, scat, weight, t_hit)
 
-    init = (jnp.zeros((n,), jnp.float32), jnp.zeros((n,), bool),
-            jnp.zeros((n,), bool), jnp.ones((n, 3), jnp.float32),
-            jnp.full((n,), um.RAY_TMAX, jnp.float32))
+    init = (jnp.zeros((n,), prec.FT), jnp.zeros((n,), bool),
+            jnp.zeros((n,), bool), jnp.ones((n, 3), prec.FT),
+            jnp.full((n,), um.RAY_TMAX, prec.FT))
     t, done, scat, weight, t_hit = jax.lax.fori_loop(0, steps, body, init)
     # lanes that used all steps without deciding: treat as pass-through
     # (bias bounded by sigma_max * t_max >> steps scenarios; steps is

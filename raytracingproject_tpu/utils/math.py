@@ -10,6 +10,7 @@ accumulation; bf16 is used only in explicitly opted-in kernels.
 """
 
 from __future__ import annotations
+from raytracingproject_tpu.utils import precision as prec
 
 import jax
 import jax.numpy as jnp
@@ -28,9 +29,9 @@ RAY_TMAX = 1e30
 
 def make_float3(x, y, z):
     return jnp.stack(jnp.broadcast_arrays(
-        jnp.asarray(x, jnp.float32),
-        jnp.asarray(y, jnp.float32),
-        jnp.asarray(z, jnp.float32)), axis=-1)
+        jnp.asarray(x, prec.FT),
+        jnp.asarray(y, prec.FT),
+        jnp.asarray(z, prec.FT)), axis=-1)
 
 
 def dot(a, b):
