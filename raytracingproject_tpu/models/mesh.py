@@ -138,6 +138,10 @@ class Hair(Geometry):
 
     NODE_NAME = "hair"
     SOCKETS = Geometry.SOCKETS + [
+        # native ray-facing ribbon segments (ref default curve shape,
+        # geom_curve_intersect.h) vs twisted-triangle tessellation;
+        # instanced/deforming hair always tessellates (scene.py)
+        S("curve_shape", S.ENUM, "ribbon", {"ribbon": 0, "mesh": 1}),
         S("curve_keys", S.POINT_ARRAY, np.zeros((0, 3), np.float32)),
         S("curve_radius", S.FLOAT_ARRAY, np.zeros((0,), np.float32)),
         S("curve_first_key", S.INT_ARRAY, np.zeros((0,), np.int32)),

@@ -175,8 +175,13 @@ class Scene:
                    for s in self.shaders):
             packed.pop("prim_vcol", None)
         else:
-            packed["prim_vcol"] = np.ascontiguousarray(
-                packed["prim_vcol"].reshape(-1, 12))
+            vc = packed["prim_vcol"].reshape(-1, 12)
+            # pad to the prim_table row count (curve rows read white)
+            extra = len(packed["prim_table"]) - len(vc)
+            if extra > 0:
+                vc = np.concatenate(
+                    [vc, np.ones((extra, 12), np.float32)])
+            packed["prim_vcol"] = np.ascontiguousarray(vc)
 
         # 3. lights -> distribution CDF
         lightd = self._pack_lights(packed)
@@ -210,6 +215,7 @@ class Scene:
             "has_deform_motion": packed.pop("__has_deform_motion__", False),
             "cluster_tris": packed.pop("__cluster_tris__", 0),
             "bvh_stack_depth": packed.pop("__bvh_stack_depth__", 0),
+            "curve_prim_base": packed.pop("__curve_prim_base__", 0),
             "film_transparent": bool(self.background.transparent),
         }
         dscene.pop("__use_brute__", None)
@@ -217,6 +223,7 @@ class Scene:
         dscene.pop("__has_deform_motion__", None)
         dscene.pop("__cluster_tris__", None)
         dscene.pop("__bvh_stack_depth__", None)
+        dscene.pop("__curve_prim_base__", None)
         self.need_update = False
         return self.dscene
 
@@ -376,10 +383,58 @@ class Scene:
         vcol_seen = []    # packed only when some mesh carries the attr
         prim_shader, prim_smooth, prim_object = [], [], []
         deform_seen = []
+        # native curve segments (world space; ops/intersect.py
+        # intersect_curves_ribbon sweeps them after the triangle pass)
+        curve_cols = {k: [] for k in ("p0", "e", "r0", "r1", "vp0",
+                                      "vp1", "shader", "object")}
+
+        def append_hair_native(hair, obj_idx, world_tfm):
+            keys = np.asarray(hair.curve_keys, np.float32).reshape(-1, 3)
+            rad = np.asarray(hair.curve_radius, np.float32)
+            fk = np.asarray(hair.curve_first_key, np.int64)
+            nk = np.asarray(hair.curve_num_keys, np.int64)
+            csh = np.asarray(hair.curve_shader, np.int32)
+            nseg = np.maximum(nk - 1, 0)
+            total = int(nseg.sum())
+            if total == 0:
+                return
+            off = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(nseg) - nseg, nseg)
+            i0 = np.repeat(fk, nseg) + off
+            p0, p1 = keys[i0], keys[i0 + 1]
+            r0, r1 = rad[i0], rad[i0 + 1]
+            if world_tfm is not None:
+                m = np.asarray(world_tfm, np.float32)
+                p0 = tfm.transform_point(m, p0)
+                p1 = tfm.transform_point(m, p1)
+                # uniform-scale approximation for radii under the
+                # object transform (hair widths are tiny vs the scene)
+                s = abs(float(np.linalg.det(m[:3, :3]))) ** (1.0 / 3.0)
+                r0, r1 = r0 * s, r1 * s
+            nsegc = np.repeat(np.maximum(nseg, 1), nseg).astype(np.float32)
+            slots = np.array([self._shader_slot(hair, int(s))
+                              for s in csh], np.int32)
+            curve_cols["p0"].append(p0)
+            curve_cols["e"].append(p1 - p0)
+            curve_cols["r0"].append(r0)
+            curve_cols["r1"].append(r1)
+            curve_cols["vp0"].append(off / nsegc)
+            curve_cols["vp1"].append((off + 1) / nsegc)
+            curve_cols["shader"].append(np.repeat(slots, nseg))
+            curve_cols["object"].append(
+                np.full(total, obj_idx, np.int32))
 
         def append_mesh(mesh, obj_idx, world_tfm=None):
             from raytracingproject_tpu.models.mesh import Hair
             if isinstance(mesh, Hair):
+                if (obj_idx >= 0
+                        and mesh.get_enum_int("curve_shape") == 0
+                        and mesh.num_curves):
+                    # native ribbon segments, swept densely after the
+                    # triangle pass (ref: geom_curve_intersect.h)
+                    append_hair_native(mesh, obj_idx, world_tfm)
+                    return 0
+                # instanced/deforming hair (or curve_shape="mesh"):
                 # curves ride the triangle pipeline as twisted ribbons
                 mesh = mesh.tessellate_ribbons()
             elif mesh.get_enum_int("subdivision_type") != 0:
@@ -860,6 +915,40 @@ class Scene:
             pt[:, lk.PT_SMOOTH] = packed["prim_smooth"]
             pt[:, lk.PT_OBJECT] = packed["prim_object_packed"]
             pt[:, lk.PT_TANGENT:lk.PT_TANGENT + 3] = packed["prim_tangent"]
+        # native curve segments: appended as prim rows (PT_CURVE layout,
+        # ops/lookup.py) so shader_setup stays one gather; the dense
+        # segment sweep reports prim ids curve_prim_base + i
+        S_curves = sum(len(a) for a in curve_cols["p0"])
+        if S_curves:
+            cp0 = np.concatenate(curve_cols["p0"]).astype(np.float32)
+            ce = np.concatenate(curve_cols["e"]).astype(np.float32)
+            cr0 = np.concatenate(curve_cols["r0"]).astype(np.float32)
+            cr1 = np.concatenate(curve_cols["r1"]).astype(np.float32)
+            cvp0 = np.concatenate(curve_cols["vp0"]).astype(np.float32)
+            cvp1 = np.concatenate(curve_cols["vp1"]).astype(np.float32)
+            csh = np.concatenate(curve_cols["shader"]).astype(np.int32)
+            cob = np.concatenate(curve_cols["object"]).astype(np.int32)
+            ct = np.zeros((S_curves, lk.PT_COLS), np.float32)
+            ct[:, lk.PT_V0:lk.PT_V0 + 3] = cp0
+            ct[:, lk.PT_V0 + 3:lk.PT_V0 + 6] = ce
+            ct[:, lk.PT_V0 + 6] = cr0
+            ct[:, lk.PT_V0 + 7] = cr1
+            ct[:, lk.PT_UV] = cvp0
+            ct[:, lk.PT_UV + 1] = cvp1
+            ct[:, lk.PT_SHADER] = csh
+            ct[:, lk.PT_OBJECT] = cob
+            tl = ce / np.maximum(
+                np.linalg.norm(ce, axis=-1, keepdims=True), 1e-12)
+            ct[:, lk.PT_TANGENT:lk.PT_TANGENT + 3] = tl
+            ct[:, lk.PT_CURVE] = 1.0
+            packed["__curve_prim_base__"] = pt.shape[0]
+            pt = np.concatenate([pt, ct])
+            packed["curve_p0"] = cp0
+            packed["curve_e"] = ce
+            packed["curve_r0"] = cr0
+            packed["curve_r1"] = cr1
+            packed["curve_object"] = cob
+            log.vlog(1, "native hair: %d curve segments", S_curves)
         packed["prim_table"] = pt
 
         ot = np.zeros((nobj, lk.OT_COLS), np.float32)
@@ -1039,9 +1128,10 @@ class Scene:
         # fill light columns of the packed prim table + build lamp table
         from raytracingproject_tpu.ops import lookup as lk
         if P:
-            packed["prim_table"][:, lk.PT_EMISSION:lk.PT_EMISSION + 3] = \
-                prim_emission
-            packed["prim_table"][:, lk.PT_LIGHT_PMF] = prim_light_pmf[:P]
+            # curve-segment rows (appended past P) never emit
+            packed["prim_table"][:P, lk.PT_EMISSION:lk.PT_EMISSION + 3] = \
+                prim_emission[:P]
+            packed["prim_table"][:P, lk.PT_LIGHT_PMF] = prim_light_pmf[:P]
         nl = len(lamp_arrays["lamp_type"])
         lt = np.zeros((nl, lk.LT_COLS), np.float32)
         lt[:, lk.LT_TYPE] = lamp_arrays["lamp_type"]
@@ -1221,6 +1311,7 @@ class Scene:
             "cluster_tris": ds.get("cluster_tris", 0),
             "bvh_stack_depth": ds.get("bvh_stack_depth", 0),
             "volume_stack_depth": int(self.integrator.volume_stack_depth),
+            "curve_prim_base": ds.get("curve_prim_base", 0),
             # material-sorted shading (shade.eval_shaders_sorted):
             # profitable when many/large shader graphs would otherwise
             # each run a full masked wavefront pass
