@@ -554,3 +554,58 @@ class Session:
         else:
             image_io.write_png(path, img, srgb=srgb)
         return path
+
+    def profile_shaders(self, lanes=65536, repeats=3):
+        """Per-shader DEVICE-time attribution (ref: util_profiling.h
+        per-shader histograms surfaced in render/session.cpp:1205-1211).
+
+        The reference samples worker threads; the TPU analog times each
+        shader's masked full-wavefront eval in its own dispatch over a
+        representative batch (real camera-ray hits, so the texture/prim
+        mix matches the scene). Results land in stats.shader_times and
+        full_report() names the most expensive shaders."""
+        import time as _time
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from raytracingproject_tpu.ops import camera as cam_ops
+        from raytracingproject_tpu.ops import integrator as integ
+        from raytracingproject_tpu.ops import shade as shade_ops
+        from raytracingproject_tpu.models import object as ob
+
+        if self._kg is None:
+            self._update_scene()
+        kg = self._kg
+        W = int(self.scene.camera.width)
+        H = int(self.scene.camera.height)
+        n = int(lanes)
+        idx = np.arange(n) % (W * H)
+        rx = jnp.asarray(idx % W + 0.5, jnp.float32)
+        ry = jnp.asarray(idx // W + 0.5, jnp.float32)
+        half = jnp.full((n,), 0.5)
+        ray = cam_ops.camera_sample_ray(kg["cam"], rx, ry, half, half,
+                                        half)
+        vis = jnp.full((n,), ob.PATH_RAY_CAMERA, jnp.uint32)
+        hit = jax.jit(lambda o, d, a, b: integ._scene_intersect(
+            kg, o, d, a, b, vis))(ray["o"], ray["d"], ray["tmin"],
+                                  ray["tmax"])
+        sd = shade_ops.shader_setup(kg["dscene"], hit, ray["o"],
+                                    ray["d"], textures=kg["textures"])
+        times = {}
+        for slot, sh in enumerate(kg["shaders"]):
+            fn = jax.jit(lambda s, slot=slot: shade_ops.eval_shaders(
+                kg["shaders"], s, jnp.full((n,), slot, jnp.int32)))
+            out = fn(sd)  # compile + warm
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready()
+                if hasattr(x, "block_until_ready") else x, out)
+            t0 = _time.monotonic()
+            for _ in range(repeats):
+                out = fn(sd)
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready()
+                if hasattr(x, "block_until_ready") else x, out)
+            times[sh.name or f"shader_{slot}"] = \
+                (_time.monotonic() - t0) / repeats
+        self.stats.shader_times = times
+        return times

@@ -78,6 +78,9 @@ class RenderStats:
         self.samples_rendered = 0
         self.render_time = 0.0
         self.sync_time = 0.0
+        # per-shader device-time attribution (Session.profile_shaders;
+        # ref: util_profiling.h per-shader histograms)
+        self.shader_times = {}
 
     def collect_scene_memory(self, dscene_arrays):
         self.mem = NamedSizeStats("Device scene memory")
@@ -95,5 +98,11 @@ class RenderStats:
                 f"{self.render_time:.2f}s "
                 f"({self.samples_rendered / max(self.render_time, 1e-9) / 1e6:.2f}"
                 f" Msamples/s); sync {self.sync_time:.2f}s")
+        if self.shader_times:
+            parts.append("Device shader cost (per masked wavefront "
+                         "eval):")
+            for name, t in sorted(self.shader_times.items(),
+                                  key=lambda kv: -kv[1]):
+                parts.append(f"  {name}: {t * 1e3:.2f} ms")
         parts.append(self.profiler.report())
         return "\n".join(parts)

@@ -212,3 +212,21 @@ class TestPreview:
         # camera restored
         assert int(scene.camera.width) == 24
         assert sess.params.samples == 4
+
+
+class TestShaderProfiling:
+    def test_profile_shaders_names_costs(self):
+        """Per-shader device-time attribution (ref: util_profiling.h
+        per-shader histograms): every scene shader gets a measured
+        wavefront-eval time and the report names them."""
+        from raytracingproject_tpu.app import examples
+        from raytracingproject_tpu.session.session import Session
+        scene = examples.cornell_box(16, 16, spp=2)
+        s = Session(scene)
+        times = s.profile_shaders(lanes=2048, repeats=1)
+        assert len(times) == len(scene.shaders)
+        assert all(t >= 0.0 for t in times.values())
+        rep = s.stats.full_report()
+        assert "Device shader cost" in rep
+        top = max(times, key=times.get)
+        assert top in rep
