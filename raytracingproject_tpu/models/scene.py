@@ -214,6 +214,7 @@ class Scene:
             "has_instances": packed.pop("__has_instances__"),
             "has_deform_motion": packed.pop("__has_deform_motion__", False),
             "cluster_tris": packed.pop("__cluster_tris__", 0),
+            "cluster_motion": packed.pop("__cluster_motion__", False),
             "bvh_stack_depth": packed.pop("__bvh_stack_depth__", 0),
             "curve_prim_base": packed.pop("__curve_prim_base__", 0),
             "film_transparent": bool(self.background.transparent),
@@ -222,6 +223,7 @@ class Scene:
         dscene.pop("__has_instances__", None)
         dscene.pop("__has_deform_motion__", None)
         dscene.pop("__cluster_tris__", None)
+        dscene.pop("__cluster_motion__", None)
         dscene.pop("__bvh_stack_depth__", None)
         dscene.pop("__curve_prim_base__", None)
         self.need_update = False
@@ -821,7 +823,7 @@ class Scene:
         # ---- cluster-shortlist traversal tables (the TPU-native fast
         # path for 1k-32k prims; ops/cluster_intersect.py) ----
         has_motion_instances = any(r[3] is not None for r in instance_rows)
-        if (not has_deform) and (not has_motion_instances) \
+        if (not has_motion_instances) \
                 and (has_instances or P >= CLUSTER_MIN_PRIMS):
             from raytracingproject_tpu.ops import cluster_intersect as ci
             from raytracingproject_tpu.bvh import clusters as cl_mod
@@ -870,22 +872,34 @@ class Scene:
                                 "lo": wc.min(0), "hi": wc.max(0)})
                 else:
                     tv = packed["tri_verts"]
+                    tv1 = packed["tri_verts_world_t1"] if has_deform \
+                        else None
                     po = packed["prim_object_packed"]
                     for (s, c) in block_cuts[0]:
                         verts = tv[s:s + c]
                         objv = po[s:s + c]
+                        # deform motion: bounds cover both shutter
+                        # steps; rows carry per-tri deltas lerped by
+                        # ray time in the intersector
+                        allv = verts.reshape(-1, 3) if tv1 is None \
+                            else np.concatenate(
+                                [verts, tv1[s:s + c]]).reshape(-1, 3)
                         cluster_dicts.append({
                             "verts": verts,
+                            "verts_t1": (None if tv1 is None
+                                         else tv1[s:s + c]),
                             "prim": np.arange(s, s + c),
                             "obj": objv,
                             "vis": obj_visibility[np.maximum(objv, 0)],
                             "w2o": None,
-                            "lo": verts.reshape(-1, 3).min(0),
-                            "hi": verts.reshape(-1, 3).max(0)})
-                cb, ctab, ct_used = ci.pack_cluster_table(cluster_dicts)
+                            "lo": allv.min(0),
+                            "hi": allv.max(0)})
+                cb, ctab, ct_used, cmotion = \
+                    ci.pack_cluster_table(cluster_dicts)
                 packed["cluster_bounds"] = cb
                 packed["cluster_table"] = ctab
                 packed["__cluster_tris__"] = ct_used
+                packed["__cluster_motion__"] = cmotion
                 log.vlog(1, "cluster tables: %d clusters x %d tris "
                          "(row %d cols)", len(cb), ct_used, ctab.shape[1])
 
@@ -895,7 +909,10 @@ class Scene:
         # beats the packed gather-walk 76-85x; dense beats the packed
         # walk at every size we can hold):
         if has_deform:
-            use_brute = True           # dense lerp path carries motion
+            # deform motion rides the cluster path when tables exist
+            # (rows carry per-tri shutter deltas); dense lerp otherwise
+            use_brute = ("cluster_bounds" not in packed
+                         or P <= BRUTE_VS_CLUSTER_PRIMS)
         elif has_instances:
             use_brute = False          # world-baked tris don't exist
         elif "cluster_bounds" in packed:
@@ -1309,6 +1326,7 @@ class Scene:
             "background_shader": ds["background_shader"],
             "use_brute": ds["use_brute"],
             "cluster_tris": ds.get("cluster_tris", 0),
+            "cluster_motion": ds.get("cluster_motion", False),
             "bvh_stack_depth": ds.get("bvh_stack_depth", 0),
             "volume_stack_depth": int(self.integrator.volume_stack_depth),
             "curve_prim_base": ds.get("curve_prim_base", 0),

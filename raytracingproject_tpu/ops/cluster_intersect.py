@@ -51,8 +51,10 @@ DEFAULT_CHUNK = 8192
 DEFAULT_FETCH_WIDTH = 1
 
 
-def row_width(cluster_tris):
-    return META_COLS + cluster_tris * 12
+def row_width(cluster_tris, motion=False):
+    # motion rows carry 9 extra delta components per tri (v0/e1/e2 at
+    # shutter close minus open), lerped per-lane by ray time
+    return META_COLS + cluster_tris * (21 if motion else 12)
 
 
 def pack_cluster_table(clusters_np):
@@ -64,7 +66,9 @@ def pack_cluster_table(clusters_np):
     c = len(clusters_np)
     ct = max((len(cl["prim"]) for cl in clusters_np), default=1)
     ct = max(ct, 1)
-    w = row_width(ct)
+    motion = any(cl.get("verts_t1") is not None for cl in clusters_np)
+    w = row_width(ct, motion)
+    tri_w = 18 if motion else 9
     table = np.zeros((c, w), np.float32)
     bounds = np.zeros((c, 6), np.float32)
     for i, cl in enumerate(clusters_np):
@@ -79,7 +83,14 @@ def pack_cluster_table(clusters_np):
         tri = np.concatenate(
             [v[:, 0], v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]], axis=1)
         table[i, META_COLS:META_COLS + 9 * k] = tri.reshape(-1)
-        base = META_COLS + 9 * ct
+        if motion:
+            v1 = np.asarray(cl.get("verts_t1", cl["verts"]), np.float32)
+            tri1 = np.concatenate(
+                [v1[:, 0], v1[:, 1] - v1[:, 0], v1[:, 2] - v1[:, 0]],
+                axis=1)
+            db = META_COLS + 9 * ct
+            table[i, db:db + 9 * k] = (tri1 - tri).reshape(-1)
+        base = META_COLS + tri_w * ct
         table[i, base:base + ct] = -1.0
         table[i, base:base + k] = np.asarray(cl["prim"], np.float32)
         base2 = base + ct
@@ -88,7 +99,7 @@ def pack_cluster_table(clusters_np):
         table[i, base3:base3 + k] = np.asarray(cl["vis"], np.float32)
         assert np.all(np.abs(cl["prim"]) < (1 << 24))
     assert np.isfinite(table).all(), "one-hot payloads must be finite"
-    return bounds, table, ct
+    return bounds, table, ct, motion
 
 
 def _entry_table(cbounds, o, d, tmin, tmax):
@@ -111,7 +122,8 @@ def _entry_table(cbounds, o, d, tmin, tmax):
 
 def _intersect_chunk(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
                      visibility, shadow_any_hit, has_instances,
-                     max_iters, fetch_width=1, want_stats=False):
+                     max_iters, fetch_width=1, want_stats=False,
+                     time=None, has_motion=False):
     n = o.shape[0]
     c = cbounds.shape[0]
     entry = _entry_table(cbounds, o, d, tmin, tmax)
@@ -160,7 +172,8 @@ def _intersect_chunk(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
         else:
             row_list = [ctable[cl[0]].T for cl in cid_list]
 
-        pbase = META_COLS + 9 * cluster_tris
+        tri_w = 18 if has_motion else 9
+        pbase = META_COLS + tri_w * cluster_tris
         obase = pbase + cluster_tris
         vbase = obase + cluster_tris
 
@@ -187,6 +200,17 @@ def _intersect_chunk(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
                 v0c = (row[b], row[b + 1], row[b + 2])
                 e1c = (row[b + 3], row[b + 4], row[b + 5])
                 e2c = (row[b + 6], row[b + 7], row[b + 8])
+                if has_motion:
+                    # per-lane time lerp of the deform deltas — same
+                    # math as ops/intersect.py _motion_components, so
+                    # cluster and brute stay exact twins
+                    db = META_COLS + 9 * cluster_tris + 9 * k
+                    v0c = tuple(v0c[j] + time * row[db + j]
+                                for j in range(3))
+                    e1c = tuple(e1c[j] + time * row[db + 3 + j]
+                                for j in range(3))
+                    e2c = tuple(e2c[j] + time * row[db + 6 + j]
+                                for j in range(3))
                 hit, t, u, v = isect._wt_block(ws, v0c, e1c, e2c, tmin, bt)
                 pid = row[pbase + k]
                 hit = hit & f_active & (pid >= 0.0)
@@ -230,7 +254,8 @@ def _intersect_chunk(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
 def intersect_clusters(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
                        visibility=None, shadow_any_hit=False,
                        has_instances=False, chunk=DEFAULT_CHUNK,
-                       fetch_width=DEFAULT_FETCH_WIDTH, want_stats=False):
+                       fetch_width=DEFAULT_FETCH_WIDTH, want_stats=False,
+                       time=None, has_motion=False):
     """Closest-hit (or any-hit) over the cluster tables.
 
     o, d: (N, 3); tmin, tmax: (N,); visibility: (N,) uint32 or None.
@@ -241,11 +266,14 @@ def intersect_clusters(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
     n = o.shape[0]
     c = cbounds.shape[0]
     max_iters = jnp.int32(c)
+    if has_motion and time is None:
+        time = jnp.zeros((n,), prec.FT)
     if n <= chunk:
         return _intersect_chunk(cbounds, ctable, cluster_tris, o, d,
                                 tmin, tmax, visibility, shadow_any_hit,
                                 has_instances, max_iters, fetch_width,
-                                want_stats=want_stats)
+                                want_stats=want_stats, time=time,
+                                has_motion=has_motion)
     pad = (-n) % chunk
     nc = (n + pad) // chunk
 
@@ -257,8 +285,12 @@ def intersect_clusters(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
     args = [prep(o), prep(d), prep(tmin), prep(tmax, fill=-1.0)]
     if visibility is not None:
         args.append(prep(visibility))
+    if has_motion:
+        args.append(prep(time))
 
     def one(xs):
+        xs = list(xs)
+        tt = xs.pop() if has_motion else None
         if visibility is not None:
             oo, dd, t0, t1, vis = xs
         else:
@@ -266,7 +298,8 @@ def intersect_clusters(cbounds, ctable, cluster_tris, o, d, tmin, tmax,
         return _intersect_chunk(cbounds, ctable, cluster_tris, oo, dd,
                                 t0, t1, vis, shadow_any_hit,
                                 has_instances, max_iters, fetch_width,
-                                want_stats=want_stats)
+                                want_stats=want_stats, time=tt,
+                                has_motion=has_motion)
 
     out = jax.lax.map(one, tuple(args))
     return {k: v.reshape(-1)[:n] for k, v in out.items()}

@@ -87,7 +87,8 @@ def _scene_intersect_tris(kg, o, d, tmin, tmax, visibility, shadow=False,
             ds["cluster_bounds"], ds["cluster_table"],
             int(kg["cluster_tris"]), o, d, tmin, tmax,
             visibility=visibility, shadow_any_hit=shadow,
-            has_instances=bool(kg.get("has_instances", False)))
+            has_instances=bool(kg.get("has_instances", False)),
+            time=time, has_motion=bool(kg.get("cluster_motion", False)))
     if "bvh_nodes_packed" in ds:
         # single-fetch packed traversal (2 row fetches/iteration)
         return isect.intersect_bvh_packed(

@@ -32,7 +32,7 @@ def _tables(tv, bvh, ct_size=32):
                    "vis": np.full(c, 0x1FF, np.float32),
                    "lo": verts.reshape(-1, 3).min(0),
                    "hi": verts.reshape(-1, 3).max(0), "w2o": None})
-    return ci.pack_cluster_table(cd)
+    return ci.pack_cluster_table(cd)[:3]
 
 
 def _rays(n, seed=1):

@@ -113,3 +113,128 @@ class TestScene:
         # kernel flags actually engaged
         assert sd._kg["has_deform_motion"]
         assert not ss._kg["has_deform_motion"]
+
+
+class TestClusterMotion:
+    def test_cluster_matches_brute_bitexact(self):
+        """Deform-motion clusters (per-tri shutter deltas lerped by ray
+        time) must pick the same winners as the dense lerp path — same
+        watertight math, same lerp (VERDICT r2 item 8: deforming
+        geometry escapes the brute path)."""
+        import jax
+        from raytracingproject_tpu.bvh import build as bvh_build
+        from raytracingproject_tpu.bvh import clusters as cl_mod
+        from raytracingproject_tpu.ops import cluster_intersect as ci
+        rng = np.random.default_rng(5)
+        P = 1500
+        centers = rng.uniform(-5, 5, (P, 3)).astype(np.float32)
+        tv0 = (centers[:, None, :]
+               + rng.normal(0, 0.4, (P, 3, 3))).astype(np.float32)
+        tv1 = (tv0 + rng.normal(0, 0.6, (P, 1, 3))).astype(np.float32)
+        po = np.zeros(P, np.int32)
+        lo = np.minimum(tv0.min(1), tv1.min(1))
+        hi = np.maximum(tv0.max(1), tv1.max(1))
+        b = bvh_build.build_bvh(lo, hi)
+        order = b.prim_order
+        v0o, v1o = tv0[order], tv1[order]
+        cuts = cl_mod.cut_clusters(b.children, 16)
+        cds = []
+        for (s, c) in cuts:
+            allv = np.concatenate([v0o[s:s + c],
+                                   v1o[s:s + c]]).reshape(-1, 3)
+            cds.append({"verts": v0o[s:s + c], "verts_t1": v1o[s:s + c],
+                        "prim": np.arange(s, s + c),
+                        "obj": po[s:s + c],
+                        "vis": np.full(c, 0xFFFFFFFF, np.uint32),
+                        "w2o": None,
+                        "lo": allv.min(0), "hi": allv.max(0)})
+        cb, ctab, ct, motion = ci.pack_cluster_table(cds)
+        assert motion
+        N = 2048
+        o = rng.uniform(-8, 8, (N, 3)).astype(np.float32)
+        d = rng.normal(0, 1, (N, 3)).astype(np.float32)
+        t = rng.random(N).astype(np.float32)
+        tmin = np.zeros(N, np.float32)
+        tmax = np.full(N, 50.0, np.float32)
+        hb = isect.intersect_brute(
+            jnp.asarray(v0o), jnp.asarray(po), jnp.asarray(o),
+            jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax),
+            tri_verts_t1=jnp.asarray(v1o), time=jnp.asarray(t))
+        hc = ci.intersect_clusters(
+            jnp.asarray(cb), jnp.asarray(ctab), ct, jnp.asarray(o),
+            jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax),
+            time=jnp.asarray(t), has_motion=True)
+        frac_hit = float((np.asarray(hb["prim"]) >= 0).mean())
+        assert frac_hit > 0.2  # the test actually exercises hits
+        # winner selection is identical; t/u agree to FMA-contraction
+        # noise (XLA fuses the time lerp differently per program, so
+        # true bit-exactness is not guaranteed across the two kernels)
+        np.testing.assert_array_equal(np.asarray(hb["prim"]),
+                                      np.asarray(hc["prim"]))
+        np.testing.assert_allclose(np.asarray(hb["t"]),
+                                   np.asarray(hc["t"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(hb["u"]),
+                                   np.asarray(hc["u"]), atol=1e-4)
+
+    def test_deform_scene_dispatches_to_cluster(self):
+        """A >1024-prim deforming mesh gets cluster tables and leaves
+        the brute path; the render stays finite and matches the brute
+        render closely."""
+        from raytracingproject_tpu.models.mesh import make_sphere_mesh
+        import raytracingproject_tpu.models.scene as scene_mod
+        from raytracingproject_tpu.app import examples
+        import jax
+        from raytracingproject_tpu.ops import integrator as integ
+
+        def build():
+            scene = Scene()
+            scene.camera.set("matrix",
+                             tfm.look_at((0, -6, 0), (0, 0, 0),
+                                         (0, 0, 1)))
+            scene.camera.set("fov", 0.6)
+            scene.camera.set("width", 24)
+            scene.camera.set("height", 24)
+            sh = diffuse_shader("m", (0.7, 0.6, 0.5))
+            scene.add_shader(sh)
+            sph = make_sphere_mesh((0, 0, 0), 1.0, 0, nlat=30, nlon=40)
+            v = sph.verts_array
+            sph.attribute_set(
+                "std_motion_vertex_position", "vertex",
+                (v * 1.25 + np.array([0.5, 0, 0],
+                                     np.float32)).astype(np.float32))
+            sph.used_shaders = [sh]
+            scene.add_object(Object("ball", sph))
+            scene.background.shader = examples.background_shader(
+                "bg", (1, 1, 1), 1.0)
+            scene.camera.set("shuttertime", 1.0)
+            return scene
+
+        scene = build()
+        scene.device_update()
+        assert scene.dscene["has_deform_motion"]
+        assert "cluster_bounds" in scene.dscene["arrays"]
+        assert not scene.dscene["use_brute"]
+        kg = scene.make_kernel_globals()
+        w = h = 24
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = jnp.asarray(xx.reshape(-1), jnp.int32)
+        py = jnp.asarray(yy.reshape(-1), jnp.int32)
+        img = np.asarray(jax.jit(lambda a, b, c: integ.render_samples(
+            kg, a, b, c, 0, 8))(px, py, py * w + px)[0]).reshape(
+                h, w, 3) / 8
+        assert np.isfinite(img).all()
+        # force the brute path on the identical scene: images must agree
+        old = scene_mod.BRUTE_VS_CLUSTER_PRIMS
+        scene_mod.BRUTE_VS_CLUSTER_PRIMS = 10 ** 9
+        try:
+            s2 = build()
+            s2.device_update()
+            assert s2.dscene["use_brute"]
+            kg2 = s2.make_kernel_globals()
+            img2 = np.asarray(jax.jit(
+                lambda a, b, c: integ.render_samples(
+                    kg2, a, b, c, 0, 8))(px, py, py * w + px)[0]
+            ).reshape(h, w, 3) / 8
+        finally:
+            scene_mod.BRUTE_VS_CLUSTER_PRIMS = old
+        np.testing.assert_allclose(img, img2, atol=1e-5)

@@ -81,7 +81,7 @@ def _all_paths(tris, o, d):
                    "vis": np.full(c, 0x1FF, np.float32),
                    "lo": verts.reshape(-1, 3).min(0),
                    "hi": verts.reshape(-1, 3).max(0), "w2o": None})
-    cb, ctab, ct = ci.pack_cluster_table(cd)
+    cb, ctab, ct = ci.pack_cluster_table(cd)[:3]
     out["cluster"] = ci.intersect_clusters(
         jnp.asarray(cb), jnp.asarray(ctab), ct, oj, dj, t0, t1)
     # map bvh-order prim ids back to input order for comparison

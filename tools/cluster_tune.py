@@ -38,7 +38,7 @@ def main():
                        "vis": np.full(cc, 0x1FF, np.float32),
                        "lo": verts.reshape(-1, 3).min(0),
                        "hi": verts.reshape(-1, 3).max(0), "w2o": None})
-        return ci.pack_cluster_table(cd)
+        return ci.pack_cluster_table(cd)[:3]
 
     # incoherent rays (bounce-like) and coherent rays (camera-like)
     o_i = rng.uniform(-6, 6, (N, 3)).astype(np.float32)
