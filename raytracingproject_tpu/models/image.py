@@ -28,10 +28,43 @@ class TextureStore:
         return self.data[slot], h, w
 
 
+def _downscale_box(img, limit):
+    """Box-filter an image so max(H, W) <= limit (ref:
+    render/image.cpp texture_limit handling via OIIO resize)."""
+    h, w = img.shape[:2]
+    while max(h, w) > limit:
+        # halve (pad odd dims by edge replication first)
+        if h % 2:
+            img = np.concatenate([img, img[-1:]], 0)
+            h += 1
+        if w % 2:
+            img = np.concatenate([img, img[:, -1:]], 1)
+            w += 1
+        img = (img[0::2, 0::2] + img[1::2, 0::2]
+               + img[0::2, 1::2] + img[1::2, 1::2]) * 0.25
+        h, w = img.shape[:2]
+    return img
+
+
+def build_mip_chain(img):
+    """Full box-filtered mip pyramid down to 1x1 (level 0 = base)."""
+    chain = [img]
+    while max(img.shape[:2]) > 1:
+        img = _downscale_box(
+            img, max(1, max(img.shape[:2]) // 2))
+        chain.append(img)
+    return chain
+
+
 class ImageManager:
     def __init__(self):
         self.images = []   # list of np (H, W, 4) float32 linear
         self.names = []
+        # downscale any image whose max extent exceeds this at pack
+        # time (0 = off; ref: render/image.cpp texture_limit)
+        self.texture_limit = 0
+        # slots that need a mip pyramid packed (auto-mip image nodes)
+        self.want_mips = set()
 
     def add_image(self, source, name=""):
         """source: filename or np array (H, W, C). Returns slot id."""
@@ -64,15 +97,35 @@ class ImageManager:
         return slot
 
     def device_update(self):
-        """Pack all images -> (TextureStore-ready data, sizes)."""
+        """Pack all images -> (TextureStore-ready data, sizes).
+
+        Applies texture_limit downscaling, then appends mip-pyramid
+        levels (for slots in want_mips) as extra rows; mip_slots maps
+        base slot -> list of slot ids per level (level 0 = base)."""
         if not self.images:
             data = np.ones((1, 1, 1, 4), np.float32)
             return data, [(1, 1)]
-        hmax = max(i.shape[0] for i in self.images)
-        wmax = max(i.shape[1] for i in self.images)
-        data = np.zeros((len(self.images), hmax, wmax, 4), np.float32)
+        imgs = list(self.images)
+        if self.texture_limit > 0:
+            imgs = [_downscale_box(i, int(self.texture_limit))
+                    for i in imgs]
+        self.mip_slots = {}
+        extra = []
+        for s in sorted(self.want_mips):
+            if not (0 <= s < len(imgs)):
+                continue
+            chain = build_mip_chain(imgs[s])
+            ids = [s]
+            for lvl in chain[1:]:
+                ids.append(len(imgs) + len(extra))
+                extra.append(lvl)
+            self.mip_slots[s] = ids
+        imgs = imgs + extra
+        hmax = max(i.shape[0] for i in imgs)
+        wmax = max(i.shape[1] for i in imgs)
+        data = np.zeros((len(imgs), hmax, wmax, 4), np.float32)
         sizes = []
-        for s, img in enumerate(self.images):
+        for s, img in enumerate(imgs):
             h, w = img.shape[:2]
             data[s, :h, :w] = img
             sizes.append((h, w))

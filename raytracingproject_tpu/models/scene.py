@@ -149,6 +149,9 @@ class Scene:
                             node.slot = -1
                         else:
                             node.slot = self.image_manager.add_image(src)
+                    if getattr(node, "use_auto_mip", False) \
+                            and node.slot >= 0:
+                        self.image_manager.want_mips.add(node.slot)
                 elif isinstance(node, sn.SkyTextureNode) \
                         and node.get_enum_int("sky_type") == 1:
                     # nishita: bake the atmosphere to an equirect map
@@ -1305,6 +1308,11 @@ class Scene:
         # (ref: svm_vector_transform.h reads kernel_data.cam)
         tex.cam_to_world = np.asarray(ds["cam"]["cam_to_world"],
                                       np.float32)
+        # mip pyramids (slot -> per-level slot ids) + the camera pixel
+        # angle the auto-mip footprint estimate uses
+        tex.mips = dict(getattr(self.image_manager, "mip_slots", {}))
+        tex.pixel_angle = float(self.camera.fov) / max(
+            int(self.camera.width), 1)
         # per-prim volume-boundary mask (prim order) for the cheap
         # two-min occlusion sweep (ops/intersect.py
         # intersect_brute_occlusion): boundary prims belong to shaders

@@ -933,7 +933,13 @@ class ImageTextureNode(ShaderNode):
                  "linear": tex.INTERPOLATION_LINEAR}),
               S("extension", S.ENUM, "repeat",
                 {"repeat": tex.EXTENSION_REPEAT, "extend": tex.EXTENSION_EXTEND,
-                 "clip": tex.EXTENSION_CLIP})]
+                 "clip": tex.EXTENSION_CLIP}),
+              # trilinear minification over a packed mip pyramid; the
+              # lod comes from a first-hit footprint estimate
+              # (ray_length x camera pixel angle x the triangle's own
+              # uv density) — the TPU stand-in for the CPU path's
+              # ray-differential footprints (kernel_differential.h)
+              S("use_auto_mip", S.BOOLEAN, False)]
 
     def __init__(self, name="", image=None, **kwargs):
         super().__init__(name, **kwargs)
@@ -948,10 +954,32 @@ class ImageTextureNode(ShaderNode):
         else:
             vv = _bc(ctx, link_v)
             u, v = vv[..., 0], vv[..., 1]
-        data, h, w = ctx.textures.get(self.slot)
-        rgba = tex.sample_image(data, h, w, u, v,
-                                self.get_enum_int("interpolation"),
-                                self.get_enum_int("extension"))
+        interp = self.get_enum_int("interpolation")
+        ext = self.get_enum_int("extension")
+        mips = getattr(ctx.textures, "mips", {})
+        if (self.use_auto_mip and self.slot in mips
+                and ctx.uv_density is not None
+                and ctx.ray_length is not None):
+            ids = mips[self.slot]
+            _, h0, w0 = ctx.textures.get(ids[0])
+            # footprint in texels at the hit
+            fp_world = ctx.ray_length * getattr(
+                ctx.textures, "pixel_angle", 1e-3)
+            fp_tex = fp_world * ctx.uv_density * float(max(h0, w0))
+            lod = jnp.clip(jnp.log2(jnp.maximum(fp_tex, 1.0)),
+                           0.0, float(len(ids) - 1))
+            # trilinear: hat-weighted sum over the (static) levels
+            rgba = 0.0
+            for li, slot_l in enumerate(ids):
+                wgt = jnp.maximum(1.0 - jnp.abs(lod - li), 0.0)
+                if li == 0:
+                    wgt = jnp.where(lod <= 0.0, 1.0, wgt)
+                dl, hl, wl = ctx.textures.get(slot_l)
+                rgba = rgba + wgt[..., None] * tex.sample_image(
+                    dl, hl, wl, u, v, interp, ext)
+        else:
+            data, h, w = ctx.textures.get(self.slot)
+            rgba = tex.sample_image(data, h, w, u, v, interp, ext)
         return {"color": rgba[..., :3], "alpha": rgba[..., 3]}
 
 

@@ -57,6 +57,8 @@ class ShaderData:
                              # it only when the scene has the node)
     bevel_N: Any = None      # (N, 3) probe-averaged normal for
                              # BevelNode; None without the node
+    uv_density: Any = None   # (N,) |duv| per world unit at the hit
+                             # triangle (auto-mip footprint estimation)
     textures: Any = None
     batch_shape: tuple = field(default_factory=tuple)
     # cached wide-table rows for reuse by light MIS (avoids re-lookup)
@@ -70,7 +72,8 @@ _SD_ARRAY_FIELDS = [
     "ray_length", "ray_depth", "path_flag", "prim", "shader",
     "object_index", "object_color", "object_location", "object_random",
     "backfacing", "dPdu", "bary_u", "bary_v", "gen_tfm", "vcol",
-    "ao", "bevel_N", "prim_row", "object_tfm", "object_row"]
+    "ao", "bevel_N", "uv_density", "prim_row", "object_tfm",
+    "object_row"]
 
 
 def _sd_flatten(sd):
@@ -143,6 +146,21 @@ def shader_setup(dscene, hit, ray_o, ray_d, time=None, ray_depth=None,
 
     uv = w * tuv[:, 0] + u * tuv[:, 1] + v * tuv[:, 2]
 
+    # uv density for auto-mip selection (ref: the CPU path derives
+    # texture footprints from ray differentials, image.cpp /
+    # kernel_differential.h; here: first-hit footprint = ray_length x
+    # pixel angle, converted to uv units by the triangle's own
+    # |duv|/|dP| ratio — no per-bounce differential state needed)
+    ed1 = tv[:, 1] - tv[:, 0]
+    ed2 = tv[:, 2] - tv[:, 0]
+    uv1 = tuv[:, 1] - tuv[:, 0]
+    uv2 = tuv[:, 2] - tuv[:, 0]
+    den1 = jnp.sqrt(um.dot(uv1, uv1)) / jnp.maximum(
+        jnp.sqrt(um.dot(ed1, ed1)), 1e-12)
+    den2 = jnp.sqrt(um.dot(uv2, uv2)) / jnp.maximum(
+        jnp.sqrt(um.dot(ed2, ed2)), 1e-12)
+    uv_density = jnp.maximum(den1, den2)
+
     # curve tangent for hair ribbons (ATTR_STD_CURVE_TANGENT packed at
     # PT_TANGENT; zeros on mesh prims — the zero doubles as the
     # is-curve flag). Directions transform by the object linear part.
@@ -209,6 +227,7 @@ def shader_setup(dscene, hit, ray_o, ray_d, time=None, ray_depth=None,
         object_location=otfm[:, :, 3],
         dPdu=dPdu,
         bary_u=hit["u"], bary_v=hit["v"], gen_tfm=gen_tfm, vcol=vcol,
+        uv_density=uv_density,
         object_random=orow[:, lk.OT_RANDOM],
         backfacing=backfacing,
         textures=textures,
