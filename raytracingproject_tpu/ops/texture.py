@@ -206,18 +206,20 @@ def build_point_density_grid(points, radius, resolution, bounds=None):
 
 def sample_grid3d(grid, lo, inv_extent, P):
     """Trilinear 3D grid sample at world/object points P (..., 3).
-    grid: (R, R, R). NOTE perf: 8 dynamic gathers per call — fine for
-    surface shading; inside a Woodcock loop prefer lowering `steps`."""
-    r = grid.shape[0]
-    q = (P - lo) * inv_extent * r - 0.5
+    grid: (RX, RY, RZ) — non-cubic supported (VDB grids). NOTE perf:
+    8 dynamic gathers per call — fine for surface shading; inside a
+    Woodcock loop prefer lowering `steps`."""
+    rx, ry, rz = grid.shape
+    r3 = jnp.asarray([rx, ry, rz], jnp.float32)
+    q = (P - lo) * inv_extent * r3 - 0.5
     q0 = jnp.floor(q).astype(jnp.int32)
     f = q - q0
     flat = grid.reshape(-1)
 
     def at(ix, iy, iz):
-        ok = ((ix >= 0) & (ix < r) & (iy >= 0) & (iy < r)
-              & (iz >= 0) & (iz < r))
-        lin = jnp.clip((ix * r + iy) * r + iz, 0, r * r * r - 1)
+        ok = ((ix >= 0) & (ix < rx) & (iy >= 0) & (iy < ry)
+              & (iz >= 0) & (iz < rz))
+        lin = jnp.clip((ix * ry + iy) * rz + iz, 0, rx * ry * rz - 1)
         return jnp.where(ok, flat[lin], 0.0)
 
     x0, y0, z0 = q0[..., 0], q0[..., 1], q0[..., 2]
