@@ -1444,7 +1444,10 @@ def render_samples_regen(kg, px, py, pixel_index, sample_start, num_samples,
     Produces BIT-IDENTICAL results to render_samples (same per-lane
     sample/dimension RNG, same per-sample accumulation order) in fewer
     wavefront iterations: ~samples x E[path length] instead of
-    samples x (max_bounce + 1). Aux passes are not supported here.
+    samples x (max_bounce + 1). Aux/light passes accumulate at sample
+    merge exactly like radiance, so pass-heavy renders keep the
+    occupancy win; when any pass is enabled the return gains an aux
+    dict (same contract as render_samples).
 
     lanes_per_pixel=K > 1 runs K samples of each pixel CONCURRENTLY
     (lane k covers samples {start+k, start+k+K, ...}): callers pass
@@ -1456,8 +1459,7 @@ def render_samples_regen(kg, px, py, pixel_index, sample_start, num_samples,
     Accumulation per sample is unchanged; only the final K-way pixel
     reduction reorders float adds.
     """
-    assert not kg.get("aux_passes"), \
-        "aux passes require the fixed-grid renderer"
+    want_aux = bool(kg.get("aux_passes")) or bool(kg.get("light_passes"))
     K = int(lanes_per_pixel)
     assert num_samples % K == 0, "lanes_per_pixel must divide num_samples"
     per_lane = num_samples // K
@@ -1474,6 +1476,7 @@ def render_samples_regen(kg, px, py, pixel_index, sample_start, num_samples,
         s0 = jnp.uint32(sample_start) + jnp.repeat(
             jnp.arange(K, dtype=jnp.uint32), npix)
     st0 = start_paths(s0)
+    aux_keys = [k for k in st0 if k.startswith("aux_")]
     carry0 = {
         "st": st0,
         "L_acc": jnp.zeros((n, 3), prec.FT),
@@ -1481,6 +1484,7 @@ def render_samples_regen(kg, px, py, pixel_index, sample_start, num_samples,
         "done": jnp.zeros((n,), jnp.int32),   # samples completed per lane
         "fresh": jnp.ones((n,), bool),        # lane holds unmerged sample
     }
+    carry0.update({"acc_" + k: jnp.zeros_like(st0[k]) for k in aux_keys})
 
     def cond(c):
         return jnp.any(c["st"]["alive"] | (c["fresh"])
@@ -1492,6 +1496,9 @@ def render_samples_regen(kg, px, py, pixel_index, sample_start, num_samples,
         merge = dead & c["fresh"]
         L_acc = c["L_acc"] + jnp.where(merge[:, None], st["L"], 0.0)
         A_acc = c["A_acc"] + jnp.where(merge, st["alpha"], 0.0)
+        aux_acc = {"acc_" + k: c["acc_" + k] + _sel(merge, st[k],
+                                                    jnp.zeros_like(st[k]))
+                   for k in aux_keys}
         done = c["done"] + merge.astype(jnp.int32)
         fresh = c["fresh"] & ~merge
 
@@ -1502,15 +1509,24 @@ def render_samples_regen(kg, px, py, pixel_index, sample_start, num_samples,
         fresh = fresh | regen
 
         st = step(0, st)
-        return {"st": st, "L_acc": L_acc, "A_acc": A_acc, "done": done,
-                "fresh": fresh}
+        out = {"st": st, "L_acc": L_acc, "A_acc": A_acc, "done": done,
+               "fresh": fresh}
+        out.update(aux_acc)
+        return out
 
     out = jax.lax.while_loop(cond, body, carry0)
+
     # the loop exits only after every lane is dead AND merged
-    if K == 1:
-        return out["L_acc"], out["A_acc"]
-    return (jnp.sum(out["L_acc"].reshape(K, npix, 3), axis=0),
-            jnp.sum(out["A_acc"].reshape(K, npix), axis=0))
+    def _pix(v):
+        if K == 1:
+            return v
+        return jnp.sum(v.reshape((K, npix) + v.shape[1:]), axis=0)
+
+    L, A = _pix(out["L_acc"]), _pix(out["A_acc"])
+    if want_aux:
+        aux = {k[4:]: _pix(out["acc_" + k]) for k in aux_keys}
+        return L, A, aux
+    return L, A
 
 
 def _sel(mask, a, b):

@@ -233,10 +233,9 @@ class Session:
         key = num_samples
         if key not in self._render_fns:
             kg = self._kg
-            # path regeneration keeps lanes occupied; the fixed grid is
-            # required when aux/light passes are collected
-            use_regen = not kg.get("aux_passes") \
-                and not kg.get("light_passes")
+            # path regeneration keeps lanes occupied; aux/light passes
+            # merge per sample inside the regen loop too
+            use_regen = True
             branched = int(kg["kint"]["method"]) == 1
             if branched:
                 branch = max(int(self.scene.integrator.diffuse_samples),

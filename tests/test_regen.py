@@ -65,3 +65,57 @@ class TestLightRowReuse:
         np.testing.assert_array_equal(np.asarray(ls["P_l"]),
                                       np.asarray(ls3["P_l"]))
         assert not np.allclose(np.asarray(ls["D"]), np.asarray(ls3["D"]))
+
+
+class TestRegenAuxPasses:
+    """Aux/light passes through the regen driver must reproduce the
+    fixed-grid accumulation (same per-sample merge, so bit-exact at
+    K=1; K>1 only reassociates the pixel reduction)."""
+
+    def _kg(self, W, H, light=False):
+        scene = examples.cornell_box(W, H, spp=4)
+        scene.device_update()
+        kg = scene.make_kernel_globals()
+        kg = dict(kg)
+        kg["aux_passes"] = ("normal", "depth", "mist", "object_id")
+        kg["mist"] = (0.0, 1.0 / 1000.0, 1.0)  # start, inv_depth, falloff
+        if light:
+            kg["light_passes"] = True
+        return kg
+
+    def _grid(self, W, H, lpp=1):
+        yy, xx = np.mgrid[0:H, 0:W]
+        px = jnp.asarray(np.tile(xx.reshape(-1), lpp), jnp.int32)
+        py = jnp.asarray(np.tile(yy.reshape(-1), lpp), jnp.int32)
+        return px, py, py * W + px
+
+    def test_bit_exact_vs_fixed_grid(self):
+        W = H = 16
+        kg = self._kg(W, H, light=True)
+        px, py, pidx = self._grid(W, H)
+        Lf, Af, auxf = integ.render_samples(kg, px, py, pidx,
+                                            jnp.uint32(0), 4)
+        Lr, Ar, auxr = integ.render_samples_regen(kg, px, py, pidx,
+                                                  jnp.uint32(0), 4)
+        np.testing.assert_array_equal(np.asarray(Lf), np.asarray(Lr))
+        np.testing.assert_array_equal(np.asarray(Af), np.asarray(Ar))
+        assert set(auxf) == set(auxr) and len(auxf) > 4
+        for k in auxf:
+            np.testing.assert_array_equal(np.asarray(auxf[k]),
+                                          np.asarray(auxr[k]), err_msg=k)
+
+    def test_lanes_per_pixel_reassociates(self):
+        W = H = 12
+        kg = self._kg(W, H)
+        px1, py1, pidx1 = self._grid(W, H)
+        L1, A1, aux1 = integ.render_samples_regen(kg, px1, py1, pidx1,
+                                                  jnp.uint32(0), 4)
+        px4, py4, pidx4 = self._grid(W, H, lpp=4)
+        L4, A4, aux4 = integ.render_samples_regen(
+            kg, px4, py4, pidx4, jnp.uint32(0), 4, lanes_per_pixel=4)
+        np.testing.assert_allclose(np.asarray(L4), np.asarray(L1),
+                                   rtol=2e-5, atol=2e-5)
+        for k in aux1:
+            np.testing.assert_allclose(np.asarray(aux4[k]),
+                                       np.asarray(aux1[k]),
+                                       rtol=2e-5, atol=2e-5, err_msg=k)
