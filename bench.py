@@ -37,6 +37,22 @@ CONFIGS = [
 ]
 
 
+# the tunneled-TPU watchdog kills executions around ~120 s; a bench
+# config whose per-chunk dispatch creeps toward it dies mysteriously
+# mid-run, so fail LOUDLY with the config name while there is still
+# headroom (ref: render/session.cpp cancel-on-device-error semantics)
+DISPATCH_BUDGET_S = 100.0
+
+
+def _check_dispatch_budget(name, max_dispatch_s, compile_s):
+    print(f"[{name}] max_dispatch={max_dispatch_s:.1f}s "
+          f"(budget {DISPATCH_BUDGET_S:.0f}s)", file=sys.stderr)
+    assert max_dispatch_s < DISPATCH_BUDGET_S, (
+        f"{name}: a render dispatch took {max_dispatch_s:.1f}s — over the "
+        f"watchdog budget ({DISPATCH_BUDGET_S:.0f}s); shrink the sample "
+        "chunk for this config")
+
+
 def bench_one(name, factory, kwargs, W, H, spp, chunk, lpp=1):
     import jax
     import jax.numpy as jnp
@@ -68,11 +84,16 @@ def bench_one(name, factory, kwargs, W, H, spp, chunk, lpp=1):
 
     t0 = time.time()
     acc = L
+    max_disp = 0.0
     for i in range(1, spp // chunk):
+        td = time.time()
         L, A = fn(px, py, pidx, jnp.uint32(i * chunk))
+        L.block_until_ready()
+        max_disp = max(max_disp, time.time() - td)
         acc = acc + L
     acc.block_until_ready()
     render_time = time.time() - t0
+    _check_dispatch_budget(name, max_disp, compile_time)
     # first (timed) loop covered spp-chunk samples; the warmup chunk is
     # excluded from the wall clock, matching "without synchronization"
     samples = W * H * (spp - chunk)
@@ -104,11 +125,16 @@ def bench_adaptive(name, scene, kg, W, H, spp, chunk, lpp, sync_time,
     fn = jax.jit(lambda a, b, c, s: integ.render_samples_adaptive_chunk(
         kg, a, b, c, s, chunk))
 
+    max_disp = [0.0]
+
     def render_chunk(px, py, pidx, s0):
+        td = time.time()
         L, A, E = fn(jnp.asarray(px, jnp.int32), jnp.asarray(py, jnp.int32),
                      jnp.asarray(pidx, jnp.int32),
                      jnp.asarray(s0, jnp.uint32))
-        return np.asarray(L), np.asarray(A), np.asarray(E)
+        out = np.asarray(L), np.asarray(A), np.asarray(E)
+        max_disp[0] = max(max_disp[0], time.time() - td)
+        return out
 
     # warm the single compiled shape (excluded, matching the other
     # configs' compile exclusion)
@@ -122,6 +148,7 @@ def bench_adaptive(name, scene, kg, W, H, spp, chunk, lpp, sync_time,
         kg, W, H, spp, threshold=threshold, min_samples=min_samples,
         chunk=chunk, lanes=lanes, render_chunk=render_chunk)
     render_time = time.time() - t0
+    _check_dispatch_budget(name, max_disp[0], compile_time)
     samples = W * H * spp
     msps = samples / render_time / 1e6
     img = L / np.maximum(counts[:, None], 1)

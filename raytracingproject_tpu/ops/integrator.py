@@ -69,6 +69,16 @@ def _scene_intersect(kg, o, d, tmin, tmax, visibility, shadow=False,
     return _merge_curve_hit(kg, hit, o, d, tmin, visibility)
 
 
+def _use_pallas_clusters(kg):
+    """Cluster-path backend select: the Pallas tile-shared walk on TPU
+    (kg["pallas_clusters"]: True/False forces; "auto"/absent = TPU
+    only — the XLA path stays the CPU/parity twin)."""
+    mode = kg.get("pallas_clusters", "auto")
+    if mode == "auto":
+        return jax.default_backend() == "tpu"
+    return bool(mode)
+
+
 def _scene_intersect_tris(kg, o, d, tmin, tmax, visibility, shadow=False,
                           time=None):
     ds = kg["dscene"]
@@ -80,8 +90,19 @@ def _scene_intersect_tris(kg, o, d, tmin, tmax, visibility, shadow=False,
             tri_verts_t1=ds["tri_verts_world_t1"] if deform else None,
             time=time if deform else None)
     if "cluster_bounds" in ds and int(kg.get("cluster_tris", 0)) > 0:
-        # gather-free cluster-shortlist traversal (the TPU-native fast
-        # path; ops/cluster_intersect.py)
+        if _use_pallas_clusters(kg):
+            # tile-shared VMEM-resident walk (ops/pallas_cluster.py):
+            # one dispatch for the whole wavefront, per-tile convergence
+            from raytracingproject_tpu.ops import pallas_cluster as pcl
+            return pcl.intersect_clusters_pallas(
+                ds["cluster_bounds"], ds["cluster_table"],
+                int(kg["cluster_tris"]), o, d, tmin, tmax, visibility,
+                shadow_any_hit=shadow,
+                has_instances=bool(kg.get("has_instances", False)),
+                time=time,
+                has_motion=bool(kg.get("cluster_motion", False)))
+        # gather-free cluster-shortlist traversal (the XLA fast path;
+        # ops/cluster_intersect.py)
         from raytracingproject_tpu.ops import cluster_intersect as ci
         return ci.intersect_clusters(
             ds["cluster_bounds"], ds["cluster_table"],

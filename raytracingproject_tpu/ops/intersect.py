@@ -59,7 +59,14 @@ def watertight_setup(o, d):
     For corner V: sheared coords are (rx.V - rxo, ry.V - ryo,
     rz.V - rzo). Returns dict of 12 per-lane (N,) arrays.
     """
-    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    return watertight_setup_c(o[..., 0], o[..., 1], o[..., 2],
+                              d[..., 0], d[..., 1], d[..., 2])
+
+
+def watertight_setup_c(ox, oy, oz, dx, dy, dz):
+    """watertight_setup on ray components — the SoA form shared with
+    kernels whose memory model can't afford (..., 3) minor-dim stacks
+    (ops/pallas_cluster.py). Identical math, bit-for-bit."""
     ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
     zmax = (az >= ax) & (az >= ay)
     ymax = ~zmax & (ay >= ax)
@@ -89,7 +96,6 @@ def watertight_setup(o, d):
     rx = tuple(ex[i] - sx * ez[i] for i in range(3))
     ry = tuple(ey[i] - sy * ez[i] for i in range(3))
     rz = tuple(sz * ez[i] for i in range(3))
-    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
     return {
         "rx": rx, "ry": ry, "rz": rz,
         "rxo": pick(rx, ox, oy, oz),

@@ -1,0 +1,285 @@
+"""Pallas tile-shared cluster traversal — the VMEM-resident walk.
+
+Replaces the XLA cluster-shortlist loop (ops/cluster_intersect.py) on
+TPU for closest-hit and shadow any-hit sweeps (ref: the per-thread
+stack walk of kernel/bvh/bvh_traversal.h:34-229, redesigned for the
+lockstep vector model instead of translated).
+
+Why this shape (see docs/PERF.md for the measured background):
+
+- The XLA path chunks the wavefront to 8192 lanes (to bound its (C, N)
+  entry table in HBM) and `lax.map`s the chunks SEQUENTIALLY, each
+  running its own while_loop whose every iteration pays fixed dispatch
+  and HBM-round-trip latencies. At 262k lanes that is 32 serialized
+  convergence loops per sweep.
+- Here the grid is the parallel axis: each program instance owns one
+  (8, 128) ray tile whose state lives in VMEM/registers for the whole
+  walk. The cluster table (C <= 512 rows of <= ~256 f32) and bounds
+  sit in VMEM once — the loop touches HBM zero times.
+- Traversal is TILE-SHARED: one scalar cluster id per iteration,
+  picked as the argmin of the per-cluster masked entry distances over
+  the tile (front-to-back for the nearest lane). The row fetch is a
+  scalar dynamic slice — no gather, no one-hot matmul — and the
+  triangle test broadcasts row scalars against the full tile on the
+  VPU, identical math to the XLA path (isect.watertight_setup_c /
+  _wt_block): hit masks and winning prims match exactly;
+  t/u/v may drift ulps (FMA-contraction freedom between contexts).
+- Convergence is per TILE (1024 coherent rays), not per 8192-lane
+  chunk: worst-lane stalls shrink with the tile, and a tile whose rays
+  all retire exits its loop immediately — the occupancy argument for
+  persistent-warp traversal, inverted for SIMD.
+
+Costs per iteration: one (C, TILE) masked min (VPU), one row slice,
+cluster_tris fully-unrolled watertight tests. Worst case (incoherent
+tile touching every cluster) degenerates to the dense sweep — which is
+exactly the regime where the dense kernel is optimal anyway.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracingproject_tpu.utils.math import RAY_TMAX
+from raytracingproject_tpu.ops import intersect as isect
+from raytracingproject_tpu.ops.cluster_intersect import META_COLS
+
+LANE = 128
+SUBLANE = 8
+TILE = SUBLANE * LANE
+INF = 3e38  # python float: jnp module constants would init the backend
+            # at import AND get captured as pallas kernel constants
+
+
+def _cluster_kernel(cluster_tris, has_instances, shadow_any_hit,
+                    has_motion,
+                    cb_ref, ct_ref, o_ref, d_ref, tmin_ref, tmax_ref,
+                    vis_ref, time_ref,
+                    t_ref, prim_ref, u_ref, v_ref, obj_ref,
+                    entry_ref):
+    """One ray tile vs the whole cluster table (all refs in VMEM)."""
+    ox = o_ref[0].reshape(SUBLANE, LANE)
+    oy = o_ref[1].reshape(SUBLANE, LANE)
+    oz = o_ref[2].reshape(SUBLANE, LANE)
+    dx = d_ref[0].reshape(SUBLANE, LANE)
+    dy = d_ref[1].reshape(SUBLANE, LANE)
+    dz = d_ref[2].reshape(SUBLANE, LANE)
+    tmin = tmin_ref[:].reshape(SUBLANE, LANE)
+    tmax = tmax_ref[:].reshape(SUBLANE, LANE)
+    vis_lane = vis_ref[:].reshape(SUBLANE, LANE)
+    time = time_ref[:].reshape(SUBLANE, LANE) if has_motion else None
+    c = cb_ref.shape[0]
+
+    # ---- entry-distance table (C, TILE), same slab math as the XLA
+    # path's _entry_table (flat lane axis so per-cluster reductions are
+    # single lane-axis ops) ----
+    tn = jnp.full((c, TILE), -INF, jnp.float32)
+    tf = jnp.full((c, TILE), INF, jnp.float32)
+    for ax, dax_t in ((0, dx), (1, dy), (2, dz)):
+        dax = dax_t.reshape(1, TILE)
+        oax = (ox, oy, oz)[ax].reshape(1, TILE)
+        inv = jnp.where(jnp.abs(dax) > 1e-20,
+                        1.0 / jnp.where(dax == 0, 1.0, dax),
+                        jnp.where(dax >= 0, 1e20, -1e20))
+        lo = cb_ref[:, ax].reshape(c, 1)
+        hi = cb_ref[:, 3 + ax].reshape(c, 1)
+        t0 = (lo - oax) * inv
+        t1 = (hi - oax) * inv
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    tmin_f = tmin_ref[:].reshape(1, TILE)
+    tmax_f = tmax_ref[:].reshape(1, TILE)
+    ok = (tn <= tf) & (tf >= tmin_f) & (tn <= tmax_f)
+    entry_ref[:] = jnp.where(ok, jnp.maximum(tn, tmin_f), INF)
+
+    tri_w = 18 if has_motion else 9
+    pbase = META_COLS + tri_w * cluster_tris
+    obase = pbase + cluster_tris
+    vbase = obase + cluster_tris
+
+    # shared-ray shear basis hoisted out of the loop when every cluster
+    # sees the world-space ray (no instancing)
+    ws0 = None
+    if not has_instances:
+        ws0 = isect.watertight_setup_c(ox, oy, oz, dx, dy, dz)
+
+    def gate(t_best, prim_b):
+        # shadow mode retires a lane at its first hit
+        if shadow_any_hit:
+            return jnp.where(prim_b >= 0, -INF, jnp.minimum(t_best, INF))
+        return jnp.minimum(t_best, INF)
+
+    def pick(t_best, prim_b):
+        """Tile-nearest live cluster: argmin over clusters of the
+        per-cluster min masked entry. m == INF means the tile is done."""
+        g = gate(t_best, prim_b).reshape(1, TILE)
+        masked = jnp.where(entry_ref[:] < g, entry_ref[:], INF)
+        cm = jnp.min(masked, axis=1).reshape(c, 1)
+        cid = jnp.argmin(cm, axis=0)[0]
+        return cid, jnp.min(cm)
+
+    t0w = jnp.minimum(tmax, RAY_TMAX)
+    prim0 = jnp.full((SUBLANE, LANE), -1, jnp.int32)
+    cid0, m0 = pick(t0w, prim0)
+    carry0 = (t0w, prim0,
+              jnp.zeros((SUBLANE, LANE), jnp.float32),
+              jnp.zeros((SUBLANE, LANE), jnp.float32),
+              jnp.full((SUBLANE, LANE), -1, jnp.int32),
+              cid0, m0, jnp.int32(0))
+
+    def cond(st):
+        return (st[6] < INF) & (st[7] < c)
+
+    def body(st):
+        t_best, prim_b, u_b, v_b, obj_b, cid, _, it = st
+        row = ct_ref[pl.ds(cid, 1), :]
+
+        def rs(j):
+            return row[0, j]
+
+        if has_instances:
+            m = [rs(j) for j in range(12)]
+            oxx = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+            oyy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+            ozz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+            dxx = m[0] * dx + m[1] * dy + m[2] * dz
+            dyy = m[4] * dx + m[5] * dy + m[6] * dz
+            dzz = m[8] * dx + m[9] * dy + m[10] * dz
+            ws = isect.watertight_setup_c(oxx, oyy, ozz, dxx, dyy, dzz)
+        else:
+            ws = ws0
+
+        act = entry_ref[pl.ds(cid, 1), :].reshape(SUBLANE, LANE) \
+            < gate(t_best, prim_b)
+        bt, bp, bu, bv, bo = t_best, prim_b, u_b, v_b, obj_b
+        for k in range(cluster_tris):
+            b = META_COLS + 9 * k
+            v0c = (rs(b), rs(b + 1), rs(b + 2))
+            e1c = (rs(b + 3), rs(b + 4), rs(b + 5))
+            e2c = (rs(b + 6), rs(b + 7), rs(b + 8))
+            if has_motion:
+                db = META_COLS + 9 * cluster_tris + 9 * k
+                v0c = tuple(v0c[j] + time * rs(db + j) for j in range(3))
+                e1c = tuple(e1c[j] + time * rs(db + 3 + j)
+                            for j in range(3))
+                e2c = tuple(e2c[j] + time * rs(db + 6 + j)
+                            for j in range(3))
+            hit, t, u, v = isect._wt_block(ws, v0c, e1c, e2c, tmin, bt)
+            pid = rs(pbase + k)
+            hit = hit & act & (pid >= 0.0)
+            tri_vis = rs(vbase + k).astype(jnp.uint32)
+            hit &= (tri_vis & vis_lane) > 0
+            bt = jnp.where(hit, t, bt)
+            bp = jnp.where(hit, pid.astype(jnp.int32), bp)
+            bu = jnp.where(hit, u, bu)
+            bv = jnp.where(hit, v, bv)
+            bo = jnp.where(hit, rs(obase + k).astype(jnp.int32), bo)
+
+        # retire the processed cluster for the whole tile, then pick
+        # the next one against the tightened t_best
+        entry_ref[pl.ds(cid, 1), :] = jnp.full((1, TILE), INF, jnp.float32)
+        ncid, nm = pick(bt, bp)
+        return (bt, bp, bu, bv, bo, ncid, nm, it + 1)
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    t, prim, u, v, obj = out[0], out[1], out[2], out[3], out[4]
+    t_ref[:] = t.reshape(TILE)
+    prim_ref[:] = prim.reshape(TILE)
+    u_ref[:] = u.reshape(TILE)
+    v_ref[:] = v.reshape(TILE)
+    obj_ref[:] = obj.reshape(TILE)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cluster_tris", "shadow_any_hit",
+                              "has_instances", "has_motion", "interpret"))
+def intersect_clusters_pallas(cbounds, ctable, cluster_tris, o, d,
+                              tmin, tmax, visibility,
+                              shadow_any_hit=False, has_instances=False,
+                              time=None, has_motion=False,
+                              interpret=False):
+    """Whole-wavefront cluster traversal as one Pallas dispatch.
+
+    Same contract as cluster_intersect.intersect_clusters: o, d (N, 3);
+    tmin/tmax/visibility (N,); returns dict(t, prim, u, v, object).
+    Same watertight math as the XLA path: hit masks and winning prims
+    match exactly (up to exact-t ties, whose winner depends on the
+    tile- vs lane-front-to-back processing order); t/u/v carry ulp-level
+    FMA-contraction drift between the two compilation contexts.
+    """
+    n = o.shape[0]
+    pad = (-n) % TILE
+    if pad:
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        tmin = jnp.pad(tmin, (0, pad))
+        tmax = jnp.pad(tmax, (0, pad), constant_values=-1.0)
+        visibility = jnp.pad(visibility, (0, pad))
+        if time is not None:
+            time = jnp.pad(time, (0, pad))
+    np_ = n + pad
+    ntiles = np_ // TILE
+
+    c = cbounds.shape[0]
+    cpad = (-c) % SUBLANE
+    if cpad:
+        # padding clusters: inverted boxes never hit
+        pad_b = jnp.tile(jnp.asarray([[INF, INF, INF, -INF, -INF, -INF]],
+                                     jnp.float32), (cpad, 1))
+        cbounds = jnp.concatenate([cbounds, pad_b], axis=0)
+        ctable = jnp.concatenate(
+            [ctable, jnp.zeros((cpad, ctable.shape[1]), jnp.float32)],
+            axis=0)
+
+    if time is None:
+        time = jnp.zeros((np_,), jnp.float32)
+
+    o_soa = o.T.reshape(3, np_)
+    d_soa = d.T.reshape(3, np_)
+
+    kern = functools.partial(_cluster_kernel, int(cluster_tris),
+                             bool(has_instances), bool(shadow_any_hit),
+                             bool(has_motion))
+    lane_spec = pl.BlockSpec((TILE,), lambda i: (i,),
+                             memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    t, prim, u, v, obj = pl.pallas_call(
+        kern,
+        grid=(ntiles,),
+        in_specs=[
+            full_spec,                               # cbounds (whole)
+            full_spec,                               # ctable (whole)
+            pl.BlockSpec((3, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),   # o
+            pl.BlockSpec((3, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),   # d
+            lane_spec,                               # tmin
+            lane_spec,                               # tmax
+            lane_spec,                               # visibility
+            lane_spec,                               # time
+        ],
+        out_specs=[lane_spec] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct((np_,), jnp.float32),
+            jax.ShapeDtypeStruct((np_,), jnp.int32),
+            jax.ShapeDtypeStruct((np_,), jnp.float32),
+            jax.ShapeDtypeStruct((np_,), jnp.float32),
+            jax.ShapeDtypeStruct((np_,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c + cpad, TILE), jnp.float32),   # entry table
+        ],
+        interpret=interpret,
+    )(cbounds, ctable, o_soa, d_soa, tmin, tmax,
+      visibility.astype(jnp.uint32), time)
+
+    hit = prim >= 0
+    tfull = jnp.pad(jnp.minimum(tmax[:n], RAY_TMAX), (0, 0))
+    return {"t": jnp.where(hit[:n], t[:n], tfull),
+            "prim": jnp.where(hit[:n], prim[:n], -1),
+            "u": u[:n], "v": v[:n],
+            "object": jnp.where(hit[:n], obj[:n], -1)}
