@@ -362,3 +362,312 @@ def refit_bvh(bvh, lo, hi):
         bvh.root_bound_lo = lo.min(0)
         bvh.root_bound_hi = hi.max(0)
     return bvh
+
+
+# ---------------------------------------------------------------------------
+# spatial splits (ref: bvh/bvh_split.cpp BVHSpatialSplit; enabled per
+# BVHParams::use_spatial_split + spatial_split_alpha, bvh_build.cpp:390)
+# ---------------------------------------------------------------------------
+
+def _clip_tri_slab_bounds(verts, axis, p_lo, p_hi):
+    """Bounds of triangle polygons clipped to the slab
+    p_lo <= x[axis] <= p_hi. verts: (M, 3, 3). Returns (lo, hi) (M, 3)
+    with +inf/-inf rows when a polygon misses the slab entirely —
+    vectorized Sutherland-Hodgman against the two axis planes (ref:
+    bvh_split.cpp split_triangle_primitive / clip polygon)."""
+    m = len(verts)
+    if m == 0:
+        return (np.full((0, 3), np.inf, np.float32),
+                np.full((0, 3), -np.inf, np.float32))
+    # polygon as padded vertex list: after clipping by 2 planes a
+    # triangle has at most 5 vertices
+    MAXV = 5
+    poly = np.full((m, MAXV, 3), np.nan, np.float64)
+    poly[:, :3] = verts
+    nv = np.full(m, 3, np.int64)
+
+    def clip(poly, nv, keep_ge, plane):
+        sd = poly[..., axis] - plane
+        if keep_ge:
+            inside = sd >= 0.0
+        else:
+            inside = sd <= 0.0
+        out_poly = np.full((m, MAXV, 3), np.nan, np.float64)
+        out_nv = np.zeros(m, np.int64)
+        # sequential over the (<= 5) polygon slots, vectorized over M
+        for i in range(MAXV):
+            valid_i = i < nv
+            j = np.where(valid_i, (i + 1) % np.maximum(nv, 1), 0)
+            cur = poly[np.arange(m), i]
+            nxt = poly[np.arange(m), j]
+            cur_in = inside[np.arange(m), i] & valid_i
+            nxt_in = inside[np.arange(m), j] & valid_i
+            # emit cur if inside
+            emit_cur = cur_in
+            idx = out_nv.copy()
+            sel = emit_cur
+            out_poly[sel, idx[sel]] = cur[sel]
+            out_nv += emit_cur
+            # emit intersection if the edge crosses the plane
+            cross = valid_i & (cur_in != nxt_in)
+            denom = nxt[:, axis] - cur[:, axis]
+            tpar = np.where(np.abs(denom) > 1e-30,
+                            (plane - cur[:, axis])
+                            / np.where(denom == 0, 1.0, denom), 0.0)
+            pint = cur + np.clip(tpar, 0.0, 1.0)[:, None] * (nxt - cur)
+            pint[:, axis] = plane  # exact on the plane
+            idx = out_nv.copy()
+            sel = cross
+            out_poly[sel, idx[sel]] = pint[sel]
+            out_nv += cross
+        return out_poly, out_nv
+
+    poly, nv = clip(poly, nv, True, float(p_lo))
+    poly, nv = clip(poly, nv, False, float(p_hi))
+    slot = np.arange(MAXV)[None, :, None]
+    live = slot < nv[:, None, None]
+    lo = np.where(live, poly, np.inf).min(1)
+    hi = np.where(live, poly, -np.inf).max(1)
+    empty = nv == 0
+    lo[empty] = np.inf
+    hi[empty] = -np.inf
+    return lo.astype(np.float32), hi.astype(np.float32)
+
+
+def _sah_areas(lo, hi):
+    d = np.maximum(hi - lo, 0.0)
+    return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+
+def build_bvh_spatial(lo, hi, tri_verts=None, max_leaf_size=MAX_LEAF_SIZE,
+                      alpha=1e-5, max_dup_factor=2.0):
+    """Reference-based binned-SAH build with SPATIAL splits (ref:
+    bvh/bvh_split.cpp BVHSpatialSplit; gate per bvh_build.cpp:390
+    `spatial_split_alpha`).
+
+    Straddling primitives may be CLIPPED into both children as separate
+    references (duplicated rows in prim_order), so long/diagonal
+    triangles stop inflating both child boxes. Child bounds of split
+    references are polygon-clipped when tri_verts (P, 3, 3) is given,
+    AABB-clipped otherwise. Total references are capped at
+    max_dup_factor x P (the reference's duplication budget); past the
+    cap nodes fall back to object splits. The reference's "unsplitting"
+    refinement (moving a straddler wholly to one side when cheaper) is
+    not implemented.
+    """
+    lo = np.asarray(lo, np.float32).reshape(-1, 3)
+    hi = np.asarray(hi, np.float32).reshape(-1, 3)
+    nprims = len(lo)
+    if nprims == 0:
+        return build_bvh(lo, hi, max_leaf_size)
+    max_refs = int(max_dup_factor * nprims) + 8
+
+    ref_lo = [lo[i] for i in range(nprims)]
+    ref_hi = [hi[i] for i in range(nprims)]
+    ref_prim = list(range(nprims))
+
+    root_area = float(_sah_areas(lo.min(0)[None], hi.max(0)[None])[0])
+    min_overlap = alpha * max(root_area, 1e-20)
+
+    bounds_list = []
+    children_list = []
+    prim_out = []
+
+    def new_node():
+        bounds_list.append(np.zeros(12, np.float32))
+        children_list.append(np.zeros(2, np.int32))
+        return len(bounds_list) - 1
+
+    def leaf_child(idx):
+        start = len(prim_out)
+        prim_out.extend(ref_prim[i] for i in idx)
+        return encode_leaf(start, len(idx))
+
+    def node_bounds(idx):
+        rl = np.stack([ref_lo[i] for i in idx])
+        rh = np.stack([ref_hi[i] for i in idx])
+        return rl, rh
+
+    def split_refs(idx):
+        """-> None (leaf) or (left_idx, right_idx) over ref ids;
+        spatial splits append new refs."""
+        n = len(idx)
+        if n <= max_leaf_size:
+            return None
+        rl, rh = node_bounds(idx)
+        cent = 0.5 * (rl + rh)
+        clo, chi = cent.min(0), cent.max(0)
+        ext = chi - clo
+        axis = int(np.argmax(ext))
+        obj = None            # (cost, mask) object-split candidate
+        if ext[axis] > 1e-12:
+            scale = NUM_BINS * (1.0 - 1e-6) / ext[axis]
+            bin_ids = ((cent[:, axis] - clo[axis]) * scale).astype(np.int32)
+            counts = np.bincount(bin_ids, minlength=NUM_BINS)
+            blo = np.full((NUM_BINS, 3), np.inf, np.float32)
+            bhi = np.full((NUM_BINS, 3), -np.inf, np.float32)
+            np.minimum.at(blo, bin_ids, rl)
+            np.maximum.at(bhi, bin_ids, rh)
+            llo = np.minimum.accumulate(blo, 0)
+            lhi = np.maximum.accumulate(bhi, 0)
+            rlo = np.minimum.accumulate(blo[::-1], 0)[::-1]
+            rhi = np.maximum.accumulate(bhi[::-1], 0)[::-1]
+            lcount = np.cumsum(counts)
+            rcount = n - lcount[:-1]
+            sah = (_sah_areas(llo[:-1], lhi[:-1]) * lcount[:-1]
+                   + _sah_areas(rlo[1:], rhi[1:]) * rcount)
+            valid = (lcount[:-1] > 0) & (rcount > 0)
+            if valid.any():
+                sah = np.where(valid, sah, np.inf)
+                best = int(np.argmin(sah))
+                # overlap gate for trying the spatial split
+                olo = np.maximum(llo[best], rlo[best + 1])
+                ohi = np.minimum(lhi[best], rhi[best + 1])
+                overlap = float(_sah_areas(olo[None], ohi[None])[0]) \
+                    if (ohi > olo).all() else 0.0
+                obj = (float(sah[best]), bin_ids <= best, overlap)
+
+        spatial = None        # (cost, plane, axis, b0, b1)
+        nlo, nhi = rl.min(0), rh.max(0)
+        sp_axis = int(np.argmax(nhi - nlo))
+        sp_ext = float(nhi[sp_axis] - nlo[sp_axis])
+        try_spatial = (obj is None or obj[2] > min_overlap) \
+            and sp_ext > 1e-12 and len(ref_prim) < max_refs
+        if try_spatial:
+            sscale = NUM_BINS * (1.0 - 1e-6) / sp_ext
+            b0 = np.clip(((rl[:, sp_axis] - nlo[sp_axis]) * sscale)
+                         .astype(np.int32), 0, NUM_BINS - 1)
+            b1 = np.clip(((rh[:, sp_axis] - nlo[sp_axis]) * sscale)
+                         .astype(np.int32), 0, NUM_BINS - 1)
+            sblo = np.full((NUM_BINS, 3), np.inf, np.float32)
+            sbhi = np.full((NUM_BINS, 3), -np.inf, np.float32)
+            bw = sp_ext / NUM_BINS
+            for b in range(NUM_BINS):
+                m = (b0 <= b) & (b1 >= b)
+                if not m.any():
+                    continue
+                p_lo = nlo[sp_axis] + b * bw
+                p_hi = p_lo + bw
+                sub = np.nonzero(m)[0]
+                if tri_verts is not None:
+                    pr = np.asarray([ref_prim[idx[i]] for i in sub])
+                    cl, ch = _clip_tri_slab_bounds(
+                        tri_verts[pr], sp_axis, p_lo, p_hi)
+                    # stay inside the (possibly already-clipped) ref box
+                    cl = np.maximum(cl, rl[sub])
+                    ch = np.minimum(ch, rh[sub])
+                else:
+                    cl, ch = rl[sub].copy(), rh[sub].copy()
+                    cl[:, sp_axis] = np.maximum(cl[:, sp_axis], p_lo)
+                    ch[:, sp_axis] = np.minimum(ch[:, sp_axis], p_hi)
+                ok = (ch >= cl).all(1)
+                if ok.any():
+                    sblo[b] = np.minimum(sblo[b], cl[ok].min(0))
+                    sbhi[b] = np.maximum(sbhi[b], ch[ok].max(0))
+            enter = np.bincount(b0, minlength=NUM_BINS)
+            exit_ = np.bincount(b1, minlength=NUM_BINS)
+            sllo = np.minimum.accumulate(sblo, 0)
+            slhi = np.maximum.accumulate(sbhi, 0)
+            srlo = np.minimum.accumulate(sblo[::-1], 0)[::-1]
+            srhi = np.maximum.accumulate(sbhi[::-1], 0)[::-1]
+            lc = np.cumsum(enter)[:-1]
+            rc = n - np.cumsum(exit_)[:-1]
+            ssah = (_sah_areas(sllo[:-1], slhi[:-1]) * lc
+                    + _sah_areas(srlo[1:], srhi[1:]) * rc)
+            svalid = (lc > 0) & (rc > 0)
+            if svalid.any():
+                ssah = np.where(svalid, ssah, np.inf)
+                sbest = int(np.argmin(ssah))
+                plane = nlo[sp_axis] + (sbest + 1) * bw
+                spatial = (float(ssah[sbest]), plane, sp_axis, b0, b1,
+                           sbest)
+
+        use_spatial = spatial is not None and \
+            (obj is None or spatial[0] < obj[0])
+        if use_spatial:
+            _, plane, sax, b0, b1, sbest = spatial
+            left, right = [], []
+            for i_loc, rid in enumerate(idx):
+                if b1[i_loc] <= sbest:
+                    left.append(rid)
+                elif b0[i_loc] > sbest:
+                    right.append(rid)
+                else:
+                    # straddler: clip into both sides
+                    if tri_verts is not None:
+                        pr = ref_prim[rid]
+                        ll, lh = _clip_tri_slab_bounds(
+                            tri_verts[pr][None], sax, -np.inf, plane)
+                        rll, rlh = _clip_tri_slab_bounds(
+                            tri_verts[pr][None], sax, plane, np.inf)
+                        ll, lh = ll[0], lh[0]
+                        rll, rlh = rll[0], rlh[0]
+                        ll = np.maximum(ll, ref_lo[rid])
+                        lh = np.minimum(lh, ref_hi[rid])
+                        rll = np.maximum(rll, ref_lo[rid])
+                        rlh = np.minimum(rlh, ref_hi[rid])
+                    else:
+                        ll, lh = ref_lo[rid].copy(), ref_hi[rid].copy()
+                        lh[sax] = min(lh[sax], plane)
+                        rll, rlh = ref_lo[rid].copy(), ref_hi[rid].copy()
+                        rll[sax] = max(rll[sax], plane)
+                    l_ok = (lh >= ll).all()
+                    r_ok = (rlh >= rll).all()
+                    if l_ok and r_ok and len(ref_prim) < max_refs:
+                        ref_lo[rid], ref_hi[rid] = ll, lh
+                        left.append(rid)
+                        ref_lo.append(rll)
+                        ref_hi.append(rlh)
+                        ref_prim.append(ref_prim[rid])
+                        right.append(len(ref_prim) - 1)
+                    elif r_ok and not l_ok:
+                        right.append(rid)
+                    else:
+                        left.append(rid)
+            if left and right:
+                return np.asarray(left), np.asarray(right)
+
+        if obj is not None:
+            mask = obj[1]
+            return idx[mask], idx[~mask]
+        # degenerate: median split on the widest axis
+        part = np.argsort(cent[:, axis], kind="stable")
+        half = n // 2
+        return idx[part[:half]], idx[part[half:]]
+
+    root = new_node()
+    stack = [(root, np.arange(nprims))]
+    while stack:
+        node_id, idx = stack.pop()
+        idx = np.asarray(idx)
+        sp = split_refs(idx)
+        if sp is None:
+            b = np.zeros(12, np.float32)
+            rl, rh = node_bounds(idx)
+            b[0:3], b[3:6] = rl.min(0), rh.max(0)
+            b[6:9], b[9:12] = np.inf, -np.inf
+            bounds_list[node_id] = b
+            children_list[node_id] = np.array(
+                [leaf_child(idx), encode_leaf(0, 0)], np.int32)
+            continue
+        left, right = sp
+        b = np.zeros(12, np.float32)
+        ll_, lh_ = node_bounds(left)
+        rl_, rh_ = node_bounds(right)
+        b[0:3], b[3:6] = ll_.min(0), lh_.max(0)
+        b[6:9], b[9:12] = rl_.min(0), rh_.max(0)
+        bounds_list[node_id] = b
+        kids = np.zeros(2, np.int32)
+        for k, part in enumerate((left, right)):
+            if len(part) <= max_leaf_size:
+                kids[k] = leaf_child(part)
+            else:
+                cid = new_node()
+                kids[k] = cid
+                stack.append((cid, part))
+        children_list[node_id] = kids
+
+    return BVHArrays(np.asarray(bounds_list, np.float32),
+                     np.asarray(children_list, np.int32),
+                     np.asarray(prim_out, np.int32),
+                     lo.min(0), hi.max(0))

@@ -117,13 +117,6 @@ class Scene:
     # ------------------------------------------------------------------
     def device_update(self, progress=None):
         """Flatten everything (ref ordering: scene.cpp:193-321)."""
-        # 0. reject config this build cannot honor — a socket that
-        # silently no-ops renders wrong, which is worse than absent
-        if bool(self.params.get("bvh_use_spatial_split")):
-            raise NotImplementedError(
-                "bvh_use_spatial_split: spatial splits are not "
-                "implemented in this builder (ref: bvh/bvh_split.h). "
-                "Unset the socket; object-binned SAH is always on.")
         # 1. shaders: slots + feature analysis + images
         if self.background.shader is not None:
             self.add_shader(self.background.shader)
@@ -222,6 +215,7 @@ class Scene:
             "curve_prim_base": packed.pop("__curve_prim_base__", 0),
             "film_transparent": bool(self.background.transparent),
         }
+        dscene.pop("__prim_source__", None)
         dscene.pop("__use_brute__", None)
         dscene.pop("__has_instances__", None)
         dscene.pop("__has_deform_motion__", None)
@@ -550,11 +544,28 @@ class Scene:
 
         # build static BLAS
         blocks = []  # (bounds, children, prim arrays...) with local ids
+        # spatial splits clip refs against the shutter-OPEN triangles,
+        # which would under-bound deforming geometry — keep object
+        # splits when any mesh carries deform motion
+        use_spatial = bool(self.params.get("bvh_use_spatial_split")) \
+            and not deform_seen
+
+        def build(lo, hi, verts):
+            # spatial splits duplicate straddling refs into both
+            # children (ref: bvh_split.cpp, gate bvh_build.cpp:390);
+            # prim tables below are gathered BY prim_order, so
+            # duplicated refs simply repeat their prim's row
+            if use_spatial:
+                return bvh_build.build_bvh_spatial(lo, hi,
+                                                   tri_verts=verts)
+            return bvh_build.build_bvh(lo, hi)
+
         if len(static_verts):
             lo, hi = static_verts.min(1), static_verts.max(1)
-            sb = bvh_build.build_bvh(lo, hi)
+            sb = build(lo, hi, static_verts)
             order = sb.prim_order
             blocks.append({
+                "source": order,   # original prim id (copies share it)
                 "bounds": sb.bounds, "children": sb.children,
                 "verts": static_verts[order],
                 "verts_t1": static_verts_t1[order],
@@ -575,10 +586,11 @@ class Scene:
             append_mesh(geom, -1, None)
             gv = cat(tri_verts, (3, 3))
             lo, hi = gv.min(1), gv.max(1)
-            gb = bvh_build.build_bvh(lo, hi)
+            gb = build(lo, hi, gv)
             order = gb.prim_order
             geom_blas[gid] = len(blocks)
             blocks.append({
+                "source": order,
                 "bounds": gb.bounds, "children": gb.children,
                 "verts": gv[order],
                 "vnormal": cat(tri_vnormal, (3, 3))[order],
@@ -667,11 +679,19 @@ class Scene:
             out[leaves] = -(1 + (start << 4) + count)
             return out
 
+        all_source = []
+        src_base = 0
         for bi, blk in enumerate(blocks):
             b0 = node_bases[bi]
             bvh_bounds[b0:b0 + len(blk["bounds"])] = blk["bounds"]
             bvh_children[b0:b0 + len(blk["children"])] = rebase_children(
                 blk["children"], b0, prim_bases[bi])
+            # globally-unique ORIGINAL prim id per packed row — spatial
+            # splits duplicate rows, and per-prim semantics (emissive
+            # light entries) must see one physical prim, not its copies
+            src = np.asarray(blk["source"], np.int64)
+            all_source.append(src + src_base)
+            src_base += int(src.max()) + 1 if len(src) else 0
             all_verts.append(blk["verts"])
             all_vnormal.append(blk["vnormal"])
             all_uv.append(blk["uv"])
@@ -728,6 +748,8 @@ class Scene:
                             np.zeros(0, bool)),
             "prim_object_packed": (np.concatenate(all_object) if P else
                                    np.zeros(0, np.int32)),
+            "__prim_source__": (np.concatenate(all_source) if P else
+                                np.zeros(0, np.int64)),
         }
 
         # ---- object tables ----
@@ -1021,11 +1043,24 @@ class Scene:
             est = estimate_constant_emission(sh)
             if est is not None and np.any(est > 0):
                 emis_by_slot[sh.slot] = est
+        # spatial splits duplicate packed rows per physical prim; one
+        # light entry per SOURCE prim (canonical = first copy), so the
+        # emission distribution counts each physical triangle once
+        source = packed.get("__prim_source__")
+        if source is None or len(source) != P:
+            source = np.arange(P, dtype=np.int64)
+        src_copies = {}
         for slot, est in emis_by_slot.items():
             mask = (prim_shader == slot) & (prim_obj >= 0)
             idxs = np.nonzero(mask)[0]
             prim_emission[idxs] = est
+            seen = {}
             for pi in idxs:
+                s = int(source[pi])
+                if s in seen:
+                    src_copies.setdefault(seen[s], []).append(int(pi))
+                    continue
+                seen[s] = int(pi)
                 v = tri_verts[pi]
                 area = 0.5 * np.linalg.norm(
                     np.cross(v[1] - v[0], v[2] - v[0]))
@@ -1108,6 +1143,10 @@ class Scene:
         for ei, (etype, eid, _p) in enumerate(entries):
             if etype == 1:
                 prim_light_pmf[eid] = pmfs[ei]
+                # duplicated copies carry the canonical pmf so a
+                # forward hit on ANY copy yields the same MIS pdf
+                for cp in src_copies.get(eid, ()):
+                    prim_light_pmf[cp] = pmfs[ei]
             elif ei == bg_entry:
                 bg_pmf = float(pmfs[ei])
             else:

@@ -322,13 +322,14 @@ class TestClosureMixing:
 
 
 class TestConfigHonesty:
-    def test_spatial_split_raises(self):
-        """Accepted-but-ignored sockets must error loudly instead of
-        rendering silently wrong (spatial splits are unimplemented)."""
+    def test_spatial_split_honored(self):
+        """bvh_use_spatial_split is implemented (round 3,
+        bvh/build.py build_bvh_spatial) — the socket must flow through
+        device_update; render parity lives in tests/test_spatial_split.py."""
         scene = examples.cornell_box(8, 8, spp=1)
         scene.params.set("bvh_use_spatial_split", True)
-        with pytest.raises(NotImplementedError):
-            scene.device_update()
+        scene.device_update()
+        assert scene.make_kernel_globals() is not None
 
     def test_cubic_volume_interpolation_raises(self):
         scene = examples.smoke_cornell(8, 8, spp=1)
