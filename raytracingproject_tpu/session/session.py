@@ -28,7 +28,7 @@ class SessionParams:
                  progressive_refine_chunk=16, use_mesh=False,
                  shard_mode="pixel", time_limit=0.0,
                  range_start_sample=-1, range_num_samples=-1,
-                 background=True):
+                 background=True, device_retries=2):
         self.samples = samples
         self.tile_size = tile_size
         self.progressive = progressive
@@ -39,6 +39,8 @@ class SessionParams:
         self.range_start_sample = range_start_sample
         self.range_num_samples = range_num_samples
         self.background = background
+        # transient device-fault retries per chunk (0 = fail fast)
+        self.device_retries = device_retries
 
     def modified(self, other):
         return vars(self) != vars(other)
@@ -277,6 +279,41 @@ class Session:
             aux = {}
         return np.asarray(L)[:n], np.asarray(A)[:n], aux
 
+    def _render_pixel_list_retry(self, xs, ys, start_sample, num_samples):
+        """Failure recovery around the device dispatch (SURVEY §5: the
+        reference only propagates device errors through Progress and
+        cancels, session.cpp:250-263; here transient device faults —
+        tunnel drops, TPU watchdog resets — are retried with the
+        compiled-fn cache dropped so the kernel re-jits against a fresh
+        executable). Deterministic sampling makes the retry exact: the
+        chunk re-renders the SAME sample range, so no statistics skew.
+        Non-device Python errors propagate immediately."""
+        retries = int(getattr(self.params, "device_retries", 2))
+        last = None
+        for attempt in range(retries + 1):
+            try:
+                return self._render_pixel_list(xs, ys, start_sample,
+                                               num_samples)
+            except CancelledError:
+                raise
+            except Exception as e:  # device/runtime faults only
+                name = type(e).__name__
+                transient = "XlaRuntimeError" in name \
+                    or "InternalError" in name \
+                    or "UNAVAILABLE" in str(e) or "INTERNAL" in str(e) \
+                    or "DEADLINE_EXCEEDED" in str(e)
+                if not transient or attempt >= retries:
+                    raise
+                last = e
+                self.stats.device_retries = \
+                    getattr(self.stats, "device_retries", 0) + 1
+                log.log_error("device error (attempt %d/%d), retrying "
+                              "chunk: %s", attempt + 1, retries, e)
+                self.progress.set_status(
+                    "Rendering", f"device error, retry {attempt + 1}")
+                self._render_fns = {}   # force re-jit on a fresh client
+        raise last  # unreachable
+
     # --- adaptive sampling (ref: kernel_adaptive_sampling.h redesigned
     # as host-side pixel-list compaction between sample chunks) ---
     def _adaptive_error(self, ys, xs):
@@ -359,7 +396,7 @@ class Session:
                     ys, xs = active[0][in_tile], active[1][in_tile]
                     if len(ys) == 0:
                         continue
-                L, A, aux = self._render_pixel_list(
+                L, A, aux = self._render_pixel_list_retry(
                     xs, ys, ts.start_sample, ts.num_samples)
                 self.buffers.buffer[ys, xs, 0:3] += L
                 self.buffers.buffer[ys, xs, 3] += A

@@ -230,3 +230,72 @@ class TestShaderProfiling:
         assert "Device shader cost" in rep
         top = max(times, key=times.get)
         assert top in rep
+
+
+class TestFailureRecovery:
+    """Transient device faults retry the SAME deterministic chunk with
+    the compiled-fn cache dropped (SURVEY §5 failure recovery; the
+    reference only cancels via Progress, session.cpp:250-263)."""
+
+    def _session(self):
+        from raytracingproject_tpu.app import examples
+        scene = examples.cornell_box(12, 12, spp=4)
+        return Session(scene, SessionParams(samples=4))
+
+    def test_transient_fault_retried_exactly(self):
+        class FakeXlaRuntimeError(Exception):
+            pass
+        FakeXlaRuntimeError.__name__ = "XlaRuntimeError"
+
+        ok = self._session()
+        ok.reset()
+        ref = ok.render()
+
+        sess = self._session()
+        sess.reset()
+        orig = sess._render_pixel_list
+        fails = {"n": 2}
+
+        def flaky(*a, **kw):
+            if fails["n"] > 0:
+                fails["n"] -= 1
+                raise FakeXlaRuntimeError("UNAVAILABLE: TPU device error")
+            return orig(*a, **kw)
+
+        sess._render_pixel_list = flaky
+        img = sess.render()
+        assert fails["n"] == 0
+        assert getattr(sess.stats, "device_retries", 0) == 2
+        np.testing.assert_array_equal(img, ref)
+
+    def test_persistent_fault_propagates(self):
+        import pytest
+
+        class FakeXlaRuntimeError(Exception):
+            pass
+        FakeXlaRuntimeError.__name__ = "XlaRuntimeError"
+
+        sess = self._session()
+        sess.reset()
+
+        def dead(*a, **kw):
+            raise FakeXlaRuntimeError("UNAVAILABLE: TPU device error")
+
+        sess._render_pixel_list = dead
+        with pytest.raises(Exception, match="UNAVAILABLE"):
+            sess.render()
+
+    def test_programming_error_not_retried(self):
+        import pytest
+        sess = self._session()
+        sess.reset()
+        calls = {"n": 0}
+
+        def buggy(*a, **kw):
+            calls["n"] += 1
+            raise ValueError("plain bug")
+
+        sess._render_pixel_list = buggy
+        with pytest.raises(ValueError):
+            sess.render()
+        assert calls["n"] == 1  # no retries for non-device errors
