@@ -77,6 +77,14 @@ class Mesh(Geometry):
           {"none": 0, "linear": 1, "catmull_clark": 2}),
         S("max_subdivisions", S.INT, 3),
         S("dicing_rate", S.FLOAT, 1.0),
+        # quad/ngon control cage (ref: Mesh::SubdFace, render/mesh.h;
+        # diced by models/subd.py subdivide_quad_mesh with the genuine
+        # Catmull-Clark limit surface when subdivision_type is
+        # catmull_clark). Empty -> triangle subdivision path.
+        S("subd_face_verts", S.INT_ARRAY, np.zeros((0,), np.int32)),
+        S("subd_face_len", S.INT_ARRAY, np.zeros((0,), np.int32)),
+        S("subd_shader", S.INT_ARRAY, np.zeros((0,), np.int32)),
+        S("subd_smooth", S.BOOLEAN_ARRAY, np.zeros((0,), bool)),
     ]
 
     def __init__(self, name="", **kwargs):
@@ -124,6 +132,55 @@ class Mesh(Geometry):
         n = np.where(ln > 1e-12, n / np.maximum(ln, 1e-12), [0.0, 0.0, 1.0])
         self.attribute_set(ATTR_STD_VERTEX_NORMAL, ATTR_ELEMENT_VERTEX, n)
         return n
+
+    def set_subd_mesh(self, verts, faces, shader=None, smooth=None):
+        """Define a polygon control cage for subdivision surfaces (ref:
+        Mesh::add_subd_face, render/mesh.cpp). `faces` is an (F, 4)
+        quad array or a list of per-face index lists (ngons allowed;
+        the first Catmull-Clark round quadrangulates them). Also stores
+        a fan triangulation into the plain triangle sockets so the mesh
+        renders as its linear cage when subdivision is off."""
+        verts = np.asarray(verts, np.float32).reshape(-1, 3)
+        if isinstance(faces, np.ndarray) and faces.ndim == 2:
+            flen = np.full(len(faces), faces.shape[1], np.int32)
+            fv = np.asarray(faces, np.int32).reshape(-1)
+        else:
+            flen = np.array([len(f) for f in faces], np.int32)
+            fv = np.concatenate([np.asarray(f, np.int32)
+                                 for f in faces]) if len(faces) else \
+                np.zeros((0,), np.int32)
+        F = len(flen)
+        shader = (np.zeros(F, np.int32) if shader is None
+                  else np.broadcast_to(np.asarray(shader, np.int32),
+                                       (F,)).copy())
+        smooth = (np.ones(F, bool) if smooth is None
+                  else np.broadcast_to(np.asarray(smooth, bool),
+                                       (F,)).copy())
+        self.set("subd_face_verts", fv)
+        self.set("subd_face_len", flen)
+        self.set("subd_shader", shader)
+        self.set("subd_smooth", smooth)
+        # linear cage fallback triangulation
+        tris, tri_face = [], []
+        off = np.concatenate([[0], np.cumsum(flen)[:-1]]).astype(np.int64)
+        for m in np.unique(flen):
+            sel = flen == m
+            base = off[sel]
+            for k in range(int(m) - 2):
+                tris.append(np.stack([fv[base], fv[base + k + 1],
+                                      fv[base + k + 2]], 1))
+                tri_face.append(np.nonzero(sel)[0])
+        if tris:
+            tris = np.concatenate(tris)
+            tri_face = np.concatenate(tri_face)
+            self.set_mesh(verts, tris, shader=shader[tri_face],
+                          smooth=smooth[tri_face])
+        else:
+            self.set_mesh(verts, np.zeros((0, 3), np.int32))
+
+    @property
+    def has_subd_cage(self):
+        return len(np.asarray(self.subd_face_len)) > 0
 
     def tessellate_quads(self, quads):
         """Helper: quads (N,4) -> triangles (2N,3)."""

@@ -304,12 +304,19 @@ class Scene:
                # cheap geometry fingerprint: edits to the base mesh's
                # verts/topology between syncs must invalidate the cache
                len(v_arr), int(mesh.num_triangles),
+               len(np.asarray(mesh.subd_face_verts)),
                float(v_arr.sum()) if len(v_arr) else 0.0,
                None if world_tfm is None
                else tuple(np.asarray(world_tfm).reshape(-1).tolist()))
         cached = getattr(mesh, "_subd_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
+
+        if mesh.has_subd_cage:
+            refined = self._subdivided_cage(mesh, world_tfm, cam_pos,
+                                            pixel_angle)
+            mesh._subd_cache = (key, refined)
+            return refined
 
         v = mesh.verts_array
         t = mesh.triangles_array
@@ -347,6 +354,47 @@ class Scene:
         log.vlog(1, "subdivided %s: %d -> %d tris (%d levels)",
                  mesh.name, len(t), len(t2), levels)
         mesh._subd_cache = (key, refined)
+        return refined
+
+    # ------------------------------------------------------------------
+    def _subdivided_cage(self, mesh, world_tfm, cam_pos, pixel_angle):
+        """Dice a quad/ngon control cage with the true Catmull-Clark
+        limit surface (ref: render/mesh_subdivision.cpp OpenSubdiv path;
+        models/subd.py subdivide_quad_mesh)."""
+        from raytracingproject_tpu.models import subd
+        from raytracingproject_tpu.models.mesh import Mesh as MeshCls
+        fv = np.asarray(mesh.subd_face_verts, np.int64)
+        flen = np.asarray(mesh.subd_face_len, np.int64)
+        uv_attr = mesh.attribute_get("std_uv")
+        corner_uv = (np.asarray(uv_attr.data, np.float32).reshape(-1, 2)
+                     [:len(fv)]
+                     if uv_attr is not None and uv_attr.element == "corner"
+                     else None)
+        mv_attr = mesh.attribute_get("std_motion_vertex_position")
+        extra = ((np.asarray(mv_attr.data, np.float32).reshape(-1, 3),)
+                 if mv_attr is not None else ())
+        subd_type = ("catmull_clark"
+                     if mesh.get_enum_int("subdivision_type") == 2
+                     else "linear")
+        v2, t2, uv2, sh2, sm2, extra2, levels = subd.subdivide_quad_mesh(
+            mesh.verts_array, fv, flen, corner_uv,
+            np.asarray(mesh.subd_shader, np.int32),
+            np.asarray(mesh.subd_smooth, bool), subd_type,
+            int(mesh.max_subdivisions), float(mesh.dicing_rate),
+            cam_pos, pixel_angle,
+            to_world=(None if world_tfm is None
+                      else tfm.to_4x4(world_tfm)),
+            extra_verts=extra)
+        refined = MeshCls(mesh.name + "_subd")
+        refined.set_mesh(v2, t2, shader=sh2, smooth=sm2)
+        refined.used_shaders = mesh.used_shaders
+        if uv2 is not None:
+            refined.attribute_set("std_uv", "corner", uv2.reshape(-1, 2))
+        if extra2:
+            refined.attribute_set("std_motion_vertex_position", "vertex",
+                                  extra2[0])
+        log.vlog(1, "subdivided cage %s: %d faces -> %d tris (%d levels)",
+                 mesh.name, len(flen), len(t2), levels)
         return refined
 
     # ------------------------------------------------------------------
