@@ -85,17 +85,39 @@ def denoise_rgb(color, albedo, normal, depth):
     return nlm_denoise(color, albedo, normal, depth)
 
 
+def pick_denoise_device():
+    """Heterogeneous denoise offload (ref: the reference's strategy of
+    running denoise on a different device than the render — multi-GPU
+    DenoisingTask scheduling): pick the LAST local device so the filter
+    runs off the primary render chip and overlaps with the next sample
+    chunk (JAX dispatch is async; computation follows data placement).
+    Returns None when there is only one device (denoise stays local)."""
+    ds = jax.devices()
+    return ds[-1] if len(ds) > 1 else None
+
+
 def denoise_buffers(combined_rgba, albedo=None, normal=None, depth=None,
-                    **kw):
-    """Denoise a display-scaled RGBA image, preserving alpha."""
-    rgb = nlm_denoise(jnp.asarray(combined_rgba[..., :3]),
-                      None if albedo is None else jnp.asarray(albedo),
-                      None if normal is None else jnp.asarray(normal),
-                      None if depth is None else jnp.asarray(depth), **kw)
+                    device=None, block=True, **kw):
+    """Denoise a display-scaled RGBA image, preserving alpha.
+
+    device: optional jax.Device to pin the filter to (heterogeneous
+    offload — see pick_denoise_device). block=False returns the result
+    as a device array still in flight on that device so the caller can
+    keep rendering on the primary device; np.asarray() it to wait."""
+    def put(x):
+        if x is None:
+            return None
+        x = jnp.asarray(x)
+        return x if device is None else jax.device_put(x, device)
+
+    rgb = nlm_denoise(put(combined_rgba[..., :3]), put(albedo),
+                      put(normal), put(depth), **kw)
+    alpha = put(combined_rgba[..., 3:])
+    out = jnp.concatenate([rgb, alpha], axis=-1)
+    if not block:
+        return out
     import numpy as np
-    out = np.asarray(combined_rgba).copy()
-    out[..., :3] = np.asarray(rgb)
-    return out
+    return np.asarray(out)
 
 
 def nlm_denoise_temporal(colors, target, albedo=None, normal=None,

@@ -28,7 +28,8 @@ class SessionParams:
                  progressive_refine_chunk=16, use_mesh=False,
                  shard_mode="pixel", time_limit=0.0,
                  range_start_sample=-1, range_num_samples=-1,
-                 background=True, device_retries=2):
+                 background=True, device_retries=2,
+                 denoise_offload=True):
         self.samples = samples
         self.tile_size = tile_size
         self.progressive = progressive
@@ -41,6 +42,9 @@ class SessionParams:
         self.background = background
         # transient device-fault retries per chunk (0 = fail fast)
         self.device_retries = device_retries
+        # heterogeneous offload: pin denoise to the last local device
+        # when more than one exists (parallelism strategy 7)
+        self.denoise_offload = denoise_offload
 
     def modified(self, other):
         return vars(self) != vars(other)
@@ -520,8 +524,17 @@ class Session:
         depth = self.buffers.get_pass_rect(fm.PASS_DEPTH)
         self._denoised = dn.denoise_buffers(
             rgba, albedo=albedo, normal=normal,
-            depth=None if depth is None else depth[..., 0])
+            depth=None if depth is None else depth[..., 0],
+            device=self._denoise_device())
         return self._denoised
+
+    def _denoise_device(self):
+        """Heterogeneous offload device for the denoise filter (pinned
+        off the render chip when more than one device is local)."""
+        from raytracingproject_tpu.ops import denoise as dn
+        if not getattr(self.params, "denoise_offload", True):
+            return None
+        return dn.pick_denoise_device()
 
     def denoise_tile(self, x, y, w, h, overscan=8):
         """Per-tile denoise state (ref: Session tile denoising with
@@ -544,7 +557,8 @@ class Session:
             rgba,
             albedo=None if albedo is None else albedo[y0:y1, x0:x1],
             normal=None if normal is None else normal[y0:y1, x0:x1],
-            depth=None if depth is None else depth[y0:y1, x0:x1, 0])
+            depth=None if depth is None else depth[y0:y1, x0:x1, 0],
+            device=self._denoise_device())
         if self._denoised is None:
             self._denoised = np.asarray(self.buffers.get_display_rgba(
                 float(self.scene.film.exposure))).copy()

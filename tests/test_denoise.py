@@ -115,3 +115,66 @@ class TestTileDenoise:
         # matches the whole-frame result away from the frame border
         np.testing.assert_allclose(tiled[8:24, 8:24],
                                    whole[8:24, 8:24], atol=2e-3)
+
+
+class TestHeterogeneousOffload:
+    """Parallelism strategy 7: denoise pinned to a secondary device so
+    the filter overlaps the next render chunk (ops/denoise.py
+    pick_denoise_device; conftest gives 8 virtual CPU devices)."""
+
+    def test_picks_secondary_device(self):
+        import jax
+        from raytracingproject_tpu.ops import denoise as dn
+        dev = dn.pick_denoise_device()
+        assert dev is not None
+        assert dev == jax.devices()[-1]
+        assert dev != jax.devices()[0]
+
+    def test_pinned_result_matches_local(self):
+        import jax
+        import numpy as np
+        from raytracingproject_tpu.ops import denoise as dn
+        rng = np.random.default_rng(0)
+        img = np.abs(rng.standard_normal((24, 24, 4))).astype(np.float32)
+        local = dn.denoise_buffers(img)
+        pinned = dn.denoise_buffers(img, device=jax.devices()[-1])
+        np.testing.assert_allclose(local, pinned, atol=1e-6)
+
+    def test_nonblocking_returns_inflight_device_array(self):
+        import jax
+        import numpy as np
+        from raytracingproject_tpu.ops import denoise as dn
+        rng = np.random.default_rng(1)
+        img = np.abs(rng.standard_normal((24, 24, 4))).astype(np.float32)
+        dev = jax.devices()[-1]
+        out = dn.denoise_buffers(img, device=dev, block=False)
+        assert list(out.devices()) == [dev]
+        ref = dn.denoise_buffers(img, device=None)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+    def test_session_denoise_uses_offload_device(self, monkeypatch):
+        import jax
+        import numpy as np
+        from raytracingproject_tpu.app import examples
+        from raytracingproject_tpu.session.session import (Session,
+                                                           SessionParams)
+        from raytracingproject_tpu.ops import denoise as dn
+        scene = examples.cornell_box(16, 16, spp=2)
+        sess = Session(scene, SessionParams(samples=2))
+        sess.reset()
+        sess.render()
+        seen = {}
+        orig = dn.denoise_buffers
+
+        def spy(*a, **kw):
+            seen["device"] = kw.get("device")
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(dn, "denoise_buffers", spy)
+        out = sess.denoise()
+        assert seen["device"] == jax.devices()[-1]
+        assert np.isfinite(out).all()
+        # opt-out pins nothing
+        sess.params.denoise_offload = False
+        sess.denoise()
+        assert seen["device"] is None
