@@ -79,6 +79,21 @@ def _use_pallas_clusters(kg):
     return bool(mode)
 
 
+def _use_pallas_occlusion(kg):
+    """Dual-reduction volume-NEE sweep backend select. "auto" follows
+    the main cluster dispatch (Pallas walk on TPU, never on use_brute
+    scenes); True forces the Pallas walk wherever cluster tables exist
+    (the volume_sss A/B — ROADMAP 1c/1d); False forces dense."""
+    ds = kg["dscene"]
+    if "cluster_bounds" not in ds or "cluster_boundary" not in ds \
+            or int(kg.get("cluster_tris", 0)) <= 0:
+        return False
+    mode = kg.get("pallas_occlusion", "auto")
+    if mode == "auto":
+        return _use_pallas_clusters(kg) and not kg["use_brute"]
+    return bool(mode)
+
+
 def _scene_intersect_tris(kg, o, d, tmin, tmax, visibility, shadow=False,
                           time=None):
     ds = kg["dscene"]
@@ -387,6 +402,18 @@ def make_path_kernel(kg, px, py, pixel_index):
         bu4, bv4 = rng2_batch(bdims, samples=st["sample"])
         (bu, lu, rr_u, sel_u) = bu4
         (bv, lv, lobe_u, phase_v) = bv4
+        if "lobe_strat" in st:
+            # branched per-lobe/per-light forced split (ref:
+            # kernel_path_branched.h per-closure + all-light sampling —
+            # redesigned lockstep: the FIRST bounce's lobe-pick and
+            # light-pick randoms are stratified over the branch index,
+            # so every lobe/light whose CDF span exceeds 1/branch is
+            # deterministically covered across the branch set; unbiased
+            # because (k + u)/n remains uniform on [0,1)).
+            k_strat, n_strat = st["lobe_strat"]
+            first = bounce == 0
+            lobe_u = jnp.where(first, (k_strat + lobe_u) / n_strat, lobe_u)
+            lu = jnp.where(first, (k_strat + lu) / n_strat, lu)
 
         vis_ray = jnp.where(
             st["path_flag"] & ob.PATH_RAY_CAMERA > 0,
@@ -917,24 +944,53 @@ def make_path_kernel(kg, px, py, pixel_index):
                 """One dense pass -> ((t_boundary, t_other), blocked):
                 the winner-free occlusion sweep (see
                 intersect_brute_occlusion for why this beats a
-                closest-hit + any-hit pair ~2.4x)."""
+                closest-hit + any-hit pair ~2.4x). On the cluster path
+                the same dual reduction runs as a VMEM-resident Pallas
+                walk that only fetches clusters able to tighten one of
+                the three accumulators (pallas_cluster.
+                occlusion_clusters_pallas; ROADMAP 1d)."""
                 dsd = kg["dscene"]
                 deform = kg.get("has_deform_motion")
-                t_b, t_o, blk = isect.intersect_brute_occlusion(
-                    dsd["tri_verts_world"], dsd["prim_object_packed"],
-                    dsd["prim_is_boundary"],
-                    o_s, d_s, jnp.full((n,), 1e-5, prec.FT),
-                    tmax_closest=jnp.where(
-                        on_closest, jnp.minimum(tmax_s, um.RAY_TMAX), 1e-5),
-                    tmax_any=jnp.where(on_any, tmax_s, 1e-5),
-                    visibility_closest=jnp.full(
-                        (n,), ob.PATH_RAY_CAMERA, jnp.uint32),
-                    visibility_any=jnp.full(
-                        (n,), ob.PATH_RAY_SHADOW, jnp.uint32),
-                    object_visibility=dsd["object_visibility"],
-                    tri_verts_t1=(dsd["tri_verts_world_t1"] if deform
-                                  else None),
-                    time=st["time"] if deform else None)
+                if _use_pallas_occlusion(kg):
+                    from raytracingproject_tpu.ops import (
+                        pallas_cluster as pcl)
+                    t_b, t_o, blk = pcl.occlusion_clusters_pallas(
+                        dsd["cluster_bounds"], dsd["cluster_table"],
+                        dsd["cluster_boundary"],
+                        int(kg["cluster_tris"]), o_s, d_s,
+                        jnp.full((n,), 1e-5, prec.FT),
+                        tmax_closest=jnp.where(
+                            on_closest,
+                            jnp.minimum(tmax_s, um.RAY_TMAX), 1e-5),
+                        tmax_any=jnp.where(on_any, tmax_s, 1e-5),
+                        vis_closest=int(ob.PATH_RAY_CAMERA),
+                        vis_any=int(ob.PATH_RAY_SHADOW),
+                        has_instances=bool(
+                            kg.get("has_instances", False)),
+                        time=st["time"] if kg.get("cluster_motion")
+                        else None,
+                        has_motion=bool(kg.get("cluster_motion",
+                                                False)),
+                        interpret=bool(kg.get("pallas_interpret",
+                                              False)))
+                else:
+                    t_b, t_o, blk = isect.intersect_brute_occlusion(
+                        dsd["tri_verts_world"],
+                        dsd["prim_object_packed"],
+                        dsd["prim_is_boundary"],
+                        o_s, d_s, jnp.full((n,), 1e-5, prec.FT),
+                        tmax_closest=jnp.where(
+                            on_closest,
+                            jnp.minimum(tmax_s, um.RAY_TMAX), 1e-5),
+                        tmax_any=jnp.where(on_any, tmax_s, 1e-5),
+                        visibility_closest=jnp.full(
+                            (n,), ob.PATH_RAY_CAMERA, jnp.uint32),
+                        visibility_any=jnp.full(
+                            (n,), ob.PATH_RAY_SHADOW, jnp.uint32),
+                        object_visibility=dsd["object_visibility"],
+                        tri_verts_t1=(dsd["tri_verts_world_t1"]
+                                      if deform else None),
+                        time=st["time"] if deform else None)
                 if "curve_p0" in dsd:
                     # hair is never a volume boundary: its closest hit
                     # feeds t_other and the shadow any-hit
@@ -1410,6 +1466,8 @@ def make_path_kernel(kg, px, py, pixel_index):
         for k in st:
             if k.startswith("aux_"):
                 out[k] = st[k]
+        if "lobe_strat" in st:
+            out["lobe_strat"] = st["lobe_strat"]
         return out
 
     return start_paths, bounce_body
@@ -1622,11 +1680,16 @@ def render_samples_adaptive_chunk(kg, px, py, pixel_index, sample_start,
 
 
 def render_samples_branched(kg, px, py, pixel_index, aa_start, num_aa,
-                            branch):
+                            branch, lobe_split=True):
     """Branched-path mode (ref: kernel_path_branched.h): each AA sample
     reuses its camera/filter/lens dims across `branch` shading branches
     whose per-bounce dims advance independently — few camera samples,
     many shading samples, the reference's variance trade.
+
+    lobe_split additionally forces per-lobe/per-light coverage at the
+    first bounce by stratifying the pick randoms over the branch index
+    (the lockstep redesign of kernel_branched_path_surface_bounce's
+    per-closure loops + sample_all_lights_direct).
 
     Returns (L_sum, A_sum) over num_aa x branch total samples.
     """
@@ -1642,6 +1705,12 @@ def render_samples_branched(kg, px, py, pixel_index, aa_start, num_aa,
             (jnp.uint32(aa_start) + aa.astype(jnp.uint32))
             * jnp.uint32(branch) + k.astype(jnp.uint32), (n,))
         st = start_paths(s_path, samples_cam=s_cam)
+        if lobe_split:
+            # per-lobe/per-light forced split at the first bounce: the
+            # branch index stratifies the pick randoms (see bounce_body)
+            st["lobe_strat"] = (
+                jnp.broadcast_to(k.astype(prec.FT), (n,)),
+                jnp.full((n,), float(branch), prec.FT))
         fin = jax.lax.fori_loop(0, max_bounce + 1,
                                 lambda i, s: step(i, s), st)
         return (L + fin["L"], A + fin["alpha"])

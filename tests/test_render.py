@@ -338,3 +338,52 @@ class TestConfigHonesty:
                 s.set("volume_interpolation_method", "cubic")
         with pytest.raises(NotImplementedError):
             scene.device_update()
+
+
+class TestBranchedLobeSplit:
+    """Per-lobe/per-light forced splitting in branched mode (ref:
+    kernel_path_branched.h per-closure sampling — lockstep redesign:
+    branch-index-stratified pick randoms at the first bounce)."""
+
+    def _branched(self, scene, w, h, spp_aa, branch, chunk, split):
+        scene.device_update()
+        kg = scene.make_kernel_globals()
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = jnp.asarray(xx.reshape(-1), jnp.int32)
+        py = jnp.asarray(yy.reshape(-1), jnp.int32)
+        pidx = py * w + px
+        L, _ = jax.jit(lambda a, b, c: integ.render_samples_branched(
+            kg, a, b, c, chunk * spp_aa, spp_aa, branch,
+            lobe_split=split))(px, py, pidx)
+        return np.asarray(L).reshape(h, w, 3) / (spp_aa * branch)
+
+    def test_split_furnace_stays_exact(self):
+        """Stratifying the pick randoms must not bias the estimator:
+        the unit furnace still renders exactly 1 in expectation."""
+        scene = examples.furnace_scene(24, 24, albedo=1.0, bounces=16)
+        img = self._branched(scene, 24, 24, 2, 8, 0, True)
+        assert np.isfinite(img).all()
+        assert abs(float(img.mean()) - 1.0) < 0.02
+
+    def test_split_matches_unsplit_mean(self):
+        scene = examples.cornell_box(16, 16, spp=8)
+        a = self._branched(scene, 16, 16, 2, 4, 0, True)
+        b = self._branched(scene, 16, 16, 2, 4, 0, False)
+        assert abs(a.mean() - b.mean()) < 0.08 * max(b.mean(), 1e-6)
+
+    def test_split_reduces_first_bounce_variance(self):
+        """On a mixed-lobe scene the forced split removes lobe-pick
+        noise: variance of per-chunk estimates must not increase, and
+        should drop measurably in aggregate."""
+        scene = examples.instanced_scene(12, 12, spp=8, grid=2,
+                                         nlat=6, nlon=8)
+        chunks_s, chunks_u = [], []
+        for c in range(6):
+            chunks_s.append(self._branched(scene, 12, 12, 1, 4, c, True))
+            chunks_u.append(self._branched(scene, 12, 12, 1, 4, c, False))
+        vs = np.stack(chunks_s).var(0).mean()
+        vu = np.stack(chunks_u).var(0).mean()
+        ms = np.stack(chunks_s).mean()
+        mu = np.stack(chunks_u).mean()
+        assert abs(ms - mu) < 0.1 * max(mu, 1e-6)
+        assert vs < vu * 1.05, (vs, vu)
