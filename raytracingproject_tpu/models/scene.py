@@ -1410,7 +1410,23 @@ class Scene:
         pt_np = np.asarray(ds["arrays"]["prim_table"])
         pshader = np.clip(pt_np[:, lk.PT_SHADER].astype(np.int64), 0,
                           len(shv) - 1)
-        arrays["prim_is_boundary"] = jnp.asarray(shv[pshader])
+        prim_bnd = shv[pshader]
+        arrays["prim_is_boundary"] = jnp.asarray(prim_bnd)
+        # per-cluster-slot boundary flags for the Pallas dual-reduction
+        # occlusion walk (ops/pallas_cluster.py occlusion_clusters_pallas)
+        if "cluster_table" in ds["arrays"] and shv.any():
+            from raytracingproject_tpu.ops import cluster_intersect as ci
+            ctab_np = np.asarray(ds["arrays"]["cluster_table"])
+            ct = int(ds.get("cluster_tris", 0))
+            if ct > 0:
+                tri_w = 18 if ds.get("cluster_motion", False) else 9
+                pb = ci.META_COLS + tri_w * ct
+                pids = ctab_np[:, pb:pb + ct].astype(np.int64)
+                bnd = np.where(
+                    pids >= 0,
+                    prim_bnd[np.clip(pids, 0, len(prim_bnd) - 1)], False)
+                arrays["cluster_boundary"] = jnp.asarray(
+                    bnd.astype(np.float32))
         return {
             "dscene": arrays,
             "cam": ds["cam"],

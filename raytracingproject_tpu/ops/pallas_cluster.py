@@ -283,3 +283,235 @@ def intersect_clusters_pallas(cbounds, ctable, cluster_tris, o, d,
             "prim": jnp.where(hit[:n], prim[:n], -1),
             "u": u[:n], "v": v[:n],
             "object": jnp.where(hit[:n], obj[:n], -1)}
+
+
+# ===========================================================================
+# Dual-reduction occlusion walk (volume NEE)
+# ===========================================================================
+#
+# The volume-NEE shadow sweep needs (t_boundary, t_other, blocked) per
+# lane — two masked min-reductions plus an any-hit OR, never a winner
+# (see ops/intersect.py intersect_brute_occlusion for the measured
+# rationale). This is the cluster-walk version: instead of testing
+# every prim like the dense sweep, only clusters whose entry distance
+# can still tighten one of the three accumulators are fetched, with the
+# same VMEM-resident tile-shared loop as _cluster_kernel above. The two
+# dense dual sweeps are ~46% of a volume_sss iteration on the brute
+# path — this kernel is the candidate replacement to A/B on the chip
+# (ROADMAP item 1d).
+
+
+def _occlusion_kernel(cluster_tris, has_instances, has_motion,
+                      vis_closest, vis_any,
+                      cb_ref, ct_ref, bm_ref, o_ref, d_ref, tmin_ref,
+                      tmaxc_ref, tmaxa_ref, time_ref,
+                      tb_ref, to_ref, blk_ref,
+                      entry_ref):
+    """One ray tile: dual min-reduction + any-hit over the cluster set."""
+    ox = o_ref[0].reshape(SUBLANE, LANE)
+    oy = o_ref[1].reshape(SUBLANE, LANE)
+    oz = o_ref[2].reshape(SUBLANE, LANE)
+    dx = d_ref[0].reshape(SUBLANE, LANE)
+    dy = d_ref[1].reshape(SUBLANE, LANE)
+    dz = d_ref[2].reshape(SUBLANE, LANE)
+    tmin = tmin_ref[:].reshape(SUBLANE, LANE)
+    tmaxc = tmaxc_ref[:].reshape(SUBLANE, LANE)
+    tmaxa = tmaxa_ref[:].reshape(SUBLANE, LANE)
+    time = time_ref[:].reshape(SUBLANE, LANE) if has_motion else None
+    c = cb_ref.shape[0]
+
+    # entry-distance table, capped by the loosest per-lane need
+    tn = jnp.full((c, TILE), -INF, jnp.float32)
+    tf = jnp.full((c, TILE), INF, jnp.float32)
+    for ax, dax_t in ((0, dx), (1, dy), (2, dz)):
+        dax = dax_t.reshape(1, TILE)
+        oax = (ox, oy, oz)[ax].reshape(1, TILE)
+        inv = jnp.where(jnp.abs(dax) > 1e-20,
+                        1.0 / jnp.where(dax == 0, 1.0, dax),
+                        jnp.where(dax >= 0, 1e20, -1e20))
+        lo = cb_ref[:, ax].reshape(c, 1)
+        hi = cb_ref[:, 3 + ax].reshape(c, 1)
+        t0 = (lo - oax) * inv
+        t1 = (hi - oax) * inv
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    tmin_f = tmin.reshape(1, TILE)
+    need0 = jnp.maximum(tmaxc, tmaxa).reshape(1, TILE)
+    ok = (tn <= tf) & (tf >= tmin_f) & (tn <= need0)
+    entry_ref[:] = jnp.where(ok, jnp.maximum(tn, tmin_f), INF)
+
+    tri_w = 18 if has_motion else 9
+    pbase = META_COLS + tri_w * cluster_tris
+    obase = pbase + cluster_tris
+    vbase = obase + cluster_tris
+
+    ws0 = None
+    if not has_instances:
+        ws0 = isect.watertight_setup_c(ox, oy, oz, dx, dy, dz)
+
+    def gate(t_b, t_o, blocked):
+        """Largest t that could still matter per lane: tightening either
+        capped min, or finding the first any-hit while unblocked."""
+        g = jnp.maximum(jnp.minimum(t_b, tmaxc), jnp.minimum(t_o, tmaxc))
+        return jnp.where(blocked, g, jnp.maximum(g, tmaxa))
+
+    def pick(t_b, t_o, blocked):
+        g = gate(t_b, t_o, blocked).reshape(1, TILE)
+        masked = jnp.where(entry_ref[:] < g, entry_ref[:], INF)
+        cm = jnp.min(masked, axis=1).reshape(c, 1)
+        cid = jnp.argmin(cm, axis=0)[0]
+        return cid, jnp.min(cm)
+
+    tb0 = jnp.full((SUBLANE, LANE), RAY_TMAX, jnp.float32)
+    to0 = jnp.full((SUBLANE, LANE), RAY_TMAX, jnp.float32)
+    blk0 = jnp.zeros((SUBLANE, LANE), jnp.bool_)
+    cid0, m0 = pick(tb0, to0, blk0)
+    carry0 = (tb0, to0, blk0, cid0, m0, jnp.int32(0))
+
+    def cond(st):
+        return (st[4] < INF) & (st[5] < c)
+
+    def body(st):
+        t_b, t_o, blocked, cid, _, it = st
+        row = ct_ref[pl.ds(cid, 1), :]
+        brow = bm_ref[pl.ds(cid, 1), :]
+
+        def rs(j):
+            return row[0, j]
+
+        if has_instances:
+            m = [rs(j) for j in range(12)]
+            oxx = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+            oyy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+            ozz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+            dxx = m[0] * dx + m[1] * dy + m[2] * dz
+            dyy = m[4] * dx + m[5] * dy + m[6] * dz
+            dzz = m[8] * dx + m[9] * dy + m[10] * dz
+            ws = isect.watertight_setup_c(oxx, oyy, ozz, dxx, dyy, dzz)
+        else:
+            ws = ws0
+
+        g = gate(t_b, t_o, blocked)
+        act = entry_ref[pl.ds(cid, 1), :].reshape(SUBLANE, LANE) < g
+        for k in range(cluster_tris):
+            b = META_COLS + 9 * k
+            v0c = (rs(b), rs(b + 1), rs(b + 2))
+            e1c = (rs(b + 3), rs(b + 4), rs(b + 5))
+            e2c = (rs(b + 6), rs(b + 7), rs(b + 8))
+            if has_motion:
+                db = META_COLS + 9 * cluster_tris + 9 * k
+                v0c = tuple(v0c[j] + time * rs(db + j) for j in range(3))
+                e1c = tuple(e1c[j] + time * rs(db + 3 + j)
+                            for j in range(3))
+                e2c = tuple(e2c[j] + time * rs(db + 6 + j)
+                            for j in range(3))
+            hit, t, _, _ = isect._wt_block(ws, v0c, e1c, e2c, tmin,
+                                           jnp.float32(RAY_TMAX))
+            pid = rs(pbase + k)
+            hit = hit & act & (pid >= 0.0)
+            tri_vis = rs(vbase + k).astype(jnp.uint32)
+            is_b = brow[0, k] > 0.0
+            hit_c = hit & (t < tmaxc) \
+                & ((tri_vis & jnp.uint32(vis_closest)) > 0)
+            t_b = jnp.where(hit_c & is_b, jnp.minimum(t_b, t), t_b)
+            t_o = jnp.where(hit_c & (~is_b), jnp.minimum(t_o, t), t_o)
+            blocked = blocked | (
+                hit & (t < tmaxa)
+                & ((tri_vis & jnp.uint32(vis_any)) > 0))
+
+        entry_ref[pl.ds(cid, 1), :] = jnp.full((1, TILE), INF,
+                                               jnp.float32)
+        ncid, nm = pick(t_b, t_o, blocked)
+        return (t_b, t_o, blocked, ncid, nm, it + 1)
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    tb_ref[:] = out[0].reshape(TILE)
+    to_ref[:] = out[1].reshape(TILE)
+    blk_ref[:] = out[2].reshape(TILE).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cluster_tris", "has_instances",
+                              "has_motion", "vis_closest", "vis_any",
+                              "interpret"))
+def occlusion_clusters_pallas(cbounds, ctable, cboundary, cluster_tris,
+                              o, d, tmin, tmax_closest, tmax_any,
+                              vis_closest, vis_any,
+                              has_instances=False, time=None,
+                              has_motion=False, interpret=False):
+    """Volume-NEE dual-reduction sweep as one Pallas dispatch.
+
+    Same contract as intersect.intersect_brute_occlusion: returns
+    (t_boundary, t_other, blocked) — RAY_TMAX-capped minima over
+    camera-visible boundary / non-boundary prims inside
+    [tmin, tmax_closest], plus the any-hit under vis_any inside
+    [tmin, tmax_any]. cboundary is (C, cluster_tris) 0/1 f32 (packed at
+    sync from prim_is_boundary through the cluster prim columns)."""
+    n = o.shape[0]
+    pad = (-n) % TILE
+    if pad:
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        tmin = jnp.pad(tmin, (0, pad))
+        tmax_closest = jnp.pad(tmax_closest, (0, pad),
+                               constant_values=-1.0)
+        tmax_any = jnp.pad(tmax_any, (0, pad), constant_values=-1.0)
+        if time is not None:
+            time = jnp.pad(time, (0, pad))
+    np_ = n + pad
+    ntiles = np_ // TILE
+
+    c = cbounds.shape[0]
+    cpad = (-c) % SUBLANE
+    if cpad:
+        pad_b = jnp.tile(jnp.asarray([[INF, INF, INF, -INF, -INF, -INF]],
+                                     jnp.float32), (cpad, 1))
+        cbounds = jnp.concatenate([cbounds, pad_b], axis=0)
+        ctable = jnp.concatenate(
+            [ctable, jnp.zeros((cpad, ctable.shape[1]), jnp.float32)],
+            axis=0)
+        cboundary = jnp.concatenate(
+            [cboundary, jnp.zeros((cpad, cboundary.shape[1]),
+                                  jnp.float32)], axis=0)
+
+    if time is None:
+        time = jnp.zeros((np_,), jnp.float32)
+
+    o_soa = o.T.reshape(3, np_)
+    d_soa = d.T.reshape(3, np_)
+
+    kern = functools.partial(_occlusion_kernel, int(cluster_tris),
+                             bool(has_instances), bool(has_motion),
+                             int(vis_closest), int(vis_any))
+    lane_spec = pl.BlockSpec((TILE,), lambda i: (i,),
+                             memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    t_b, t_o, blk = pl.pallas_call(
+        kern,
+        grid=(ntiles,),
+        in_specs=[
+            full_spec,                               # cbounds
+            full_spec,                               # ctable
+            full_spec,                               # cboundary
+            pl.BlockSpec((3, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),   # o
+            pl.BlockSpec((3, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),   # d
+            lane_spec,                               # tmin
+            lane_spec,                               # tmax_closest
+            lane_spec,                               # tmax_any
+            lane_spec,                               # time
+        ],
+        out_specs=[lane_spec] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((np_,), jnp.float32),
+            jax.ShapeDtypeStruct((np_,), jnp.float32),
+            jax.ShapeDtypeStruct((np_,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c + cpad, TILE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cbounds, ctable, cboundary, o_soa, d_soa, tmin,
+      tmax_closest, tmax_any, time)
+    return t_b[:n], t_o[:n], blk[:n] > 0
