@@ -24,13 +24,16 @@ _FAILED = False
 
 
 def _compile_lib():
-    src = os.path.join(_HERE, "bvh_builder.cpp")
+    srcs = sorted(
+        os.path.join(_HERE, f) for f in os.listdir(_HERE)
+        if f.endswith(".cpp"))
     out = os.path.join(_HERE, "librtp_native.so")
     if (os.path.exists(out)
-            and os.path.getmtime(out) >= os.path.getmtime(src)):
+            and all(os.path.getmtime(out) >= os.path.getmtime(s)
+                    for s in srcs)):
         return out
     cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-           "-pthread", src, "-o", out + ".tmp"]
+           "-pthread", *srcs, "-o", out + ".tmp", "-lz"]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(out + ".tmp", out)
     return out
@@ -57,6 +60,19 @@ def get_lib():
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
             ]
             lib.rtp_free.argtypes = [ctypes.c_void_p]
+            lib.rtp_exr_write.restype = ctypes.c_int
+            lib.rtp_exr_write.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int, ctypes.c_int]
+            lib.rtp_exr_info.restype = ctypes.c_int
+            lib.rtp_exr_info.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.c_char_p, ctypes.c_int]
+            lib.rtp_exr_read.restype = ctypes.c_int
+            lib.rtp_exr_read.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float)]
             _LIB = lib
         except Exception as e:  # pragma: no cover - toolchain missing
             log.log_warning("native lib unavailable (%s); using NumPy "
@@ -93,3 +109,70 @@ def build_bvh_native(lo, hi, max_leaf_size=4):
     lib.rtp_free(out_children)
     lib.rtp_free(out_order)
     return bounds, children, order
+
+
+# --------------------------------------------------------------------------
+# Native OpenEXR codec (native/exr_codec.cpp; ZIP via zlib). The Python
+# codec in utils/exr.py is the portable fallback and parity twin.
+# --------------------------------------------------------------------------
+
+EXR_COMP_NONE = 0
+EXR_COMP_ZIPS = 2
+EXR_COMP_ZIP = 3
+
+
+def exr_write_native(path, channels, half=False, compression=EXR_COMP_ZIP):
+    """channels: {name: (H, W) float32}. Returns True on success,
+    False if the native lib is unavailable (caller falls back)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    names = sorted(channels)
+    arrs = [np.ascontiguousarray(channels[n], np.float32) for n in names]
+    h, w = arrs[0].shape
+    for n, a in zip(names, arrs):
+        if a.shape != (h, w):
+            raise ValueError(f"channel {n} shape {a.shape} != {(h, w)}")
+    data = np.ascontiguousarray(np.stack(arrs, axis=0))
+    names_blob = b"".join(n.encode() + b"\0" for n in names)
+    rc = lib.rtp_exr_write(
+        str(path).encode(), w, h, len(names), names_blob,
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        1 if half else 0, int(compression))
+    if rc != 0:
+        raise IOError(f"native EXR write failed (rc={rc}): {path}")
+    return True
+
+
+def exr_read_native(path):
+    """Returns {name: (H, W) float32} or None if the native lib is
+    unavailable / the file needs the Python fallback. Raises on a
+    corrupt file."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    n_ch = ctypes.c_int()
+    cap = 1 << 16
+    buf = ctypes.create_string_buffer(cap)
+    rc = lib.rtp_exr_info(str(path).encode(), ctypes.byref(w),
+                          ctypes.byref(h), ctypes.byref(n_ch), buf, cap)
+    if rc < 0:  # names buffer too small
+        cap = -rc
+        buf = ctypes.create_string_buffer(cap)
+        rc = lib.rtp_exr_info(str(path).encode(), ctypes.byref(w),
+                              ctypes.byref(h), ctypes.byref(n_ch), buf,
+                              cap)
+    if rc in (5, 6, 7, 9):
+        return None  # feature outside the native subset -> fallback
+    if rc != 0:
+        raise IOError(f"native EXR read failed (rc={rc}): {path}")
+    names = bytes(buf.raw).split(b"\0")[:n_ch.value]
+    out = np.empty((n_ch.value, h.value, w.value), np.float32)
+    rc = lib.rtp_exr_read(
+        str(path).encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        raise IOError(f"native EXR read failed (rc={rc}): {path}")
+    return {n.decode(): out[i] for i, n in enumerate(names)}

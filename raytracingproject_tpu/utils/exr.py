@@ -36,9 +36,23 @@ def _chlist(channels, pixel_type):
     return out + b"\0"
 
 
-def write_exr(path, channels, half=False):
+def write_exr(path, channels, half=False, compression="zip"):
     """channels: {name: (H, W) float32}; all same shape. Layered names
-    use dots ("Combined.R"). half=True stores 16-bit floats."""
+    use dots ("Combined.R"). half=True stores 16-bit floats.
+
+    The native C++ codec (native/exr_codec.cpp) handles the hot path
+    and ZIP compression; this Python body is the portable fallback
+    (uncompressed) and the parity twin the native codec is tested
+    against. compression: "zip" | "zips" | "none"."""
+    try:
+        from raytracingproject_tpu import native as nat
+        comp = {"none": nat.EXR_COMP_NONE, "zips": nat.EXR_COMP_ZIPS,
+                "zip": nat.EXR_COMP_ZIP}[compression]
+        if nat.exr_write_native(path, channels, half=half,
+                                compression=comp):
+            return path
+    except ImportError:  # pragma: no cover
+        pass
     names = sorted(channels)
     if not names:
         raise ValueError("no channels")
@@ -104,9 +118,17 @@ def _parse_chlist(data):
 
 
 def read_exr(path):
-    """Read a file produced by write_exr (or any uncompressed
-    single-part scanline EXR with HALF/FLOAT channels).
+    """Read a single-part scanline EXR with HALF/FLOAT channels —
+    NO_COMPRESSION, ZIP, or ZIPS via the native codec; the Python body
+    below reads the uncompressed subset as the portable fallback.
     Returns {channel_name: (H, W) float32}."""
+    try:
+        from raytracingproject_tpu import native as nat
+        out = nat.exr_read_native(path)
+        if out is not None:
+            return out
+    except ImportError:  # pragma: no cover
+        pass
     buf = open(path, "rb").read()
     if buf[:4] != _MAGIC:
         raise ValueError("not an EXR file")

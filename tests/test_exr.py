@@ -105,3 +105,97 @@ class TestSessionOutput:
         assert layers["Combined"].shape == (16, 16, 4)
         assert "depth" in layers and "normal" in layers
         assert np.isfinite(layers["Combined"]).all()
+
+
+class TestNativeCodec:
+    """Native C++ codec (native/exr_codec.cpp) vs the Python parity
+    twin: identical bytes semantics, ZIP/ZIPS compression, fallback."""
+
+    def _chans(self, seed=0, h=33, w=21, n=3):
+        rng = np.random.default_rng(seed)
+        return {f"L.{s}": rng.standard_normal((h, w)).astype(np.float32)
+                for s in "RGBA"[:n]}
+
+    def test_native_available(self):
+        from raytracingproject_tpu import native as nat
+        assert nat.get_lib() is not None
+
+    def test_zip_roundtrip_bitexact(self, tmp_path):
+        from raytracingproject_tpu import native as nat
+        ch = self._chans()
+        for comp in (nat.EXR_COMP_NONE, nat.EXR_COMP_ZIPS,
+                     nat.EXR_COMP_ZIP):
+            p = tmp_path / f"c{comp}.exr"
+            assert nat.exr_write_native(p, ch, compression=comp)
+            out = nat.exr_read_native(p)
+            for k in ch:
+                np.testing.assert_array_equal(out[k], ch[k])
+
+    def test_zip_actually_compresses(self, tmp_path):
+        from raytracingproject_tpu import native as nat
+        img = np.full((64, 64), 0.25, np.float32)
+        p0, p1 = tmp_path / "n.exr", tmp_path / "z.exr"
+        nat.exr_write_native(p0, {"A": img},
+                             compression=nat.EXR_COMP_NONE)
+        nat.exr_write_native(p1, {"A": img},
+                             compression=nat.EXR_COMP_ZIP)
+        import os
+        assert os.path.getsize(p1) < os.path.getsize(p0) / 10
+        out = nat.exr_read_native(p1)
+        np.testing.assert_array_equal(out["A"], img)
+
+    def test_python_writer_native_reader(self, tmp_path, monkeypatch):
+        from raytracingproject_tpu import native as nat
+        ch = self._chans(1)
+        p = tmp_path / "p.exr"
+        monkeypatch.setattr(nat, "exr_write_native",
+                            lambda *a, **k: False)
+        exr.write_exr(p, ch)           # pure-Python, uncompressed
+        monkeypatch.undo()
+        out = nat.exr_read_native(p)
+        for k in ch:
+            np.testing.assert_array_equal(out[k], ch[k])
+
+    def test_native_writer_python_reader(self, tmp_path, monkeypatch):
+        from raytracingproject_tpu import native as nat
+        ch = self._chans(2)
+        p = tmp_path / "n.exr"
+        exr.write_exr(p, ch, compression="none")   # native writer
+        monkeypatch.setattr(nat, "exr_read_native", lambda *a, **k: None)
+        out = exr.read_exr(p)                      # pure-Python reader
+        for k in ch:
+            np.testing.assert_array_equal(out[k], ch[k])
+
+    def test_half_zip(self, tmp_path):
+        ch = self._chans(3)
+        p = tmp_path / "h.exr"
+        exr.write_exr(p, ch, half=True, compression="zip")
+        out = exr.read_exr(p)
+        for k in ch:
+            np.testing.assert_allclose(
+                out[k], ch[k].astype(np.float16).astype(np.float32),
+                rtol=0)
+
+    def test_half_specials(self, tmp_path):
+        # inf/nan/subnormal survive the native half conversion
+        vals = np.array([[0.0, -0.0, np.inf, -np.inf],
+                         [np.nan, 1e-7, 65504.0, -65504.0]], np.float32)
+        p = tmp_path / "s.exr"
+        exr.write_exr(p, {"A": vals}, half=True, compression="zip")
+        out = exr.read_exr(p)["A"]
+        ref = vals.astype(np.float16).astype(np.float32)
+        np.testing.assert_array_equal(np.isnan(out), np.isnan(ref))
+        m = ~np.isnan(ref)
+        np.testing.assert_array_equal(out[m], ref[m])
+
+    def test_multilayer_through_native(self, tmp_path):
+        rng = np.random.default_rng(5)
+        layers = {"Combined": rng.random((9, 7, 4)).astype(np.float32),
+                  "Depth": rng.random((9, 7)).astype(np.float32)}
+        p = tmp_path / "m.exr"
+        exr.write_multilayer_exr(p, layers)
+        out = exr.read_multilayer_exr(p)
+        np.testing.assert_array_equal(out["Combined"],
+                                      layers["Combined"])
+        np.testing.assert_array_equal(out["Depth"][..., 0],
+                                      layers["Depth"])
