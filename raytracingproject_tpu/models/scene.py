@@ -54,6 +54,26 @@ BRUTE_VS_CLUSTER_PRIMS = 1024
 AUTO_FLATTEN_MAX_PRIMS = 16384
 
 
+def _resample_motion_steps(v0, extra_steps, n_extra):
+    """Resample a mesh's piecewise-linear vertex path onto n_extra
+    uniform shutter steps after t=0. extra_steps: (S_m-1, V, 3)
+    positions at times k/(S_m-1); returns (n_extra, V, 3) at times
+    j/n_extra. Exact at shared grid points (nested grids resample
+    bit-identically at endpoints)."""
+    if n_extra == 0:
+        return np.zeros((0,) + v0.shape, np.float32)
+    path = np.concatenate([v0[None], extra_steps], axis=0)  # (S_m, V, 3)
+    sm1 = path.shape[0] - 1
+    out = np.empty((n_extra,) + v0.shape, np.float32)
+    for j in range(1, n_extra + 1):
+        tt = j / n_extra * sm1
+        k = min(int(np.floor(tt)), sm1 - 1)
+        f = tt - k
+        out[j - 1] = path[k] if f == 0.0 \
+            else (1.0 - f) * path[k] + f * path[k + 1]
+    return out
+
+
 class SceneParams(Node):
     """ref: render/scene.h:137 SceneParams."""
     NODE_NAME = "scene_params"
@@ -209,6 +229,7 @@ class Scene:
             "use_brute": packed.pop("__use_brute__"),
             "has_instances": packed.pop("__has_instances__"),
             "has_deform_motion": packed.pop("__has_deform_motion__", False),
+            "deform_steps": packed.pop("__deform_steps__", 1),
             "cluster_tris": packed.pop("__cluster_tris__", 0),
             "cluster_motion": packed.pop("__cluster_motion__", False),
             "bvh_stack_depth": packed.pop("__bvh_stack_depth__", 0),
@@ -219,6 +240,7 @@ class Scene:
         dscene.pop("__use_brute__", None)
         dscene.pop("__has_instances__", None)
         dscene.pop("__has_deform_motion__", None)
+        dscene.pop("__deform_steps__", None)
         dscene.pop("__cluster_tris__", None)
         dscene.pop("__cluster_motion__", None)
         dscene.pop("__bvh_stack_depth__", None)
@@ -330,8 +352,12 @@ class Scene:
         else:
             corner_uv = None
         mv_attr = mesh.attribute_get("std_motion_vertex_position")
-        extra = ((np.asarray(mv_attr.data, np.float32).reshape(-1, 3),)
-                 if mv_attr is not None else ())
+        if mv_attr is not None:
+            mv = np.asarray(mv_attr.data, np.float32)
+            mv = mv[None] if mv.ndim == 2 else mv   # (S-1, V, 3)
+            extra = tuple(mv[k] for k in range(mv.shape[0]))
+        else:
+            extra = ()
         subd_type = ("catmull_clark"
                      if mesh.get_enum_int("subdivision_type") == 2
                      else "linear")
@@ -349,8 +375,9 @@ class Scene:
         if uv2 is not None:
             refined.attribute_set("std_uv", "corner", uv2.reshape(-1, 2))
         if extra2:
-            refined.attribute_set("std_motion_vertex_position", "vertex",
-                                  extra2[0])
+            refined.attribute_set(
+                "std_motion_vertex_position", "vertex",
+                extra2[0] if len(extra2) == 1 else np.stack(extra2))
         log.vlog(1, "subdivided %s: %d -> %d tris (%d levels)",
                  mesh.name, len(t), len(t2), levels)
         mesh._subd_cache = (key, refined)
@@ -371,8 +398,12 @@ class Scene:
                      if uv_attr is not None and uv_attr.element == "corner"
                      else None)
         mv_attr = mesh.attribute_get("std_motion_vertex_position")
-        extra = ((np.asarray(mv_attr.data, np.float32).reshape(-1, 3),)
-                 if mv_attr is not None else ())
+        if mv_attr is not None:
+            mv = np.asarray(mv_attr.data, np.float32)
+            mv = mv[None] if mv.ndim == 2 else mv   # (S-1, V, 3)
+            extra = tuple(mv[k] for k in range(mv.shape[0]))
+        else:
+            extra = ()
         subd_type = ("catmull_clark"
                      if mesh.get_enum_int("subdivision_type") == 2
                      else "linear")
@@ -391,8 +422,9 @@ class Scene:
         if uv2 is not None:
             refined.attribute_set("std_uv", "corner", uv2.reshape(-1, 2))
         if extra2:
-            refined.attribute_set("std_motion_vertex_position", "vertex",
-                                  extra2[0])
+            refined.attribute_set(
+                "std_motion_vertex_position", "vertex",
+                extra2[0] if len(extra2) == 1 else np.stack(extra2))
         log.vlog(1, "subdivided cage %s: %d faces -> %d tris (%d levels)",
                  mesh.name, len(flen), len(t2), levels)
         return refined
@@ -423,8 +455,26 @@ class Scene:
                 instanced_geoms.setdefault(
                     id(obj.geometry), (obj.geometry, []))[1].append(oi)
 
+        # scene-wide motion step count (ref: Geometry::motion_steps,
+        # bvh_build.cpp:89-130 motion-step references): every deforming
+        # mesh's piecewise-linear vertex path is resampled onto the
+        # common (S-1) uniform shutter steps so one packed array serves
+        # the whole wavefront; S = max steps over meshes (2-step attrs
+        # stay bit-identical: resampling a 1-segment path is exact).
+        def _geom_extra_steps(g):
+            a = g.attributes.get("std_motion_vertex_position") \
+                if hasattr(g, "attributes") else None
+            if a is None:
+                return 0
+            d = np.asarray(a.data)
+            return d.shape[0] if d.ndim == 3 else 1
+        deform_extra = max(
+            [_geom_extra_steps(o.geometry) for o in objects
+             if o.geometry is not None
+             and hasattr(o.geometry, "triangles_array")] + [0])
+
         tri_verts, tri_vnormal, tri_uv = [], [], []
-        tri_verts_t1 = []
+        tri_verts_t1 = []  # per-mesh (deform_extra, T, 3, 3) step verts
         tri_tangent = []  # per-prim curve tangent (zeros for meshes)
         tri_vcol = []     # per-corner RGBA vertex colors
         vcol_seen = []    # packed only when some mesh carries the attr
@@ -500,23 +550,39 @@ class Scene:
                 vn = vn_attr.data
             uv_attr = mesh.attribute_get("std_uv")
             v, vn = self._displace_mesh(mesh, v, vn, t, uv_attr)
-            # deforming motion blur: shutter-close vertex positions
-            # (ref: ATTR_STD_MOTION_VERTEX_POSITION, geometry.cpp
-            # motion steps — 2-step linear this round)
+            # deforming motion blur: per-step vertex positions (ref:
+            # ATTR_STD_MOTION_VERTEX_POSITION + motion-step references,
+            # bvh_build.cpp:89-130). The attr carries (V, 3) — classic
+            # shutter-close — or (S_m-1, V, 3) uniform steps; each
+            # mesh's piecewise-linear path is resampled onto the
+            # scene-wide step grid (exact when grids nest).
             mv_attr = mesh.attribute_get("std_motion_vertex_position")
             if mv_attr is not None:
-                v1 = np.asarray(mv_attr.data, np.float32).reshape(-1, 3)
+                mv = np.asarray(mv_attr.data, np.float32)
+                if mv.ndim == 2:
+                    mv = mv[None]
+                steps = _resample_motion_steps(v, mv, deform_extra)
                 deform_seen.append(True)
+            elif deform_extra > 0:
+                steps = np.broadcast_to(
+                    v, (deform_extra,) + v.shape).copy()
             else:
-                v1 = v
+                steps = np.zeros((0,) + v.shape, np.float32)
             if world_tfm is not None:
                 v = tfm.transform_point(world_tfm, v)
-                v1 = v if mv_attr is None else                     tfm.transform_point(world_tfm, v1)
+                if mv_attr is not None:
+                    steps = np.stack([tfm.transform_point(world_tfm, s)
+                                      for s in steps]) \
+                        if len(steps) else steps
+                else:
+                    steps = np.broadcast_to(
+                        v, (deform_extra,) + v.shape).copy() \
+                        if deform_extra > 0 else steps
                 itt = np.linalg.inv(tfm.to_4x4(world_tfm))[:3, :3].T
                 vn = vn @ itt.T
                 ln = np.linalg.norm(vn, axis=-1, keepdims=True)
                 vn = vn / np.maximum(ln, 1e-12)
-            tri_verts_t1.append(v1[t])
+            tri_verts_t1.append(steps[:, t])  # (S-1, T, 3, 3)
             tri_verts.append(v[t])            # (T, 3, 3)
             tri_vnormal.append(vn[t])
             # hair ribbons carry the strand direction per triangle
@@ -580,7 +646,9 @@ class Scene:
             return np.zeros((0,) + shape_tail, dtype)
 
         static_verts = cat(tri_verts, (3, 3))
-        static_verts_t1 = cat(tri_verts_t1, (3, 3))
+        static_steps = (np.concatenate(tri_verts_t1, axis=1)
+                        .astype(np.float32) if tri_verts_t1 else
+                        np.zeros((deform_extra, 0, 3, 3), np.float32))
         static_vnormal = cat(tri_vnormal, (3, 3))
         static_uv = cat(tri_uv, (3, 2))
         static_tangent = cat(tri_tangent, (3,))
@@ -616,7 +684,10 @@ class Scene:
                 "source": order,   # original prim id (copies share it)
                 "bounds": sb.bounds, "children": sb.children,
                 "verts": static_verts[order],
-                "verts_t1": static_verts_t1[order],
+                "verts_steps": static_steps[:, order],
+                "verts_t1": (static_steps[-1, order]
+                             if len(static_steps) else
+                             static_verts[order]),
                 "vnormal": static_vnormal[order],
                 "uv": static_uv[order], "shader": static_shader[order],
                 "smooth": static_smooth[order], "object": static_object[order],
@@ -879,8 +950,13 @@ class Scene:
         packed["tri_verts_world"] = packed["tri_verts"]  # valid when static
         if has_deform and blocks:
             packed["tri_verts_world_t1"] = blocks[0]["verts_t1"]
+            # full multi-step path (S-1, T, 3, 3) for the dense sweeps'
+            # hat-weighted piecewise evaluation (_motion_components)
+            packed["tri_verts_world_steps"] = blocks[0]["verts_steps"]
         else:
             packed["tri_verts_world_t1"] = packed["tri_verts_world"]
+        packed["__deform_steps__"] = (deform_extra + 1 if has_deform
+                                      else 1)
 
         # single-fetch traversal tables (ops/intersect.py packed layout)
         from raytracingproject_tpu.ops import intersect as isect_mod
@@ -896,7 +972,11 @@ class Scene:
         # ---- cluster-shortlist traversal tables (the TPU-native fast
         # path for 1k-32k prims; ops/cluster_intersect.py) ----
         has_motion_instances = any(r[3] is not None for r in instance_rows)
-        if (not has_motion_instances) \
+        # cluster rows carry ONE delta block per tri (2-step lerp);
+        # multi-step deform paths are piecewise, so those scenes ride
+        # the dense sweeps where _motion_components evaluates the hats
+        multi_step_deform = has_deform and deform_extra > 1
+        if (not has_motion_instances) and (not multi_step_deform) \
                 and (has_instances or P >= CLUSTER_MIN_PRIMS):
             from raytracingproject_tpu.ops import cluster_intersect as ci
             from raytracingproject_tpu.bvh import clusters as cl_mod

@@ -102,7 +102,9 @@ def _scene_intersect_tris(kg, o, d, tmin, tmax, visibility, shadow=False,
         return isect.intersect_brute(
             ds["tri_verts_world"], ds["prim_object_packed"], o, d, tmin, tmax,
             visibility=visibility, object_visibility=ds["object_visibility"],
-            tri_verts_t1=ds["tri_verts_world_t1"] if deform else None,
+            tri_verts_t1=ds.get("tri_verts_world_steps",
+                                ds["tri_verts_world_t1"])
+            if deform else None,
             time=time if deform else None)
     if "cluster_bounds" in ds and int(kg.get("cluster_tris", 0)) > 0:
         if _use_pallas_clusters(kg):
@@ -157,7 +159,9 @@ def _shadow_blocked(kg, o, d, tmin, tmax, time=None):
             ds["tri_verts_world"], ds["prim_object_packed"], o, d, tmin,
             tmax, visibility=vis,
             object_visibility=ds["object_visibility"],
-            tri_verts_t1=ds["tri_verts_world_t1"] if deform else None,
+            tri_verts_t1=ds.get("tri_verts_world_steps",
+                                ds["tri_verts_world_t1"])
+            if deform else None,
             time=time if deform else None)
         if "curve_p0" in ds:
             blocked = blocked | isect.curves_any_hit(
@@ -988,7 +992,9 @@ def make_path_kernel(kg, px, py, pixel_index):
                         visibility_any=jnp.full(
                             (n,), ob.PATH_RAY_SHADOW, jnp.uint32),
                         object_visibility=dsd["object_visibility"],
-                        tri_verts_t1=(dsd["tri_verts_world_t1"]
+                        tri_verts_t1=(dsd.get(
+                            "tri_verts_world_steps",
+                            dsd["tri_verts_world_t1"])
                                       if deform else None),
                         time=st["time"] if deform else None)
                 if "curve_p0" in dsd:

@@ -229,19 +229,61 @@ def _motion_components(v0, e1, e2, delta, time):
     """Per-component triangle terms for the MT math, optionally
     interpolated to each ray's time (deforming motion blur, ref:
     kernel/geom motion_triangle_vertices — redesigned: instead of
-    gathering per-step vertices, the dense path lerps the tri-major
-    blocks with the per-ray time, keeping every term a (B, N) VPU op).
+    gathering per-step vertices, the dense path evaluates the
+    piecewise-linear vertex path as a sum of clamped hat-weighted
+    per-segment deltas, keeping every term a (B, N) VPU op:
 
-    Without motion the terms stay (B, 1) and broadcast as before."""
+        v(t) = v_0 + sum_k clip(t*(S-1) - k, 0, 1) * (v_{k+1} - v_k)
+
+    delta is a sequence of per-segment (dv0, de1, de2) triples (one
+    entry = the classic 2-step lerp, exactly time*delta since
+    clip(t, 0, 1) == t on the shutter). Without motion the terms stay
+    (B, 1) and broadcast as before. Ref: motion-step references,
+    bvh_build.cpp:89-130 semantics."""
     if delta is None:
         return ([v0[:, i, None] for i in range(3)],
                 [e1[:, i, None] for i in range(3)],
                 [e2[:, i, None] for i in range(3)])
-    dv0, de1, de2 = delta
-    tt = time[None, :]
-    return ([v0[:, i, None] + tt * dv0[:, i, None] for i in range(3)],
-            [e1[:, i, None] + tt * de1[:, i, None] for i in range(3)],
-            [e2[:, i, None] + tt * de2[:, i, None] for i in range(3)])
+    s1 = len(delta)
+    v0c = [v0[:, i, None] for i in range(3)]
+    e1c = [e1[:, i, None] for i in range(3)]
+    e2c = [e2[:, i, None] for i in range(3)]
+    for k, (dv0, de1, de2) in enumerate(delta):
+        if s1 == 1:
+            w = time[None, :]
+        else:
+            w = jnp.clip(time[None, :] * s1 - k, 0.0, 1.0)
+        v0c = [v0c[i] + w * dv0[:, i, None] for i in range(3)]
+        e1c = [e1c[i] + w * de1[:, i, None] for i in range(3)]
+        e2c = [e2c[i] + w * de2[:, i, None] for i in range(3)]
+    return v0c, e1c, e2c
+
+
+def _deform_delta_blocks(tri_verts_steps, prim_object, v0b, e1b, e2b,
+                         block):
+    """Packed per-segment motion deltas for the dense sweeps.
+
+    tri_verts_steps: (T, 3, 3) single extra step (classic 2-step) or
+    (S-1, T, 3, 3) uniform multi-step positions after shutter open.
+    Returns a flat tuple of 3*(S-1) block arrays (dv0, de1, de2 per
+    segment) suitable for lax.scan xs; _unflatten_deltas re-groups."""
+    if tri_verts_steps is None:
+        return None
+    steps = (tri_verts_steps if tri_verts_steps.ndim == 4
+             else tri_verts_steps[None])
+    prev = (v0b, e1b, e2b)
+    flat = []
+    for k in range(steps.shape[0]):
+        _, vb, f1, f2, _, _ = _pack_tri_blocks(steps[k], prim_object,
+                                               None, block)
+        flat += [vb - prev[0], f1 - prev[1], f2 - prev[2]]
+        prev = (vb, f1, f2)
+    return tuple(flat)
+
+
+def _unflatten_deltas(dflat):
+    return [tuple(dflat[3 * k:3 * k + 3])
+            for k in range(len(dflat) // 3)]
 
 
 def _wt_block(ws, v0c, e1c, e2c, tmin, tmax):
@@ -278,11 +320,8 @@ def intersect_brute(tri_verts, prim_object, o, d, tmin, tmax,
         vis_arr = None
     nb, v0b, e1b, e2b, pob, pvb = _pack_tri_blocks(
         tri_verts, prim_object, vis_arr, block)
-    deltas = None
-    if tri_verts_t1 is not None:
-        _, v1b, f1b, f2b, _, _ = _pack_tri_blocks(
-            tri_verts_t1, prim_object, None, block)
-        deltas = (v1b - v0b, f1b - e1b, f2b - e2b)
+    deltas = _deform_delta_blocks(tri_verts_t1, prim_object,
+                                  v0b, e1b, e2b, block)
 
     ws = watertight_setup(o, d)
 
@@ -290,7 +329,8 @@ def intersect_brute(tri_verts, prim_object, o, d, tmin, tmax,
         t_best, prim_best, u_best, v_best = carry
         delta = None
         if deltas is not None:
-            blk, delta = blk[:-3], blk[-3:]
+            nd = len(deltas)
+            blk, delta = blk[:-nd], _unflatten_deltas(blk[-nd:])
         if pvb is not None:
             v0, e1, e2, po, pv, bbase = blk
         else:
@@ -516,17 +556,15 @@ def shadow_blocked_brute(tri_verts, prim_object, o, d, tmin, tmax,
         vis_arr = None
     nb, v0b, e1b, e2b, pob, pvb = _pack_tri_blocks(
         tri_verts, prim_object, vis_arr, block)
-    deltas = None
-    if tri_verts_t1 is not None:
-        _, v1b, f1b, f2b, _, _ = _pack_tri_blocks(
-            tri_verts_t1, prim_object, None, block)
-        deltas = (v1b - v0b, f1b - e1b, f2b - e2b)
+    deltas = _deform_delta_blocks(tri_verts_t1, prim_object,
+                                  v0b, e1b, e2b, block)
     ws = watertight_setup(o, d)
 
     def body(blocked, blk):
         delta = None
         if deltas is not None:
-            blk, delta = blk[:-3], blk[-3:]
+            nd = len(deltas)
+            blk, delta = blk[:-nd], _unflatten_deltas(blk[-nd:])
         if pvb is not None:
             v0, e1, e2, po, pv = blk
         else:
@@ -578,18 +616,16 @@ def intersect_brute_occlusion(tri_verts, prim_object, boundary_mask,
         tri_verts, prim_object, vis_c, block)
     p = tri_verts.shape[0]
     bm = jnp.pad(boundary_mask, (0, (-p) % block)).reshape(nb, block)
-    deltas = None
-    if tri_verts_t1 is not None:
-        _, v1b, f1b, f2b, _, _ = _pack_tri_blocks(
-            tri_verts_t1, prim_object, None, block)
-        deltas = (v1b - v0b, f1b - e1b, f2b - e2b)
+    deltas = _deform_delta_blocks(tri_verts_t1, prim_object,
+                                  v0b, e1b, e2b, block)
     ws = watertight_setup(o, d)
 
     def body(carry, blk):
         t_b, t_o, blocked = carry
         delta = None
         if deltas is not None:
-            blk, delta = blk[:-3], blk[-3:]
+            nd = len(deltas)
+            blk, delta = blk[:-nd], _unflatten_deltas(blk[-nd:])
         v0, e1, e2, po, pv, bmk = blk
         v0c, e1c, e2c = _motion_components(v0, e1, e2, delta, time)
         geom, t, u, v = _wt_block(ws, v0c, e1c, e2c, tmin[None],

@@ -238,3 +238,122 @@ class TestClusterMotion:
         finally:
             scene_mod.BRUTE_VS_CLUSTER_PRIMS = old
         np.testing.assert_allclose(img, img2, atol=1e-5)
+
+
+class TestMultiStep:
+    """Multi-step deform motion (>2 shutter samples; ref:
+    bvh_build.cpp:89-130 motion-step references — redesigned as a
+    hat-weighted piecewise-linear evaluation in the dense sweeps)."""
+
+    def _quad(self):
+        tv0 = np.array([[[-1, -1, 0], [1, -1, 0], [1, 1, 0]],
+                        [[-1, -1, 0], [1, 1, 0], [-1, 1, 0]]], np.float32)
+        return tv0, np.zeros(2, np.int32)
+
+    def test_collinear_steps_match_two_step_lerp(self):
+        """Steps on a straight line reduce exactly to the 2-step path:
+        same hits, same t (float-associativity tolerance)."""
+        tv0, po = self._quad()
+        shift = np.array([10.0, 0.0, 0.0], np.float32)
+        steps = np.stack([tv0 + 0.5 * shift, tv0 + shift])  # (2,T,3,3)
+        n = 16
+        rng = np.random.default_rng(0)
+        times = rng.uniform(0, 1, n).astype(np.float32)
+        o = np.stack([times * 10.0, rng.uniform(-0.9, 0.9, n),
+                      np.full(n, 5.0)], -1).astype(np.float32)
+        d = np.tile(np.array([0.0, 0.0, -1.0], np.float32), (n, 1))
+        args = (jnp.asarray(po), jnp.asarray(o), jnp.asarray(d),
+                jnp.zeros(n), jnp.full(n, 100.0))
+        h2 = isect.intersect_brute(jnp.asarray(tv0), *args,
+                                   tri_verts_t1=jnp.asarray(tv0 + shift),
+                                   time=jnp.asarray(times))
+        h3 = isect.intersect_brute(jnp.asarray(tv0), *args,
+                                   tri_verts_t1=jnp.asarray(steps),
+                                   time=jnp.asarray(times))
+        np.testing.assert_array_equal(np.asarray(h2["prim"]),
+                                      np.asarray(h3["prim"]))
+        np.testing.assert_allclose(np.asarray(h2["t"]),
+                                   np.asarray(h3["t"]), rtol=1e-5)
+
+    def test_nonlinear_path_hits_true_midpoint(self):
+        """A quad bouncing up then back (V path) sits at z=+2 at
+        t=0.5 — a 2-step blur would put it at z=0 there."""
+        tv0, po = self._quad()
+        steps = np.stack([tv0 + np.array([0, 0, 2.0], np.float32),
+                          tv0])                      # up at 0.5, back at 1
+        n = 4
+        times = np.full(n, 0.5, np.float32)
+        o = np.array([[0.0, 0.0, 5.0]] * n, np.float32)
+        d = np.tile(np.array([0.0, 0.0, -1.0], np.float32), (n, 1))
+        h = isect.intersect_brute(
+            jnp.asarray(tv0), jnp.asarray(po), jnp.asarray(o),
+            jnp.asarray(d), jnp.zeros(n), jnp.full(n, 100.0),
+            tri_verts_t1=jnp.asarray(steps), time=jnp.asarray(times))
+        assert (np.asarray(h["prim"]) >= 0).all()
+        np.testing.assert_allclose(np.asarray(h["t"]), 3.0, atol=1e-4)
+        # 2-step endpoints-only misses the mid excursion entirely
+        h2 = isect.intersect_brute(
+            jnp.asarray(tv0), jnp.asarray(po), jnp.asarray(o),
+            jnp.asarray(d), jnp.zeros(n), jnp.full(n, 100.0),
+            tri_verts_t1=jnp.asarray(steps[-1]), time=jnp.asarray(times))
+        np.testing.assert_allclose(np.asarray(h2["t"]), 5.0, atol=1e-4)
+
+    def test_occlusion_sweep_multi_step(self):
+        tv0, po = self._quad()
+        steps = np.stack([tv0 + np.array([0, 0, 2.0], np.float32), tv0])
+        n = 2
+        o = jnp.asarray([[0.0, 0.0, 1.0]] * n)   # between z=0 and z=2
+        d = jnp.asarray([[0.0, 0.0, 1.0]] * n)   # looking up
+        tb, to_, blk = isect.intersect_brute_occlusion(
+            jnp.asarray(tv0), jnp.asarray(po),
+            jnp.zeros(2, bool), o, d, jnp.full((n,), 1e-5),
+            tmax_closest=jnp.full((n,), 100.0),
+            tmax_any=jnp.full((n,), 100.0),
+            visibility_closest=jnp.full((n,), 0xFFFFFFFF, jnp.uint32),
+            visibility_any=jnp.full((n,), 0xFFFFFFFF, jnp.uint32),
+            object_visibility=jnp.full((1,), 0xFFFFFFFF, jnp.uint32),
+            tri_verts_t1=jnp.asarray(steps),
+            time=jnp.asarray([0.5, 1.0]))
+        # at t=0.5 the quad is at z=2 -> blocked above; at t=1 it is
+        # back at z=0 -> nothing above
+        assert bool(blk[0]) and not bool(blk[1])
+
+    def test_scene_packs_multi_step_and_renders(self):
+        scene = Scene()
+        scene.camera.set("matrix",
+                         tfm.look_at((0, -6, 1), (0, 0, 0), (0, 0, 1)))
+        scene.camera.set("width", 24)
+        scene.camera.set("height", 24)
+        scene.camera.set("shuttertime", 1.0)
+        m = make_plane_mesh((-1, -1, 0), (2, 0, 0), (0, 2, 0))
+        v = np.asarray(m.verts, np.float32).reshape(-1, 3)
+        steps = np.stack([v + np.array([0, 0, 1.5], np.float32), v])
+        m.attribute_set("std_motion_vertex_position", "vertex", steps)
+        m.set("use_motion_blur", True)
+        m.used_shaders = [diffuse_shader("w", (0.8, 0.8, 0.8))]
+        scene.add_shader(m.used_shaders[0])
+        scene.add_object(Object("p", m))
+        from raytracingproject_tpu.app.examples import background_shader
+        scene.background.shader = background_shader("bg", (1, 1, 1), 1.0)
+        scene.add_shader(scene.background.shader)
+        scene.device_update()
+        assert scene.dscene["deform_steps"] == 3
+        assert scene.dscene["use_brute"]
+        arr = scene.dscene["arrays"]["tri_verts_world_steps"]
+        assert arr.shape[0] == 2
+        sess = Session(scene, SessionParams(samples=4))
+        sess.reset()
+        img = sess.render()
+        assert np.isfinite(img).all() and img[..., :3].mean() > 0.1
+
+    def test_resample_nested_grids_exact(self):
+        from raytracingproject_tpu.models.scene import \
+            _resample_motion_steps
+        rng = np.random.default_rng(2)
+        v0 = rng.standard_normal((5, 3)).astype(np.float32)
+        v1 = rng.standard_normal((5, 3)).astype(np.float32)
+        # 2-step mesh resampled onto 4 extra steps: midpoints exact
+        out = _resample_motion_steps(v0, v1[None], 4)
+        assert out.shape == (4, 5, 3)
+        np.testing.assert_array_equal(out[-1], v1)
+        np.testing.assert_allclose(out[1], 0.5 * (v0 + v1), atol=1e-6)
