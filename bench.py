@@ -53,6 +53,126 @@ def _check_dispatch_budget(name, max_dispatch_s, compile_s):
         "chunk for this config")
 
 
+def _time_jit(fn, args, reps=2):
+    """Compile + best-of-reps wall time for a jitted callable."""
+    import jax
+    out = fn(*args)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn(*args)
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+        best = min(best, time.time() - t0)
+    return best
+
+
+def autotune_kg(name, kg):
+    """A/B the traversal backends on a probe wavefront and pin the
+    winners into kg (docs/ROADMAP.md item 1: the TPU tunnel was down
+    for round 3's interactive A/B, so the bench measures on the real
+    chip at bench time). Every candidate is guarded — a backend that
+    fails to compile or run is skipped, never fatal. Tuning wall time
+    is excluded from the render clock (it replaces the manual A/B)."""
+    import jax
+    import jax.numpy as jnp
+    from raytracingproject_tpu.ops import integrator as integ
+    from raytracingproject_tpu.ops import intersect as isect
+    from raytracingproject_tpu.models import object as ob
+
+    ds = kg["dscene"]
+    tuned = {}
+    on_tpu = jax.default_backend() == "tpu"
+    has_clusters = "cluster_bounds" in ds \
+        and int(kg.get("cluster_tris", 0)) > 0
+    if not has_clusters:
+        return tuned
+
+    # probe: half coherent (parallel into the scene), half incoherent,
+    # spanning the cluster bounds
+    cb = np.asarray(ds["cluster_bounds"])
+    lo = cb[:, :3].min(0)
+    hi = cb[:, 3:].max(0)
+    span = np.maximum(hi - lo, 1e-3)
+    n = 65536
+    rng = np.random.default_rng(0)
+    o = (lo - 0.25 * span) + rng.uniform(0, 1, (n, 3)) * 1.5 * span
+    d = rng.normal(size=(n, 3))
+    d[: n // 2] = [0.577, 0.577, 0.577]
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = jnp.asarray(o, jnp.float32)
+    d = jnp.asarray(d, jnp.float32)
+    tmin = jnp.full((n,), 1e-4, jnp.float32)
+    tmax = jnp.full((n,), 1e30, jnp.float32)
+    vis = jnp.full((n,), ob.PATH_RAY_CAMERA, jnp.uint32)
+
+    # ---- main traversal: brute vs XLA clusters vs Pallas clusters ----
+    variants = []
+    if not kg.get("has_instances", False) \
+            and ds["tri_verts_world"].shape[0] <= 65536:
+        variants.append(("brute", {"use_brute": True}))
+    variants.append(("clusters_xla",
+                     {"use_brute": False, "pallas_clusters": False}))
+    if on_tpu:
+        variants.append(("clusters_pallas",
+                         {"use_brute": False, "pallas_clusters": True}))
+    times = {}
+    for vname, flags in variants:
+        kg2 = {**kg, **flags}
+        try:
+            fn = jax.jit(lambda a, b: integ._scene_intersect_tris(
+                kg2, a, b, tmin, tmax, vis))
+            times[vname] = _time_jit(fn, (o, d))
+        except Exception as e:  # backend unavailable/failed: skip
+            print(f"[{name}] tune {vname}: FAILED ({type(e).__name__})",
+                  file=sys.stderr)
+    if times:
+        win = min(times, key=times.get)
+        kg["use_brute"] = win == "brute"
+        kg["pallas_clusters"] = win == "clusters_pallas"
+        tuned["traversal"] = {"winner": win,
+                              "ms": {k: round(v * 1e3, 2)
+                                     for k, v in times.items()}}
+
+    # ---- volume dual sweep: dense vs Pallas occlusion walk ----
+    if "cluster_boundary" in ds and on_tpu:
+        from raytracingproject_tpu.ops import pallas_cluster as pcl
+        otimes = {}
+        try:
+            fd = jax.jit(lambda a, b: isect.intersect_brute_occlusion(
+                ds["tri_verts_world"], ds["prim_object_packed"],
+                ds["prim_is_boundary"], a, b, tmin,
+                tmax_closest=tmax, tmax_any=tmax,
+                visibility_closest=vis,
+                visibility_any=jnp.full((n,), ob.PATH_RAY_SHADOW,
+                                        jnp.uint32),
+                object_visibility=ds["object_visibility"]))
+            otimes["dense"] = _time_jit(fd, (o, d))
+            fp = jax.jit(lambda a, b: pcl.occlusion_clusters_pallas(
+                ds["cluster_bounds"], ds["cluster_table"],
+                ds["cluster_boundary"], int(kg["cluster_tris"]), a, b,
+                tmin, tmax_closest=tmax, tmax_any=tmax,
+                vis_closest=int(ob.PATH_RAY_CAMERA),
+                vis_any=int(ob.PATH_RAY_SHADOW)))
+            otimes["pallas"] = _time_jit(fp, (o, d))
+        except Exception as e:
+            print(f"[{name}] tune occlusion: FAILED "
+                  f"({type(e).__name__})", file=sys.stderr)
+        if otimes:
+            win = min(otimes, key=otimes.get)
+            kg["pallas_occlusion"] = win == "pallas"
+            tuned["occlusion"] = {"winner": win,
+                                  "ms": {k: round(v * 1e3, 2)
+                                         for k, v in otimes.items()}}
+    elif not on_tpu:
+        # the Pallas walks are TPU-only; pin the measured-safe defaults
+        kg["pallas_clusters"] = kg.get("pallas_clusters", False) is True
+        kg["pallas_occlusion"] = False
+    if tuned:
+        print(f"[{name}] autotune: {json.dumps(tuned)}", file=sys.stderr)
+    return tuned
+
+
 def bench_one(name, factory, kwargs, W, H, spp, chunk, lpp=1):
     import jax
     import jax.numpy as jnp
@@ -64,6 +184,10 @@ def bench_one(name, factory, kwargs, W, H, spp, chunk, lpp=1):
     scene.device_update()
     kg = scene.make_kernel_globals()
     sync_time = time.time() - t0
+
+    # pick the fastest measured traversal/occlusion backends for this
+    # scene on THIS chip (excluded from the render clock, like compile)
+    TUNED[name] = autotune_kg(name, kg)
 
     adaptive_thr = float(scene.integrator.adaptive_threshold)
     if name == "dof_motion_adaptive" and adaptive_thr > 0.0:
@@ -162,6 +286,9 @@ def bench_adaptive(name, scene, kg, W, H, spp, chunk, lpp, sync_time,
     return msps
 
 
+TUNED = {}
+
+
 def main():
     import jax
     print(f"device={jax.devices()[0].platform} x{len(jax.devices())}",
@@ -177,6 +304,7 @@ def main():
         "unit": "Msamples/s",
         "vs_baseline": round(worst / 12.5, 3),
         "per_config": per_config,
+        "tuned": TUNED,
     }))
 
 
