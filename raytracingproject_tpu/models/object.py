@@ -55,6 +55,29 @@ class Object(Node):
         self.geometry = geometry
         self.particle_system = None
         self.particle_index = 0
+        self._motion_steps = None  # full step list (set_motion)
+
+    def set_motion(self, tfms):
+        """Multi-step object motion (ref: Object::motion array,
+        render/object.h): a list of 3x4 transforms at uniform shutter
+        times, any length >= 2. Two entries = the classic start/end
+        pair; more capture curved (e.g. spinning) paths the endpoint
+        lerp misses."""
+        import numpy as np
+        tfms = [np.asarray(t, np.float32) for t in tfms]
+        assert len(tfms) >= 2
+        self._motion_steps = tfms
+        self.set("use_motion", True)
+        self.set("motion_start", tfms[0])
+        self.set("motion_end", tfms[-1])
+
+    def motion_transforms(self):
+        """The object's transform path over the shutter."""
+        import numpy as np
+        if self._motion_steps is not None:
+            return self._motion_steps
+        return [np.asarray(self.motion_start, np.float32),
+                np.asarray(self.motion_end, np.float32)]
 
     def compute_bounds(self):
         lo, hi = self.geometry.compute_bounds()

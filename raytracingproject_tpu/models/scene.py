@@ -230,6 +230,7 @@ class Scene:
             "has_instances": packed.pop("__has_instances__"),
             "has_deform_motion": packed.pop("__has_deform_motion__", False),
             "deform_steps": packed.pop("__deform_steps__", 1),
+            "obj_motion_steps": packed.pop("__obj_motion_steps__", 2),
             "cluster_tris": packed.pop("__cluster_tris__", 0),
             "cluster_motion": packed.pop("__cluster_motion__", False),
             "bvh_stack_depth": packed.pop("__bvh_stack_depth__", 0),
@@ -241,6 +242,7 @@ class Scene:
         dscene.pop("__has_instances__", None)
         dscene.pop("__has_deform_motion__", None)
         dscene.pop("__deform_steps__", None)
+        dscene.pop("__obj_motion_steps__", None)
         dscene.pop("__cluster_tris__", None)
         dscene.pop("__cluster_motion__", None)
         dscene.pop("__bvh_stack_depth__", None)
@@ -726,18 +728,27 @@ class Scene:
         # node order: [TLAS (if any)] [block0] [block1] ...
         # first compute prim bases and node bases (TLAS size known later)
         instance_rows = []  # (w2o 3x4, blas_block, object_idx, motion)
+        obj_steps = 2       # object-motion steps (>=2 when multi-step)
         if has_instances:
             if blocks and "object" in blocks[0] and len(static_verts):
                 instance_rows.append((tfm.identity(), 0, -1, None))
+            # scene-wide object motion step count: every moving
+            # instance's path is slerp-resampled onto the common grid
+            # so the packed leaf rows share one static layout (ref:
+            # motion-step references, bvh_build.cpp:89-130)
+            obj_steps = max(
+                [len(objects[oi].motion_transforms())
+                 for _, users in instanced_geoms.values()
+                 for oi in users if objects[oi].use_motion] + [obj_steps])
             for gid, (geom, users) in instanced_geoms.items():
                 for oi in users:
                     obj = objects[oi]
                     motion = None
                     if obj.use_motion:
-                        # decomposed object->world endpoints for in-
+                        # decomposed object->world steps for in-
                         # traversal shutter interpolation
-                        motion = (tfm.decompose(obj.motion_start),
-                                  tfm.decompose(obj.motion_end))
+                        motion = tuple(tfm.resample_motion_decomps(
+                            obj.motion_transforms(), obj_steps))
                     instance_rows.append(
                         (tfm.inverse(np.asarray(obj.transform, np.float32)),
                          geom_blas[gid], oi, motion))
@@ -757,9 +768,8 @@ class Scene:
                     obj = objects[oi]
                     tfms.append(np.asarray(obj.transform, np.float32))
                     if obj.use_motion:
-                        # shutter-union bounds (start/mid/end)
-                        tfms.append(np.asarray(obj.motion_start, np.float32))
-                        tfms.append(np.asarray(obj.motion_end, np.float32))
+                        # shutter-union bounds over every motion step
+                        tfms.extend(obj.motion_transforms())
                 else:
                     tfms.append(tfm.identity())
                 wcs = np.concatenate(
@@ -889,12 +899,18 @@ class Scene:
             # packed-space transforms: identity for merged (world verts)
             if not merged and obj.use_motion:
                 # shading transforms use the shutter-center transform
-                # (hit-time-exact normals land with full motion shading)
+                # (hit-time-exact normals land with full motion
+                # shading); the center is evaluated on the PIECEWISE
+                # path so multi-step objects shade where they render
                 import jax.numpy as _jnpm
-                d0 = tfm.decompose(obj.motion_start)
-                d1 = tfm.decompose(obj.motion_end)
+                path = obj.motion_transforms()
+                dec = [tfm.decompose(x) for x in path]
+                s1 = len(dec) - 1
+                tt = 0.5 * s1
+                k = min(int(np.floor(tt)), s1 - 1)
                 t = np.asarray(tfm.motion_interpolate(
-                    _jnpm.asarray(d0), _jnpm.asarray(d1), 0.5))
+                    _jnpm.asarray(dec[k]), _jnpm.asarray(dec[k + 1]),
+                    tt - k))
                 inv = tfm.inverse(t)
             obj_tfm[oi] = tfm.identity() if merged else t
             obj_itfm[oi] = tfm.identity() if merged else inv
@@ -957,6 +973,7 @@ class Scene:
             packed["tri_verts_world_t1"] = packed["tri_verts_world"]
         packed["__deform_steps__"] = (deform_extra + 1 if has_deform
                                       else 1)
+        packed["__obj_motion_steps__"] = obj_steps
 
         # single-fetch traversal tables (ops/intersect.py packed layout)
         from raytracingproject_tpu.ops import intersect as isect_mod
@@ -1536,6 +1553,8 @@ class Scene:
                     >= 64)),
             "has_instances": ds.get("has_instances", False),
             "has_deform_motion": ds.get("has_deform_motion", False),
+            "deform_steps": ds.get("deform_steps", 1),
+            "obj_motion_steps": ds.get("obj_motion_steps", 2),
             "has_motion": any(o.use_motion for o in self.objects)
             or ds.get("has_deform_motion", False),
             "has_shadow_catcher": any(o.is_shadow_catcher

@@ -138,7 +138,8 @@ def _scene_intersect_tris(kg, o, d, tmin, tmax, visibility, shadow=False,
             object_visibility=ds["object_visibility"],
             shadow_any_hit=shadow, time=time,
             has_motion=bool(kg.get("has_motion", False)),
-            stack_depth=int(kg.get("bvh_stack_depth", 0)))
+            stack_depth=int(kg.get("bvh_stack_depth", 0)),
+            motion_steps=int(kg.get("obj_motion_steps", 2)))
     return isect.intersect_bvh(
         ds["bvh_bounds"], ds["bvh_children"], ds["tri_verts"],
         ds["prim_object_packed"], o, d, tmin, tmax,

@@ -682,7 +682,8 @@ def intersect_bvh_packed(nodes_packed, leaf_blocks, o, d, tmin, tmax,
                          has_instances=False, o_world=None, d_world=None,
                          prim_object=None, visibility=None,
                          object_visibility=None, shadow_any_hit=False,
-                         time=None, has_motion=False, stack_depth=None):
+                         time=None, has_motion=False, stack_depth=None,
+                         motion_steps=2):
     """Lockstep traversal over the packed layout: 2 row fetches per
     iteration. Semantics identical to intersect_bvh."""
     n = o.shape[0]
@@ -827,8 +828,9 @@ def intersect_bvh_packed(nodes_packed, leaf_blocks, o, d, tmin, tmax,
                 # invert on the fly (ref: object_fetch_transform_motion)
                 from raytracingproject_tpu.utils import transform as _tfm
                 moving = lrow[:, 14] > 0.5
-                o2w_t = _tfm.motion_interpolate(lrow[:, 16:32],
-                                                lrow[:, 32:48], time)
+                o2w_t = _tfm.motion_interpolate_steps(
+                    lrow[:, 16:16 + 16 * motion_steps], time,
+                    motion_steps)
                 w2o_t = _tfm.quick_inverse_jnp(o2w_t)
                 w2o = jnp.where(moving[:, None, None], w2o_t, w2o)
             o_l = mat34_point(w2o, o_world)
@@ -881,6 +883,15 @@ def pack_traversal_tables(bvh_bounds, bvh_children, tri_verts,
     b = np.clip(np.nan_to_num(b, posinf=_BIG, neginf=-_BIG), -_BIG, _BIG)
     nodes[:, 0:12] = b
 
+    # instance rows carry S decomposed motion steps at 16 + 16*k; the
+    # classic 2-step layout (16:32, 32:48) fits the 80-col tri rows,
+    # S > 4 widens every row
+    obj_steps = 2
+    if instance_motion is not None:
+        obj_steps = max([len(mo) for mo in instance_motion
+                         if mo is not None] + [2])
+    row_cols = max(LEAF_BLOCK_COLS, 16 + 16 * obj_steps)
+
     leaf_rows = []
 
     def encode_child(child):
@@ -894,22 +905,26 @@ def pack_traversal_tables(bvh_bounds, bvh_children, tri_verts,
         v &= (1 << 30) - 1
         start, count = v >> 4, v & 15
         if is_inst:
-            row = np.zeros(LEAF_BLOCK_COLS, np.float32)
+            row = np.zeros(row_cols, np.float32)
             row[0:12] = np.asarray(instance_w2o[start],
                                    np.float32).reshape(12)
             row[12] = float(int(instance_blas_root[start]))
             row[13] = float(int(instance_object[start]))
             if instance_motion is not None \
                     and instance_motion[start] is not None:
-                d0, d1 = instance_motion[start]
+                mo = instance_motion[start]
                 row[14] = 1.0
-                row[16:32] = d0
-                row[32:48] = d1
+                for k, dk in enumerate(mo):
+                    row[16 + 16 * k:32 + 16 * k] = dk
+                # objects with fewer steps repeat their last decomp so
+                # every segment interpolates validly
+                for k in range(len(mo), obj_steps):
+                    row[16 + 16 * k:32 + 16 * k] = mo[-1]
             leaf_rows.append(row)
             code = 1 + (len(leaf_rows) - 1) * 16 + 1
             assert code < (1 << 24)
             return float(-code), 1.0
-        row = np.zeros(LEAF_BLOCK_COLS, np.float32)
+        row = np.zeros(row_cols, np.float32)
         cnt = min(count, LEAF_BLOCK_TRIS)
         for k in range(cnt):
             tv = tri_verts[start + k]
@@ -928,7 +943,7 @@ def pack_traversal_tables(bvh_bounds, bvh_children, tri_verts,
         nodes[i, 12], nodes[i, 14] = encode_child(bvh_children[i][0])
         nodes[i, 13], nodes[i, 15] = encode_child(bvh_children[i][1])
     if not leaf_rows:
-        leaf_rows.append(np.zeros(LEAF_BLOCK_COLS, np.float32))
+        leaf_rows.append(np.zeros(row_cols, np.float32))
     return nodes, np.asarray(leaf_rows, np.float32)
 
 

@@ -253,3 +253,74 @@ def quick_inverse_jnp(m):
     rinv = adj * inv_det[..., None, None]
     tinv = -(rinv @ t[..., None])[..., 0]
     return jnp.concatenate([rinv, tinv[..., None]], -1)
+
+
+def _np_quat_slerp(qa, qb, t):
+    """NumPy quaternion slerp (shortest arc), matching the jnp
+    motion_interpolate quat handling."""
+    qa = np.asarray(qa, np.float64)
+    qb = np.asarray(qb, np.float64)
+    d = float(np.dot(qa, qb))
+    if d < 0.0:
+        qb, d = -qb, -d
+    d = min(d, 1.0)
+    theta = np.arccos(d)
+    if np.sin(theta) > 1e-5:
+        wa = np.sin((1.0 - t) * theta) / np.sin(theta)
+        wb = np.sin(t * theta) / np.sin(theta)
+    else:
+        wa, wb = 1.0 - t, t
+    q = wa * qa + wb * qb
+    return q / max(np.linalg.norm(q), 1e-12)
+
+
+def decomp_interp(da, db, t):
+    """Interpolate two decomposed transforms (flat 16-float records
+    from decompose) at t in [0,1] — quat slerp + linear trans/scale.
+    NumPy host-side twin of motion_interpolate's per-step math."""
+    out = np.zeros(16, np.float32)
+    out[0:4] = _np_quat_slerp(da[0:4], db[0:4], t)
+    out[4:16] = (1.0 - t) * np.asarray(da[4:16]) \
+        + t * np.asarray(db[4:16])
+    return out
+
+
+def resample_motion_decomps(tfms, steps):
+    """Resample an object's transform path (list of 3x4 at uniform
+    times) onto `steps` uniform decomposed steps (ref: the motion-step
+    arrays of object.cpp — objects with fewer declared steps are
+    slerp-resampled onto the scene-wide grid; exact at shared grid
+    points)."""
+    base = [decompose(t) for t in tfms]
+    if len(base) == steps:
+        return base
+    s_in = len(base) - 1
+    out = []
+    for j in range(steps):
+        tt = j / (steps - 1) * s_in
+        k = min(int(np.floor(tt)), s_in - 1)
+        f = tt - k
+        out.append(base[k] if f == 0.0
+                   else decomp_interp(base[k], base[k + 1], f))
+    return out
+
+
+def motion_interpolate_steps(decomps, time, steps):
+    """Piecewise interpolation over S decomposed steps packed in one
+    row (..., S*16): pick the lane's segment with a select chain (the
+    steps are already in-lane after the row fetch — no extra gathers),
+    then slerp inside it. steps == 2 is exactly motion_interpolate."""
+    if steps == 2:
+        return motion_interpolate(decomps[..., 0:16],
+                                  decomps[..., 16:32], time)
+    s1 = steps - 1
+    tt = jnp.asarray(time) * s1
+    j = jnp.clip(jnp.floor(tt), 0.0, float(s1 - 1))
+    frac = tt - j
+    da = jnp.zeros(decomps.shape[:-1] + (16,), decomps.dtype)
+    db = da
+    for k in range(s1):
+        sel = (j == k)[..., None]
+        da = jnp.where(sel, decomps[..., 16 * k:16 * k + 16], da)
+        db = jnp.where(sel, decomps[..., 16 * (k + 1):16 * (k + 2)], db)
+    return motion_interpolate(da, db, frac)

@@ -357,3 +357,93 @@ class TestMultiStep:
         assert out.shape == (4, 5, 3)
         np.testing.assert_array_equal(out[-1], v1)
         np.testing.assert_allclose(out[1], 0.5 * (v0 + v1), atol=1e-6)
+
+
+class TestObjectMultiStep:
+    """Multi-step object-transform motion (ref: Object::motion array —
+    packed leaf rows carry S decomposed steps, the traversal picks the
+    lane's segment and slerps inside it)."""
+
+    def _scene(self, path):
+        from raytracingproject_tpu.app.examples import background_shader
+        scene = Scene()
+        scene.camera.set("matrix",
+                         tfm.look_at((0, -6, 1), (0, 0, 0), (0, 0, 1)))
+        scene.camera.set("width", 16)
+        scene.camera.set("height", 16)
+        scene.camera.set("shuttertime", 1.0)
+        m = make_plane_mesh((-1, -1, 0), (2, 0, 0), (0, 2, 0))
+        m.used_shaders = [diffuse_shader("w", (0.8, 0.8, 0.8))]
+        scene.add_shader(m.used_shaders[0])
+        o = Object("mover", m)
+        o.set_motion(path)
+        scene.add_object(o)
+        scene.background.shader = background_shader("bg", (1, 1, 1), 1.0)
+        scene.add_shader(scene.background.shader)
+        scene.device_update()
+        return scene
+
+    def _hit_t(self, kg, time):
+        import jax.numpy as jnp
+        from raytracingproject_tpu.ops import integrator as integ
+        n = 4
+        o = jnp.asarray([[0.0, 0.0, 5.0]] * n)
+        d = jnp.asarray([[0.0, 0.0, -1.0]] * n)
+        hit = integ._scene_intersect(
+            kg, o, d, jnp.full((n,), 1e-4), jnp.full((n,), 100.0),
+            jnp.full((n,), 0xFFFFFFFF, jnp.uint32),
+            time=jnp.full((n,), time, jnp.float32))
+        return np.asarray(hit["t"])[0], int(np.asarray(hit["prim"])[0])
+
+    def test_v_path_hits_mid_excursion(self):
+        ident = tfm.identity()
+        up = np.array(ident, np.float32).copy()
+        up[2, 3] = 2.0
+        scene = self._scene([ident, up, ident])
+        kg = scene.make_kernel_globals()
+        assert kg["obj_motion_steps"] == 3
+        t_mid, prim_mid = self._hit_t(kg, 0.5)
+        assert prim_mid >= 0 and abs(t_mid - 3.0) < 1e-3  # plane at z=2
+        t_end, prim_end = self._hit_t(kg, 1.0)
+        assert prim_end >= 0 and abs(t_end - 5.0) < 1e-3  # back at z=0
+        # classic 2-step endpoints-only never leaves z=0
+        scene2 = self._scene([ident, ident])
+        kg2 = scene2.make_kernel_globals()
+        t2, p2 = self._hit_t(kg2, 0.5)
+        assert p2 >= 0 and abs(t2 - 5.0) < 1e-3
+
+    def test_two_step_layout_unchanged(self):
+        ident = tfm.identity()
+        shift = np.array(ident, np.float32).copy()
+        shift[0, 3] = 3.0
+        scene = self._scene([ident, shift])
+        kg = scene.make_kernel_globals()
+        assert kg["obj_motion_steps"] == 2
+        # at t=1 the quad is at x=3: the straight-down ray misses
+        t1, p1 = self._hit_t(kg, 1.0)
+        assert p1 < 0
+        t0, p0 = self._hit_t(kg, 0.0)
+        assert p0 >= 0 and abs(t0 - 5.0) < 1e-3
+
+    def test_interp_steps_matches_two_step(self):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(4)
+        a = tfm.identity().copy(); a[:3, 3] = rng.standard_normal(3)
+        b = tfm.identity().copy(); b[:3, 3] = rng.standard_normal(3)
+        da, db = tfm.decompose(a), tfm.decompose(b)
+        row = jnp.asarray(np.concatenate([da, db])[None])
+        for t in (0.0, 0.3, 1.0):
+            m2 = tfm.motion_interpolate(jnp.asarray(da)[None],
+                                        jnp.asarray(db)[None],
+                                        jnp.asarray([t]))
+            ms = tfm.motion_interpolate_steps(row, jnp.asarray([t]), 2)
+            np.testing.assert_allclose(np.asarray(m2), np.asarray(ms),
+                                       atol=1e-7)
+
+    def test_resample_decomps_exact_at_grid(self):
+        a = tfm.identity().copy(); a[:3, 3] = [1, 0, 0]
+        b = tfm.identity().copy(); b[:3, 3] = [3, 0, 0]
+        out = tfm.resample_motion_decomps([a, b], 3)
+        assert len(out) == 3
+        np.testing.assert_allclose(out[1][4:7], [2, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(out[2][4:7], [3, 0, 0], atol=1e-6)
