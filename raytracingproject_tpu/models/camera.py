@@ -94,6 +94,23 @@ class Camera(Node):
     def __init__(self, name="camera", **kwargs):
         super().__init__(name, **kwargs)
         self.kernel_record = None
+        self._motion_steps = None  # full step list (set_motion)
+
+    def set_motion(self, tfms):
+        """Multi-step camera motion (ref: Camera::motion array): a list
+        of 3x4 camera->world transforms at uniform shutter times."""
+        tfms = [np.asarray(t, np.float32) for t in tfms]
+        assert len(tfms) >= 2
+        self._motion_steps = tfms
+        self.set("use_motion", True)
+        self.set("motion_start", tfms[0])
+        self.set("motion_end", tfms[-1])
+
+    def motion_transforms(self):
+        if self._motion_steps is not None:
+            return self._motion_steps
+        return [np.asarray(self.motion_start, np.float32),
+                np.asarray(self.motion_end, np.float32)]
 
     def compute_auto_viewplane(self):
         """Aspect-correct screen window (ref: camera.cpp:107-120)."""
@@ -179,6 +196,15 @@ class Camera(Node):
                                           else cam_to_world),
             "motion_end": tfm.decompose(self.motion_end if self.use_motion
                                         else cam_to_world),
+            # multi-step camera path (ref: Camera::motion array):
+            # S decomposed steps, piecewise-slerped at the lane's
+            # shutter time (ops/camera.py)
+            "motion_steps": np.int32(len(self.motion_transforms())
+                                     if self.use_motion else 2),
+            "motion_decomps": np.concatenate(
+                [tfm.decompose(t) for t in self.motion_transforms()]
+                if self.use_motion
+                else [tfm.decompose(cam_to_world)] * 2),
             "width": np.int32(self.width),
             "height": np.int32(self.height),
         }

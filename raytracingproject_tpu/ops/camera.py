@@ -123,11 +123,12 @@ def camera_sample_ray(cam, raster_x, raster_y, lens_u, lens_v, time_u):
         scan = 1.0 - raster_y / jnp.maximum(h, 1.0)
         time = scan * (1.0 - dur) + time_u * dur
 
-    # camera -> world (motion-aware)
+    # camera -> world (motion-aware; piecewise over S decomposed steps,
+    # ref: Camera::motion array)
     if int(cam["use_motion"]) == 1:
-        c2w = tfm.motion_interpolate(
-            jnp.asarray(cam["motion_start"]), jnp.asarray(cam["motion_end"]),
-            time)
+        c2w = tfm.motion_interpolate_steps(
+            jnp.asarray(cam["motion_decomps"]), time,
+            int(cam.get("motion_steps", 2)))
         o_w = _apply_t(c2w, o)
         d_w = um.normalize(_apply_d(c2w, d))
     else:

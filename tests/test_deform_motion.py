@@ -447,3 +447,34 @@ class TestObjectMultiStep:
         assert len(out) == 3
         np.testing.assert_allclose(out[1][4:7], [2, 0, 0], atol=1e-6)
         np.testing.assert_allclose(out[2][4:7], [3, 0, 0], atol=1e-6)
+
+
+class TestCameraMultiStep:
+    def test_camera_v_path(self):
+        """Camera bouncing up and back: a t=0.5 ray originates from the
+        raised position; endpoints-only motion would not move it."""
+        import jax
+        from raytracingproject_tpu.ops import camera as cam_ops
+        from raytracingproject_tpu.models.camera import Camera
+        base = tfm.look_at((0, -5, 0), (0, 0, 0), (0, 0, 1))
+        up = np.array(base, np.float32).copy()
+        up[2, 3] += 2.0
+        cam = Camera()
+        cam.set("matrix", base)
+        cam.set("width", 8)
+        cam.set("height", 8)
+        cam.set("shuttertime", 1.0)
+        cam.set_motion([base, up, base])
+        rec = cam.update()
+        assert int(rec["motion_steps"]) == 3
+
+        def rays(tu):
+            return cam_ops.camera_sample_ray(
+                rec, jnp.asarray([4.0]), jnp.asarray([4.0]),
+                jnp.asarray([0.5]), jnp.asarray([0.5]),
+                jnp.asarray([tu]))
+        r_mid = rays(0.5)
+        r_end = rays(1.0)
+        z_mid = float(np.asarray(r_mid["o"])[0, 2])
+        z_end = float(np.asarray(r_end["o"])[0, 2])
+        assert abs(z_mid - z_end - 2.0) < 1e-3
