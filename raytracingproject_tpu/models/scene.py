@@ -48,6 +48,10 @@ CLUSTER_MIN_PRIMS = 384
 # measured v5e crossover (tools/cluster_bench.py): dense wins below
 # ~1-2k prims on incoherent wavefronts
 BRUTE_VS_CLUSTER_PRIMS = 1024
+# curve segments from this count up ride the oriented-cluster walk
+# (ops/curve_clusters.py); below it the dense segment sweep wins the
+# same way dense triangles do
+CURVE_CLUSTER_MIN_SEGS = 512
 # Instanced geometry whose flattened copy stays under the dense
 # threshold is baked to world space (the reference applies static
 # transforms similarly, object.cpp apply_static_transforms).
@@ -235,6 +239,7 @@ class Scene:
             "cluster_motion": packed.pop("__cluster_motion__", False),
             "bvh_stack_depth": packed.pop("__bvh_stack_depth__", 0),
             "curve_prim_base": packed.pop("__curve_prim_base__", 0),
+            "curve_cluster_segs": packed.pop("__curve_cluster_segs__", 0),
             "film_transparent": bool(self.background.transparent),
         }
         dscene.pop("__prim_source__", None)
@@ -247,6 +252,7 @@ class Scene:
         dscene.pop("__cluster_motion__", None)
         dscene.pop("__bvh_stack_depth__", None)
         dscene.pop("__curve_prim_base__", None)
+        dscene.pop("__curve_cluster_segs__", None)
         self.need_update = False
         return self.dscene
 
@@ -1136,6 +1142,27 @@ class Scene:
             packed["curve_r1"] = cr1
             packed["curve_object"] = cob
             log.vlog(1, "native hair: %d curve segments", S_curves)
+            # oriented (unaligned) curve clusters replace the dense
+            # all-segments sweep above the threshold (ref:
+            # bvh/bvh_unaligned.cpp; ops/curve_clusters.py); one-hot
+            # row fetches cap the cluster count at 512 (docs/PERF.md)
+            if S_curves >= CURVE_CLUSTER_MIN_SEGS:
+                from raytracingproject_tpu.ops import (
+                    curve_clusters as ccl)
+                for kseg in (16, 32, 64):
+                    if (S_curves + kseg - 1) // kseg <= 512:
+                        break
+                else:
+                    kseg = None
+                if kseg is not None:
+                    cvis = obj_visibility[np.maximum(cob, 0)]
+                    packed["curve_cluster_table"] = \
+                        ccl.build_curve_cluster_table(
+                            cp0, ce, cr0, cr1, cob, cvis,
+                            cluster_segs=kseg)
+                    packed["__curve_cluster_segs__"] = kseg
+                    log.vlog(1, "curve clusters: %d x %d segs",
+                             len(packed["curve_cluster_table"]), kseg)
         packed["prim_table"] = pt
 
         ot = np.zeros((nobj, lk.OT_COLS), np.float32)
@@ -1538,6 +1565,7 @@ class Scene:
             "bvh_stack_depth": ds.get("bvh_stack_depth", 0),
             "volume_stack_depth": int(self.integrator.volume_stack_depth),
             "curve_prim_base": ds.get("curve_prim_base", 0),
+            "curve_cluster_segs": ds.get("curve_cluster_segs", 0),
             # material-sorted shading (shade.eval_shaders_sorted):
             # profitable when many/large shader graphs would otherwise
             # each run a full masked wavefront pass

@@ -55,11 +55,45 @@ def _merge_curve_hit(kg, hit, o, d, tmin, visibility):
     ds = kg["dscene"]
     if "curve_p0" not in ds:
         return hit
+    if _use_curve_clusters(kg):
+        from raytracingproject_tpu.ops import curve_clusters as ccl
+        return ccl.intersect_curve_clusters(
+            ds["curve_cluster_table"], int(kg["curve_cluster_segs"]),
+            int(kg["curve_prim_base"]), o, d, tmin, hit["t"],
+            visibility, hit0=hit)
     return isect.intersect_curves_ribbon(
         ds["curve_p0"], ds["curve_e"], ds["curve_r0"], ds["curve_r1"],
         ds["curve_object"], int(kg["curve_prim_base"]), o, d, tmin,
         hit["t"], hit0=hit, visibility=visibility,
         object_visibility=ds["object_visibility"])
+
+
+def _use_curve_clusters(kg):
+    """Oriented curve-cluster walk (the unaligned-BVH analog,
+    ops/curve_clusters.py) when the scene packed a table; the dense
+    segment sweep is the small-scene/parity twin
+    (kg["curve_clusters"]: True/False forces)."""
+    ds = kg["dscene"]
+    if "curve_cluster_table" not in ds \
+            or int(kg.get("curve_cluster_segs", 0)) <= 0:
+        return False
+    mode = kg.get("curve_clusters", "auto")
+    return True if mode == "auto" else bool(mode)
+
+
+def _curve_any_hit(kg, o, d, tmin, tmax, vis):
+    ds = kg["dscene"]
+    if _use_curve_clusters(kg):
+        from raytracingproject_tpu.ops import curve_clusters as ccl
+        h = ccl.intersect_curve_clusters(
+            ds["curve_cluster_table"], int(kg["curve_cluster_segs"]),
+            int(kg["curve_prim_base"]), o, d, tmin, tmax, vis,
+            shadow_any_hit=True)
+        return h["prim"] >= 0
+    return isect.curves_any_hit(
+        ds["curve_p0"], ds["curve_e"], ds["curve_r0"],
+        ds["curve_r1"], ds["curve_object"], o, d, tmin, tmax,
+        visibility=vis, object_visibility=ds["object_visibility"])
 
 
 def _scene_intersect(kg, o, d, tmin, tmax, visibility, shadow=False,
@@ -165,11 +199,7 @@ def _shadow_blocked(kg, o, d, tmin, tmax, time=None):
             if deform else None,
             time=time if deform else None)
         if "curve_p0" in ds:
-            blocked = blocked | isect.curves_any_hit(
-                ds["curve_p0"], ds["curve_e"], ds["curve_r0"],
-                ds["curve_r1"], ds["curve_object"], o, d, tmin, tmax,
-                visibility=vis,
-                object_visibility=ds["object_visibility"])
+            blocked = blocked | _curve_any_hit(kg, o, d, tmin, tmax, vis)
         return blocked
     hit = _scene_intersect(kg, o, d, tmin, tmax, vis, shadow=True,
                            time=time)
@@ -1001,26 +1031,23 @@ def make_path_kernel(kg, px, py, pixel_index):
                 if "curve_p0" in dsd:
                     # hair is never a volume boundary: its closest hit
                     # feeds t_other and the shadow any-hit
-                    chit = isect.intersect_curves_ribbon(
-                        dsd["curve_p0"], dsd["curve_e"], dsd["curve_r0"],
-                        dsd["curve_r1"], dsd["curve_object"],
-                        int(kg["curve_prim_base"]), o_s, d_s,
-                        jnp.full((n,), 1e-5, prec.FT),
-                        jnp.where(on_closest,
-                                  jnp.minimum(tmax_s, um.RAY_TMAX), 1e-5),
-                        visibility=jnp.full((n,), ob.PATH_RAY_CAMERA,
-                                            jnp.uint32),
-                        object_visibility=dsd["object_visibility"])
+                    chit = _merge_curve_hit(
+                        kg,
+                        {"t": jnp.where(
+                            on_closest,
+                            jnp.minimum(tmax_s, um.RAY_TMAX), 1e-5),
+                         "prim": jnp.full((n,), -1, jnp.int32),
+                         "u": jnp.zeros((n,), prec.FT),
+                         "v": jnp.zeros((n,), prec.FT),
+                         "object": jnp.full((n,), -1, jnp.int32)},
+                        o_s, d_s, jnp.full((n,), 1e-5, prec.FT),
+                        jnp.full((n,), ob.PATH_RAY_CAMERA, jnp.uint32))
                     t_o = jnp.minimum(t_o, jnp.where(
                         chit["prim"] >= 0, chit["t"], um.RAY_TMAX))
-                    blk = blk | isect.curves_any_hit(
-                        dsd["curve_p0"], dsd["curve_e"], dsd["curve_r0"],
-                        dsd["curve_r1"], dsd["curve_object"], o_s, d_s,
-                        jnp.full((n,), 1e-5, prec.FT),
+                    blk = blk | _curve_any_hit(
+                        kg, o_s, d_s, jnp.full((n,), 1e-5, prec.FT),
                         jnp.where(on_any, tmax_s, 1e-5),
-                        visibility=jnp.full((n,), ob.PATH_RAY_SHADOW,
-                                            jnp.uint32),
-                        object_visibility=dsd["object_visibility"])
+                        jnp.full((n,), ob.PATH_RAY_SHADOW, jnp.uint32))
                 return (t_b, t_o), blk
 
             sh_trans = jnp.ones((n, 3), prec.FT)

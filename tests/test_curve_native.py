@@ -204,3 +204,133 @@ class TestNativeHairScene:
         tmax = jnp.asarray([4.0, 4.0, 1.0])  # third stops short
         blocked = np.asarray(integ._shadow_blocked(kg, o, d, tmin, tmax))
         assert list(blocked) == [True, False, False]
+
+
+class TestCurveClusters:
+    """Oriented (unaligned) curve clusters vs the dense segment sweep
+    (ops/curve_clusters.py; ref bvh/bvh_unaligned.cpp). Same ribbon
+    math -> same winners."""
+
+    def _scene(self):
+        from raytracingproject_tpu.app import examples
+        scene = examples.hair_patch_scene(32, 32, spp=2, n_strands=120)
+        scene.device_update()
+        kg = scene.make_kernel_globals()
+        ds = kg["dscene"]
+        assert "curve_cluster_table" in ds, (
+            "hair scene too small for clusters "
+            f"({ds['curve_p0'].shape[0]} segs)")
+        return kg, ds
+
+    def _rays(self, n, seed):
+        rng = np.random.default_rng(seed)
+        # hair patch spans roughly [-1, 1] x [-0.4, 0.4] x [0, 0.9]
+        o = (rng.uniform(-1.3, 1.3, (n, 3))
+             * np.array([1.0, 0.5, 0.6]) + np.array([0, 0, 0.4])
+             ).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        return jnp.asarray(o), jnp.asarray(d)
+
+    def test_closest_parity(self):
+        from raytracingproject_tpu.ops import curve_clusters as ccl
+        from raytracingproject_tpu.ops import intersect as isect
+        kg, ds = self._scene()
+        o, d = self._rays(2048, 1)
+        n = o.shape[0]
+        tmin = jnp.full((n,), 1e-4, jnp.float32)
+        tmax = jnp.full((n,), 1e30, jnp.float32)
+        vis = jnp.full((n,), 0xFFFFFFFF, jnp.uint32)
+        ref = isect.intersect_curves_ribbon(
+            ds["curve_p0"], ds["curve_e"], ds["curve_r0"],
+            ds["curve_r1"], ds["curve_object"],
+            int(kg["curve_prim_base"]), o, d, tmin, tmax,
+            visibility=vis, object_visibility=ds["object_visibility"])
+        got = ccl.intersect_curve_clusters(
+            ds["curve_cluster_table"], int(kg["curve_cluster_segs"]),
+            int(kg["curve_prim_base"]), o, d, tmin, tmax, vis)
+        ref = {k: np.asarray(v) for k, v in ref.items()}
+        got = {k: np.asarray(v) for k, v in got.items()}
+        hit_frac = (ref["prim"] >= 0).mean()
+        assert hit_frac > 0.05, hit_frac
+        np.testing.assert_array_equal(ref["prim"] >= 0, got["prim"] >= 0)
+        same = ref["prim"] == got["prim"]
+        # overlapping equal-t hairs can tie; require near-total match
+        assert same.mean() > 0.999, same.mean()
+        m = same & (ref["prim"] >= 0)
+        np.testing.assert_allclose(ref["t"][m], got["t"][m],
+                           rtol=3e-5)
+        np.testing.assert_allclose(ref["u"][m], got["u"][m], atol=1e-5)
+
+    def test_any_hit_parity(self):
+        from raytracingproject_tpu.ops import curve_clusters as ccl
+        from raytracingproject_tpu.ops import intersect as isect
+        kg, ds = self._scene()
+        o, d = self._rays(2048, 2)
+        n = o.shape[0]
+        tmin = jnp.full((n,), 1e-4, jnp.float32)
+        tmax = jnp.full((n,), 10.0, jnp.float32)
+        vis = jnp.full((n,), 0xFFFFFFFF, jnp.uint32)
+        ref = isect.curves_any_hit(
+            ds["curve_p0"], ds["curve_e"], ds["curve_r0"],
+            ds["curve_r1"], ds["curve_object"], o, d, tmin, tmax,
+            visibility=vis, object_visibility=ds["object_visibility"])
+        h = ccl.intersect_curve_clusters(
+            ds["curve_cluster_table"], int(kg["curve_cluster_segs"]),
+            int(kg["curve_prim_base"]), o, d, tmin, tmax, vis,
+            shadow_any_hit=True)
+        np.testing.assert_array_equal(np.asarray(ref),
+                                      np.asarray(h["prim"]) >= 0)
+
+    def test_merge_keeps_nearer_triangle_hits(self):
+        from raytracingproject_tpu.ops import curve_clusters as ccl
+        kg, ds = self._scene()
+        n = 256
+        rng = np.random.default_rng(3)
+        # rays start 5 units ABOVE the patch: no curve is within the
+        # pre-existing t=0.05 triangle hit, so nothing may replace it
+        o = jnp.asarray(np.stack([rng.uniform(-1, 1, n),
+                                  rng.uniform(-0.4, 0.4, n),
+                                  np.full(n, 5.0)], -1), jnp.float32)
+        d = jnp.asarray(np.tile([0.0, 0.0, -1.0], (n, 1)), jnp.float32)
+        tmin = jnp.full((n,), 1e-4, jnp.float32)
+        tmax = jnp.full((n,), 1e30, jnp.float32)
+        vis = jnp.full((n,), 0xFFFFFFFF, jnp.uint32)
+        # synthetic pre-existing hits at t=0.05: nothing may replace them
+        hit0 = {"t": jnp.full((n,), 0.05, jnp.float32),
+                "prim": jnp.zeros((n,), jnp.int32),
+                "u": jnp.zeros((n,), jnp.float32),
+                "v": jnp.zeros((n,), jnp.float32),
+                "object": jnp.zeros((n,), jnp.int32)}
+        out = ccl.intersect_curve_clusters(
+            ds["curve_cluster_table"], int(kg["curve_cluster_segs"]),
+            int(kg["curve_prim_base"]), o, d, tmin, tmax, vis, hit0=hit0)
+        np.testing.assert_array_equal(np.asarray(out["prim"]),
+                                      np.zeros(n, np.int32))
+        np.testing.assert_allclose(np.asarray(out["t"]), 0.05)
+
+    def test_render_parity_end_to_end(self):
+        import jax
+        from raytracingproject_tpu.ops import integrator as integ
+        from raytracingproject_tpu.app import examples
+        scene = examples.hair_patch_scene(24, 24, spp=2, n_strands=120)
+        scene.device_update()
+        kg = scene.make_kernel_globals()
+        yy, xx = np.mgrid[0:24, 0:24]
+        px = jnp.asarray(xx.reshape(-1), jnp.int32)
+        py = jnp.asarray(yy.reshape(-1), jnp.int32)
+        pidx = py * 24 + px
+
+        def render(kg2):
+            L, _ = jax.jit(lambda a, b, c: integ.render_samples(
+                kg2, a, b, c, 0, 2))(px, py, pidx)
+            return np.asarray(L).reshape(24, 24, 3) / 2
+
+        dense = render({**kg, "curve_clusters": False})
+        clus = render({**kg, "curve_clusters": True})
+        assert np.isfinite(clus).all()
+        # equal-t tie-breaks between overlapping hairs can flip single
+        # stochastic samples; images must agree essentially everywhere
+        close = np.isclose(dense, clus, atol=5e-3, rtol=1e-3).mean()
+        assert close > 0.995, close
+        assert abs(dense.mean() - clus.mean()) < 5e-4 + 0.01 * dense.mean()
