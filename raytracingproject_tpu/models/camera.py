@@ -101,10 +101,16 @@ class Camera(Node):
         of 3x4 camera->world transforms at uniform shutter times."""
         tfms = [np.asarray(t, np.float32) for t in tfms]
         assert len(tfms) >= 2
-        self._motion_steps = tfms
         self.set("use_motion", True)
         self.set("motion_start", tfms[0])
         self.set("motion_end", tfms[-1])
+        self._motion_steps = tfms  # after set(): set() invalidates
+
+    def set(self, name, value):
+        if name in ("motion_start", "motion_end") \
+                and getattr(self, "_motion_steps", None) is not None:
+            self._motion_steps = None
+        super().set(name, value)
 
     def motion_transforms(self):
         if self._motion_steps is not None:

@@ -133,13 +133,20 @@ class Mesh(Geometry):
         self.attribute_set(ATTR_STD_VERTEX_NORMAL, ATTR_ELEMENT_VERTEX, n)
         return n
 
-    def set_subd_mesh(self, verts, faces, shader=None, smooth=None):
+    def set_subd_mesh(self, verts, faces, shader=None, smooth=None,
+                      corner_uv=None):
         """Define a polygon control cage for subdivision surfaces (ref:
         Mesh::add_subd_face, render/mesh.cpp). `faces` is an (F, 4)
         quad array or a list of per-face index lists (ngons allowed;
         the first Catmull-Clark round quadrangulates them). Also stores
         a fan triangulation into the plain triangle sockets so the mesh
-        renders as its linear cage when subdivision is off."""
+        renders as its linear cage when subdivision is off.
+
+        corner_uv: optional per-CAGE-corner UVs (sum(face_len), 2) —
+        stored as the dedicated "subd_uv" attribute (cage convention);
+        the matching triangle-corner "std_uv" for the linear fallback
+        is derived through the fan mapping, so the two conventions
+        never conflict on one attribute."""
         verts = np.asarray(verts, np.float32).reshape(-1, 3)
         if isinstance(faces, np.ndarray) and faces.ndim == 2:
             flen = np.full(len(faces), faces.shape[1], np.int32)
@@ -160,8 +167,14 @@ class Mesh(Geometry):
         self.set("subd_face_len", flen)
         self.set("subd_shader", shader)
         self.set("subd_smooth", smooth)
-        # linear cage fallback triangulation
-        tris, tri_face = [], []
+        if corner_uv is not None:
+            corner_uv = np.asarray(corner_uv, np.float32).reshape(-1, 2)
+            assert len(corner_uv) == len(fv), (
+                "corner_uv must be per cage corner")
+            self.attribute_set("subd_uv", "corner", corner_uv)
+        # linear cage fallback triangulation (+ matching triangle-corner
+        # uvs derived through the same fan mapping)
+        tris, tri_face, tri_uv = [], [], []
         off = np.concatenate([[0], np.cumsum(flen)[:-1]]).astype(np.int64)
         for m in np.unique(flen):
             sel = flen == m
@@ -170,11 +183,18 @@ class Mesh(Geometry):
                 tris.append(np.stack([fv[base], fv[base + k + 1],
                                       fv[base + k + 2]], 1))
                 tri_face.append(np.nonzero(sel)[0])
+                if corner_uv is not None:
+                    tri_uv.append(np.stack([corner_uv[base],
+                                            corner_uv[base + k + 1],
+                                            corner_uv[base + k + 2]], 1))
         if tris:
             tris = np.concatenate(tris)
             tri_face = np.concatenate(tri_face)
             self.set_mesh(verts, tris, shader=shader[tri_face],
                           smooth=smooth[tri_face])
+            if corner_uv is not None:
+                self.attribute_set("std_uv", "corner",
+                                   np.concatenate(tri_uv).reshape(-1, 2))
         else:
             self.set_mesh(verts, np.zeros((0, 3), np.int32))
 

@@ -66,10 +66,18 @@ class Object(Node):
         import numpy as np
         tfms = [np.asarray(t, np.float32) for t in tfms]
         assert len(tfms) >= 2
-        self._motion_steps = tfms
         self.set("use_motion", True)
         self.set("motion_start", tfms[0])
         self.set("motion_end", tfms[-1])
+        self._motion_steps = tfms  # after set(): set() invalidates
+
+    def set(self, name, value):
+        # direct endpoint edits invalidate a cached multi-step path so
+        # the two APIs can't disagree silently
+        if name in ("motion_start", "motion_end") \
+                and getattr(self, "_motion_steps", None) is not None:
+            self._motion_steps = None
+        super().set(name, value)
 
     def motion_transforms(self):
         """The object's transform path over the shutter."""

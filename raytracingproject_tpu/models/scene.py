@@ -400,11 +400,19 @@ class Scene:
         from raytracingproject_tpu.models.mesh import Mesh as MeshCls
         fv = np.asarray(mesh.subd_face_verts, np.int64)
         flen = np.asarray(mesh.subd_face_len, np.int64)
-        uv_attr = mesh.attribute_get("std_uv")
+        # cage UVs live in the dedicated "subd_uv" attribute (per cage
+        # corner); a std_uv that happens to match the cage-corner count
+        # is accepted, but the triangle-corner convention (3*T rows,
+        # the linear-fallback layout) is NOT reinterpreted
+        uv_attr = mesh.attribute_get("subd_uv")
+        if uv_attr is None:
+            cand = mesh.attribute_get("std_uv")
+            if cand is not None and cand.element == "corner" \
+                    and len(np.asarray(cand.data).reshape(-1, 2)) \
+                    == len(fv):
+                uv_attr = cand
         corner_uv = (np.asarray(uv_attr.data, np.float32).reshape(-1, 2)
-                     [:len(fv)]
-                     if uv_attr is not None and uv_attr.element == "corner"
-                     else None)
+                     if uv_attr is not None else None)
         mv_attr = mesh.attribute_get("std_motion_vertex_position")
         if mv_attr is not None:
             mv = np.asarray(mv_attr.data, np.float32)
@@ -571,25 +579,21 @@ class Scene:
                     mv = mv[None]
                 steps = _resample_motion_steps(v, mv, deform_extra)
                 deform_seen.append(True)
-            elif deform_extra > 0:
-                steps = np.broadcast_to(
-                    v, (deform_extra,) + v.shape).copy()
             else:
-                steps = np.zeros((0,) + v.shape, np.float32)
+                steps = None  # static: steps mirror v (set after tfm)
             if world_tfm is not None:
                 v = tfm.transform_point(world_tfm, v)
-                if mv_attr is not None:
+                if steps is not None and len(steps):
                     steps = np.stack([tfm.transform_point(world_tfm, s)
-                                      for s in steps]) \
-                        if len(steps) else steps
-                else:
-                    steps = np.broadcast_to(
-                        v, (deform_extra,) + v.shape).copy() \
-                        if deform_extra > 0 else steps
+                                      for s in steps])
                 itt = np.linalg.inv(tfm.to_4x4(world_tfm))[:3, :3].T
                 vn = vn @ itt.T
                 ln = np.linalg.norm(vn, axis=-1, keepdims=True)
                 vn = vn / np.maximum(ln, 1e-12)
+            if steps is None:
+                steps = (np.broadcast_to(v, (deform_extra,) + v.shape)
+                         if deform_extra > 0 else
+                         np.zeros((0,) + v.shape, np.float32))
             tri_verts_t1.append(steps[:, t])  # (S-1, T, 3, 3)
             tri_verts.append(v[t])            # (T, 3, 3)
             tri_vnormal.append(vn[t])
@@ -1154,6 +1158,9 @@ class Scene:
                         break
                 else:
                     kseg = None
+                    log.vlog(1, "curve clusters SKIPPED: %d segments "
+                             "exceed the 512x64 one-hot cap; dense "
+                             "sweep in effect", S_curves)
                 if kseg is not None:
                     cvis = obj_visibility[np.maximum(cob, 0)]
                     packed["curve_cluster_table"] = \

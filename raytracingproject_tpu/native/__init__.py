@@ -32,11 +32,27 @@ def _compile_lib():
             and all(os.path.getmtime(out) >= os.path.getmtime(s)
                     for s in srcs)):
         return out
-    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-           "-pthread", *srcs, "-o", out + ".tmp", "-lz"]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(out + ".tmp", out)
-    return out
+
+    def compile_to(sources, extra):
+        cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared",
+               "-std=c++17", "-pthread", *sources, "-o", out + ".tmp",
+               *extra]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(out + ".tmp", out)
+        return out
+
+    try:
+        return compile_to(srcs, ["-lz"])
+    except Exception:
+        # the EXR codec needs zlib; a host without it must not lose
+        # the (dependency-free) BVH builder — fall back to compiling
+        # only the sources that link clean
+        core = [s for s in srcs if "exr_codec" not in s]
+        if core != srcs:
+            log.log_warning("native EXR codec unavailable (zlib link "
+                            "failed); compiling without it")
+            return compile_to(core, [])
+        raise
 
 
 def get_lib():
@@ -60,19 +76,25 @@ def get_lib():
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
             ]
             lib.rtp_free.argtypes = [ctypes.c_void_p]
-            lib.rtp_exr_write.restype = ctypes.c_int
-            lib.rtp_exr_write.argtypes = [
-                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
-                ctypes.c_int, ctypes.c_int]
-            lib.rtp_exr_info.restype = ctypes.c_int
-            lib.rtp_exr_info.argtypes = [
-                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
-                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-                ctypes.c_char_p, ctypes.c_int]
-            lib.rtp_exr_read.restype = ctypes.c_int
-            lib.rtp_exr_read.argtypes = [
-                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float)]
+            try:  # EXR codec symbols absent when zlib link failed
+                lib.rtp_exr_write.restype = ctypes.c_int
+                lib.rtp_exr_write.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int, ctypes.c_int]
+                lib.rtp_exr_info.restype = ctypes.c_int
+                lib.rtp_exr_info.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.c_char_p, ctypes.c_int]
+                lib.rtp_exr_read.restype = ctypes.c_int
+                lib.rtp_exr_read.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_float)]
+                lib._has_exr = True
+            except AttributeError:
+                lib._has_exr = False
             _LIB = lib
         except Exception as e:  # pragma: no cover - toolchain missing
             log.log_warning("native lib unavailable (%s); using NumPy "
@@ -125,7 +147,7 @@ def exr_write_native(path, channels, half=False, compression=EXR_COMP_ZIP):
     """channels: {name: (H, W) float32}. Returns True on success,
     False if the native lib is unavailable (caller falls back)."""
     lib = get_lib()
-    if lib is None:
+    if lib is None or not getattr(lib, "_has_exr", False):
         return False
     names = sorted(channels)
     arrs = [np.ascontiguousarray(channels[n], np.float32) for n in names]
@@ -149,7 +171,7 @@ def exr_read_native(path):
     unavailable / the file needs the Python fallback. Raises on a
     corrupt file."""
     lib = get_lib()
-    if lib is None:
+    if lib is None or not getattr(lib, "_has_exr", False):
         return None
     w = ctypes.c_int()
     h = ctypes.c_int()

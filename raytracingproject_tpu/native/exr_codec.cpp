@@ -294,27 +294,45 @@ int parse_exr(const char* path, ExrInfo& info) {
   }
   std::fclose(f);
   const uint8_t* b = info.buf.data();
+  const size_t n = info.buf.size();
   uint32_t magic, version;
   std::memcpy(&magic, b, 4);
   std::memcpy(&version, b + 4, 4);
   if (magic != kMagic) return 4;
-  if (version & 0x200) return 5;  // multi-part unsupported
+  // tiled (0x200), deep (0x800), multi-part (0x1000): outside this
+  // codec's subset — signal "fall back to the Python reader"
+  if (version & (0x200u | 0x800u | 0x1000u)) return 5;
+
+  // every read below is bounds-checked: a truncated/corrupt file must
+  // fail cleanly, never overread the buffer
+  auto read_str = [&](size_t& pos, std::string& out) -> bool {
+    const void* e = std::memchr(b + pos, 0, n - pos);
+    if (!e) return false;
+    out.assign((const char*)b + pos);
+    pos += out.size() + 1;
+    return true;
+  };
+
   size_t pos = 8;
   bool got_ch = false, got_dw = false;
-  while (pos < (size_t)sz && b[pos] != 0) {
-    std::string name((const char*)b + pos);
-    pos += name.size() + 1;
-    std::string type((const char*)b + pos);
-    pos += type.size() + 1;
+  while (pos < n && b[pos] != 0) {
+    std::string name, type;
+    if (!read_str(pos, name) || pos >= n || !read_str(pos, type))
+      return 16;
+    if (pos + 4 > n) return 16;
     uint32_t asize;
     std::memcpy(&asize, b + pos, 4);
     pos += 4;
+    if (pos + (size_t)asize > n) return 16;
     const uint8_t* ad = b + pos;
     if (name == "channels") {
       size_t cp = 0;
       while (cp < asize && ad[cp] != 0) {
+        const void* e = std::memchr(ad + cp, 0, asize - cp);
+        if (!e) return 16;
         std::string cn((const char*)ad + cp);
         cp += cn.size() + 1;
+        if (cp + 16 > asize) return 16;
         int32_t pt;
         std::memcpy(&pt, ad + cp, 4);
         int32_t xs, ys;
@@ -328,10 +346,13 @@ int parse_exr(const char* path, ExrInfo& info) {
       }
       got_ch = true;
     } else if (name == "compression") {
+      if (asize < 1) return 16;
       info.compression = ad[0];
     } else if (name == "dataWindow") {
+      if (asize < 16) return 16;
       int32_t v[4];
       std::memcpy(v, ad, 16);
+      if (v[2] < v[0] || v[3] < v[1]) return 16;
       info.y_min = v[1];
       info.w = v[2] - v[0] + 1;
       info.h = v[3] - v[1] + 1;
@@ -339,11 +360,15 @@ int parse_exr(const char* path, ExrInfo& info) {
     }
     pos += asize;
   }
-  if (!got_ch || !got_dw) return 8;
+  if (pos >= n || !got_ch || !got_dw || info.names.empty()) return 8;
   info.table_pos = pos + 1;
   if (info.compression != kCompNone && info.compression != kCompZip &&
       info.compression != kCompZips)
     return 9;
+  int lines_per_chunk = info.compression == kCompZip ? 16 : 1;
+  size_t n_chunks =
+      ((size_t)info.h + lines_per_chunk - 1) / lines_per_chunk;
+  if (info.table_pos + 8 * n_chunks > n) return 16;  // truncated table
   return 0;
 }
 

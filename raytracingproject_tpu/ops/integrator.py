@@ -448,7 +448,10 @@ def make_path_kernel(kg, px, py, pixel_index):
             k_strat, n_strat = st["lobe_strat"]
             first = bounce == 0
             lobe_u = jnp.where(first, (k_strat + lobe_u) / n_strat, lobe_u)
-            lu = jnp.where(first, (k_strat + lu) / n_strat, lu)
+            # sel_u is the light-SELECTION random (sample_light CDF
+            # inversion); lu/lv only place the sample on the chosen
+            # light's surface
+            sel_u = jnp.where(first, (k_strat + sel_u) / n_strat, sel_u)
 
         vis_ray = jnp.where(
             st["path_flag"] & ob.PATH_RAY_CAMERA > 0,

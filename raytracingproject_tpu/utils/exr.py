@@ -133,8 +133,9 @@ def read_exr(path):
     if buf[:4] != _MAGIC:
         raise ValueError("not an EXR file")
     version = struct.unpack_from("<I", buf, 4)[0]
-    if version & 0x200:
-        raise NotImplementedError("multi-part EXR not supported")
+    if version & (0x200 | 0x800 | 0x1000):
+        raise NotImplementedError(
+            "tiled/deep/multi-part EXR not supported")
     attrs, pos = _read_attrs(buf, 8)
     if attrs["compression"][1][0] != 0:
         raise NotImplementedError(

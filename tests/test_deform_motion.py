@@ -478,3 +478,20 @@ class TestCameraMultiStep:
         z_mid = float(np.asarray(r_mid["o"])[0, 2])
         z_end = float(np.asarray(r_end["o"])[0, 2])
         assert abs(z_mid - z_end - 2.0) < 1e-3
+
+
+class TestMotionStaleness:
+    def test_socket_edit_invalidates_cached_path(self):
+        from raytracingproject_tpu.models import Object as Obj
+        ident = tfm.identity()
+        up = np.array(ident, np.float32).copy()
+        up[2, 3] = 2.0
+        end = np.array(ident, np.float32).copy()
+        end[0, 3] = 7.0
+        o = Obj("m")
+        o.set_motion([ident, up, ident])
+        assert len(o.motion_transforms()) == 3
+        o.set("motion_end", end)   # classic 2-step API edit
+        path = o.motion_transforms()
+        assert len(path) == 2
+        np.testing.assert_allclose(path[1], end)

@@ -199,3 +199,32 @@ class TestNativeCodec:
                                       layers["Combined"])
         np.testing.assert_array_equal(out["Depth"][..., 0],
                                       layers["Depth"])
+
+
+class TestNativeRobustness:
+    def test_truncated_file_fails_cleanly(self, tmp_path):
+        p = tmp_path / "t.exr"
+        a = np.random.rand(8, 8).astype(np.float32)
+        exr.write_exr(p, {"R": a})
+        blob = open(p, "rb").read()
+        for cut in (5, 9, 40, len(blob) // 2, len(blob) - 3):
+            q = tmp_path / f"cut{cut}.exr"
+            open(q, "wb").write(blob[:cut])
+            import pytest
+            with pytest.raises(Exception):
+                exr.read_exr(q)
+
+    def test_multipart_flag_falls_back_cleanly(self, tmp_path):
+        import struct as st
+        import pytest
+        p = tmp_path / "m.exr"
+        a = np.random.rand(4, 4).astype(np.float32)
+        exr.write_exr(p, {"R": a}, compression="none")
+        blob = bytearray(open(p, "rb").read())
+        ver = st.unpack_from("<I", blob, 4)[0]
+        st.pack_into("<I", blob, 4, ver | 0x1000)  # multi-part flag
+        open(p, "wb").write(blob)
+        # native refuses (outside subset) -> python fallback raises a
+        # CLEAN NotImplementedError, never garbage pixels
+        with pytest.raises(NotImplementedError):
+            exr.read_exr(p)

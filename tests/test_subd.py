@@ -415,3 +415,39 @@ class TestCatmullClarkQuads:
         # smooth: diced cube verts pulled inside the cage
         r = np.linalg.norm(tv.reshape(-1, 3), axis=-1)
         assert r.max() < np.sqrt(3.0) - 1e-4
+
+
+class TestCageUVConventions:
+    def test_set_subd_mesh_corner_uv_serves_both_paths(self):
+        """Cage UVs live in subd_uv (per cage corner); set_subd_mesh
+        derives the matching triangle-corner std_uv for the linear
+        fallback, so the two conventions never fight."""
+        v, quads = cube_cage()
+        uv = np.tile(np.array([[0, 0], [1, 0], [1, 1], [0, 1]],
+                              np.float32), (len(quads), 1))
+        m = Mesh("cage")
+        m.set_subd_mesh(v, quads, corner_uv=uv)
+        su = m.attribute_get("subd_uv")
+        assert su is not None and len(su.data) == quads.size
+        su2 = m.attribute_get("std_uv")
+        assert su2 is not None
+        # fallback triangulation: 2 tris per quad, 3 corners each
+        assert len(np.asarray(su2.data).reshape(-1, 2)) \
+            == len(quads) * 2 * 3
+        # the cage path picks up subd_uv through scene sync
+        m.set("subdivision_type", "catmull_clark")
+        m.set("max_subdivisions", 1)
+        m.set("dicing_rate", 1.0)
+        from raytracingproject_tpu.app import examples
+        m.used_shaders = [examples.diffuse_shader("w", (0.8,) * 3)]
+        scene = Scene()
+        scene.camera.set("matrix",
+                         tfm.look_at((0, -6, 0), (0, 0, 0), (0, 0, 1)))
+        scene.camera.set("width", 32)
+        scene.camera.set("height", 32)
+        scene.add_shader(m.used_shaders[0])
+        scene.add_object(Object("cage", m))
+        scene.device_update()
+        tuv = np.asarray(scene.dscene["arrays"]["tri_uv"])
+        assert np.isfinite(tuv).all()
+        assert tuv.min() >= 0.0 and tuv.max() <= 1.0
