@@ -117,7 +117,12 @@ def autotune_kg(name, kg):
         variants.append(("clusters_pallas",
                          {"use_brute": False, "pallas_clusters": True}))
     times = {}
+    tune_t0 = time.time()
     for vname, flags in variants:
+        if time.time() - tune_t0 > 300.0 and times:
+            print(f"[{name}] tune: budget hit, skipping {vname}",
+                  file=sys.stderr)
+            continue
         kg2 = {**kg, **flags}
         try:
             fn = jax.jit(lambda a, b: integ._scene_intersect_tris(
@@ -199,11 +204,29 @@ def bench_one(name, factory, kwargs, W, H, spp, chunk, lpp=1):
     py = jnp.asarray(np.tile(yy.reshape(-1), lpp), jnp.int32)
     pidx = py * W + px
 
-    fn = jax.jit(lambda a, b, c, s: integ.render_samples_regen(
-        kg, a, b, c, s, chunk, lanes_per_pixel=lpp))
+    def make_fn(kg_use):
+        return jax.jit(lambda a, b, c, s: integ.render_samples_regen(
+            kg_use, a, b, c, s, chunk, lanes_per_pixel=lpp))
+
+    fn = make_fn(kg)
     t0 = time.time()
-    L, A = fn(px, py, pidx, jnp.uint32(0))
-    L.block_until_ready()
+    try:
+        L, A = fn(px, py, pidx, jnp.uint32(0))
+        L.block_until_ready()
+    except Exception as e:
+        # a tuned backend that passed the probe can still fail at
+        # integrator scale (e.g. Pallas VMEM limits) — never fatal:
+        # fall back to the safe XLA defaults and re-jit
+        print(f"[{name}] tuned backend failed at integrator scale "
+              f"({type(e).__name__}); retrying with safe defaults",
+              file=sys.stderr)
+        kg["pallas_clusters"] = False
+        kg["pallas_occlusion"] = False
+        TUNED[name]["fallback"] = type(e).__name__
+        fn = make_fn(kg)
+        t0 = time.time()
+        L, A = fn(px, py, pidx, jnp.uint32(0))
+        L.block_until_ready()
     compile_time = time.time() - t0
 
     t0 = time.time()
