@@ -49,7 +49,11 @@ class Integrator(Node):
         S("aa_samples", S.INT, 128),
         S("start_sample", S.INT, 0),
         S("sampling_pattern", S.ENUM, "sobol_burley",
-          {"sobol_burley": rng_mod.SOBOL_SAMPLER, "pcg": rng_mod.PCG_SAMPLER}),
+          {"sobol_burley": rng_mod.SOBOL_SAMPLER,
+           "pcg": rng_mod.PCG_SAMPLER,
+           # ref: SAMPLING_PATTERN_CMJ / _PMJ (render/integrator.h)
+           "cmj": rng_mod.CMJ_SAMPLER,
+           "pmj02": rng_mod.PMJ02_SAMPLER}),
         # russian roulette start (ref: kernel_path_state.h min_bounce logic)
         S("min_bounce", S.INT, 2),
         # light sampling
@@ -94,6 +98,7 @@ class Integrator(Node):
             "caustics_reflective": np.int32(self.caustics_reflective),
             "caustics_refractive": np.int32(self.caustics_refractive),
             "sampling_pattern": np.int32(self.get_enum_int("sampling_pattern")),
+            "aa_samples": np.int32(self.aa_samples),
             "light_sampling_threshold": np.float32(self.light_sampling_threshold),
             "volume_max_steps": np.int32(self.volume_max_steps),
             "volume_step_rate": np.float32(self.volume_step_rate),

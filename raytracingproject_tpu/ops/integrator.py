@@ -297,7 +297,8 @@ def make_path_kernel(kg, px, py, pixel_index):
         if dims.ndim == 1:
             dims = dims[:, None]
         return rngu.path_rng_2d(rng_hash[None, :], samples[None, :],
-                                dims, pattern)
+                                dims, pattern,
+                                num_samples=int(kint["aa_samples"]))
 
     ds = kg["dscene"]
     has_lights = int(ds["light_dist_type"].shape[0]) > 0

@@ -25,6 +25,7 @@ tests.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 # Dimension-pair enumeration (ref: kernel/kernel_types.h:235-258 PRNG_*).
@@ -42,6 +43,8 @@ PRNG_BOUNCE_NUM = 4
 
 SOBOL_SAMPLER = 0
 PCG_SAMPLER = 1
+CMJ_SAMPLER = 2      # correlated multi-jitter (kernel_jitter.h)
+PMJ02_SAMPLER = 3    # progressive multi-jitter tables (render/jitter.cpp)
 
 _U32 = np.uint32
 
@@ -232,15 +235,182 @@ def pixel_rng_hash(pixel_index, seed):
     return hash_pcg2d(pixel_index, seed)
 
 
-def path_rng_2d(rng_hash, sample, dim_pair, pattern=SOBOL_SAMPLER):
+# ---------------------------------------------------------------------------
+# CMJ — correlated multi-jitter (ref: kernel/kernel_jitter.h, Kensler
+# 2013). The reference's data-dependent cycle-walking permutation loop
+# (do { i = hash(i) } while (i >= l)) becomes a vectorized masked walk:
+# lax.while_loop under jit, a plain loop on NumPy. The hash is a
+# bijection of [0, w+1), so the walk is an exact permutation of [0, l)
+# and terminates (expected < 2 rounds: the smeared mask is < 2l).
+# ---------------------------------------------------------------------------
+
+def _cmj_hash_round(i, p, w):
+    with np.errstate(over="ignore"):
+        i ^= p
+        i *= _np_u32(0xE170893D)
+        i ^= p >> _np_u32(16)
+        i ^= (i & w) >> _np_u32(4)
+        i ^= p >> _np_u32(8)
+        i *= _np_u32(0x0929EB3F)
+        i ^= p >> _np_u32(23)
+        i ^= (i & w) >> _np_u32(1)
+        i *= _np_u32(1) | (p >> _np_u32(27))
+        i *= _np_u32(0x6935FA69)
+        i ^= (i & w) >> _np_u32(11)
+        i *= _np_u32(0x74DCB303)
+        i ^= (i & w) >> _np_u32(2)
+        i *= _np_u32(0x9E501CC3)
+        i ^= (i & w) >> _np_u32(2)
+        i *= _np_u32(0xC860A3DF)
+        i &= w
+        i ^= i >> _np_u32(5)
+    return i
+
+
+def cmj_permute(i, l, p):
+    """Pseudorandom permutation of [0, l) (cmj_permute semantics)."""
+    xp = _xnp(i, p)
+    i = _as_u32(xp, i)
+    p = _as_u32(xp, p)
+    l = int(l)
+    w = l - 1
+    w |= w >> 1; w |= w >> 2; w |= w >> 4; w |= w >> 8; w |= w >> 16
+    w = _np_u32(w)
+    lu = _np_u32(l)
+    cur = _cmj_hash_round(i, p, w)
+    if xp is jnp:
+        cur = jax.lax.while_loop(
+            lambda c: (c >= lu).any(),
+            lambda c: jnp.where(c >= lu, _cmj_hash_round(c, p, w), c),
+            cur)
+    else:
+        while (cur >= lu).any():
+            cur = np.where(cur >= lu, _cmj_hash_round(cur.copy(), p, w),
+                           cur)
+    with np.errstate(over="ignore"):
+        return (cur + p) % lu
+
+
+def cmj_randfloat(i, p):
+    xp = _xnp(i, p)
+    i = _as_u32(xp, i)
+    p = _as_u32(xp, p)
+    with np.errstate(over="ignore"):
+        i ^= p
+        i ^= i >> _np_u32(17)
+        i ^= i >> _np_u32(10)
+        i *= _np_u32(0xB36534E5)
+        i ^= i >> _np_u32(12)
+        i ^= i >> _np_u32(21)
+        i *= _np_u32(0x93FC4795)
+        i ^= _np_u32(0xDF6E307F)
+        i ^= i >> _np_u32(17)
+        i *= _np_u32(1) | (p >> _np_u32(18))
+    return i.astype(np.float32) * np.float32(1.0 / 4294967808.0)
+
+
+def cmj_2d(sample_index, dim_pair, rng_hash, num_samples):
+    """One CMJ 2D point: sample_index of num_samples in the pattern
+    keyed by (dim_pair, rng_hash) (ref: kernel_jitter.h cmj_sample_2D).
+    Indices beyond num_samples wrap into a fresh pattern."""
+    xp = _xnp(sample_index, dim_pair)
+    s = _as_u32(xp, sample_index)
+    N = max(int(num_samples), 1)
+    m = max(int(np.floor(np.sqrt(N))), 1)
+    n = (N + m - 1) // m
+    with np.errstate(over="ignore"):
+        p = hash_pcg3d(dim_pair, rng_hash, s // _np_u32(N))
+        s = s % _np_u32(N)
+        s = cmj_permute(s, N, p * _np_u32(0x51633E2D))
+        sdivm = s // _np_u32(m)
+        smodm = s - sdivm * _np_u32(m)
+        sx = cmj_permute(smodm, m, p * _np_u32(0x68BC21EB))
+        sy = cmj_permute(sdivm, n, p * _np_u32(0x02E5BE93))
+        jx = cmj_randfloat(s, p * _np_u32(0x967A889B))
+        jy = cmj_randfloat(s, p * _np_u32(0x368CC8B7))
+    fx = (sx.astype(np.float32) + (sy.astype(np.float32) + jx)
+          / np.float32(n)) / np.float32(m)
+    fy = (s.astype(np.float32) + jy) / np.float32(N)
+    return fx, fy
+
+
+# ---------------------------------------------------------------------------
+# PMJ02 — progressive multi-jittered (0,2) tables (ref: render/
+# jitter.cpp + kernel_random.h PMJ usage). The tables are built at
+# first use by Owen-scrambling the Sobol (0,2) sequence — the same
+# stratification class as the reference's generator (Christensen et
+# al. 2018 §10.1: pmj02 sequences are exactly the (0,2)-sequences in
+# base 2); every power-of-two prefix is (0,2)-stratified, which the
+# tests assert directly. Runtime behavior matches the reference's:
+# table row chosen per (dimension, pixel) hash, Cranley-Patterson
+# rotation decorrelates beyond the table period. Costs one gather per
+# batch (docs/PERF.md) — opt-in via integrator.sampling_pattern.
+# ---------------------------------------------------------------------------
+
+PMJ02_NUM_PATTERNS = 16
+PMJ02_NUM_SAMPLES = 1024
+_PMJ02_TABLES = None
+
+
+def _pmj02_tables():
+    global _PMJ02_TABLES
+    if _PMJ02_TABLES is None:
+        idx = np.arange(PMJ02_NUM_SAMPLES, dtype=np.uint32)
+        tabs = np.zeros((PMJ02_NUM_PATTERNS, PMJ02_NUM_SAMPLES, 2),
+                        np.float32)
+        for pat in range(PMJ02_NUM_PATTERNS):
+            x, y = sobol_burley_2d(idx, np.uint32(pat),
+                                   np.uint32(0x9C8F2D3B))
+            tabs[pat, :, 0] = x
+            tabs[pat, :, 1] = y
+        _PMJ02_TABLES = tabs
+    return _PMJ02_TABLES
+
+
+def pmj02_2d(sample_index, dim_pair, rng_hash):
+    xp = _xnp(sample_index, dim_pair)
+    tabs = _pmj02_tables()
+    if xp is jnp:
+        tabs = jnp.asarray(tabs)
+    s = _as_u32(xp, sample_index)
+    pat = (hash_pcg2d(dim_pair, rng_hash)
+           % _np_u32(PMJ02_NUM_PATTERNS)).astype(np.int32)
+    idx = (s % _np_u32(PMJ02_NUM_SAMPLES)).astype(np.int32)
+    x = tabs[pat, idx, 0]
+    y = tabs[pat, idx, 1]
+    # Cranley-Patterson rotation keyed on the wrap count decorrelates
+    # samples past the table period
+    wrap = s // _np_u32(PMJ02_NUM_SAMPLES)
+    rx = uint_to_float_01(hash_pcg4d(dim_pair, rng_hash, wrap,
+                                     _np_u32(0x11)))
+    ry = uint_to_float_01(hash_pcg4d(dim_pair, rng_hash, wrap,
+                                     _np_u32(0x29)))
+    rx = xp.where(wrap > 0, rx, np.float32(0.0))
+    ry = xp.where(wrap > 0, ry, np.float32(0.0))
+    fx = x + rx
+    fy = y + ry
+    return fx - xp.floor(fx), fy - xp.floor(fy)
+
+
+def path_rng_2d(rng_hash, sample, dim_pair, pattern=SOBOL_SAMPLER,
+                num_samples=0):
     if pattern == PCG_SAMPLER:
         return pcg_2d(sample, dim_pair, rng_hash)
+    if pattern == CMJ_SAMPLER:
+        return cmj_2d(sample, dim_pair, rng_hash, num_samples or 256)
+    if pattern == PMJ02_SAMPLER:
+        return pmj02_2d(sample, dim_pair, rng_hash)
     return sobol_burley_2d(sample, dim_pair, rng_hash)
 
 
-def path_rng_1d(rng_hash, sample, dim_pair, pattern=SOBOL_SAMPLER):
+def path_rng_1d(rng_hash, sample, dim_pair, pattern=SOBOL_SAMPLER,
+                num_samples=0):
     if pattern == PCG_SAMPLER:
         return pcg_2d(sample, dim_pair, rng_hash)[0]
+    if pattern == CMJ_SAMPLER:
+        return cmj_2d(sample, dim_pair, rng_hash, num_samples or 256)[0]
+    if pattern == PMJ02_SAMPLER:
+        return pmj02_2d(sample, dim_pair, rng_hash)[0]
     return sobol_burley_1d(sample, dim_pair, rng_hash)
 
 

@@ -197,3 +197,164 @@ class TestImageIO:
         for k in layers:
             np.testing.assert_array_equal(back[k], layers[k])
         assert image_io.read_multilayer_metadata(p)["spp"] == 64
+
+    def test_hdr_roundtrip(self, tmp_path):
+        """Radiance RGBE: the shared exponent gives each channel ~1/512
+        precision relative to the pixel's MAX channel; HDR range must
+        survive."""
+        from raytracingproject_tpu.utils import image_io
+        rng = np.random.default_rng(3)
+        img = (rng.random((12, 20, 3)).astype(np.float32)
+               * np.float32(10.0) ** rng.integers(-3, 4, (12, 20, 1)))
+        p = tmp_path / "t.hdr"
+        image_io.write_hdr(p, img)
+        back = image_io.read_image(p)
+        assert back.shape == (12, 20, 3)
+        maxc = img.max(axis=-1, keepdims=True)
+        assert (np.abs(back - img) <= maxc / 256.0 + 1e-7).all()
+
+    def test_hdr_rle_decode(self, tmp_path):
+        """New-RLE scanlines (runs + literals) decode correctly."""
+        from raytracingproject_tpu.utils import image_io
+        W, H = 64, 4
+        img = np.ones((H, W, 3), np.float32) * 0.5
+        img[:, 32:] = [2.0, 0.25, 8.0]  # constant runs per component
+        rgbe = image_io._rgbe_encode(img)
+        with open(tmp_path / "rle.hdr", "wb") as f:
+            f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+            f.write(f"-Y {H} +X {W}\n".encode())
+            for y in range(H):
+                f.write(bytes([2, 2, W >> 8, W & 0xFF]))
+                for c in range(4):
+                    # two runs of 32 + a literal span of 0 guard
+                    f.write(bytes([128 + 32, rgbe[y, 0, c]]))
+                    f.write(bytes([128 + 32, rgbe[y, 32, c]]))
+        back = image_io.read_hdr(tmp_path / "rle.hdr")
+        np.testing.assert_allclose(back, img, rtol=0.01)
+
+    def test_pfm_roundtrip(self, tmp_path):
+        from raytracingproject_tpu.utils import image_io
+        img = np.random.default_rng(4).random((9, 7, 3)).astype(np.float32)
+        p = tmp_path / "t.pfm"
+        image_io.write_pfm(p, img)
+        np.testing.assert_array_equal(image_io.read_image(p), img)
+        g = img[..., :1]
+        image_io.write_pfm(tmp_path / "g.pfm", g)
+        np.testing.assert_array_equal(
+            image_io.read_pfm(tmp_path / "g.pfm"), g)
+
+    def test_write_image_by_extension(self, tmp_path):
+        from raytracingproject_tpu.utils import image_io
+        img = np.random.default_rng(5).random((6, 6, 3)).astype(np.float32)
+        for ext in ("png", "hdr", "pfm", "exr"):
+            p = tmp_path / f"t.{ext}"
+            image_io.write_image(p, img)
+            back = image_io.read_image(p)
+            tol = 0.03 if ext == "png" else 0.01
+            np.testing.assert_allclose(back[..., :3], img, atol=tol,
+                                       rtol=tol)
+
+
+class TestCMJ:
+    """Correlated multi-jitter (ref: kernel_jitter.h, Kensler 2013)."""
+
+    def test_grid_stratification(self):
+        from raytracingproject_tpu.utils import rng as R
+        N = 64
+        s = np.arange(N, dtype=np.uint32)
+        x, y = R.cmj_2d(s, np.uint32(3), np.uint32(7), N)
+        x, y = np.asarray(x), np.asarray(y)
+        assert (x >= 0).all() and (x < 1).all()
+        assert (y >= 0).all() and (y < 1).all()
+        # one sample per m x n grid cell
+        m = n = 8
+        cells = set(zip((x * m).astype(int).tolist(),
+                        (y * n).astype(int).tolist()))
+        assert len(cells) == N
+        # fy is an N-strata latin projection: one per 1/N slab
+        assert len(set((y * N).astype(int).tolist())) == N
+
+    def test_patterns_decorrelate_and_mean(self):
+        from raytracingproject_tpu.utils import rng as R
+        N = 256
+        s = np.arange(N, dtype=np.uint32)
+        xs = []
+        for dp in range(8):
+            x, y = R.cmj_2d(s, np.uint32(dp), np.uint32(11), N)
+            xs.append(np.asarray(x))
+            assert abs(np.asarray(x).mean() - 0.5) < 0.02
+            assert abs(np.asarray(y).mean() - 0.5) < 0.02
+        assert not np.allclose(xs[0], xs[1])
+
+    def test_wraps_past_num_samples(self):
+        from raytracingproject_tpu.utils import rng as R
+        N = 16
+        a = R.cmj_2d(np.arange(N, dtype=np.uint32), np.uint32(1),
+                     np.uint32(2), N)
+        b = R.cmj_2d(np.arange(N, 2 * N, dtype=np.uint32), np.uint32(1),
+                     np.uint32(2), N)
+        assert not np.allclose(np.asarray(a[0]), np.asarray(b[0]))
+
+    def test_permute_is_bijection(self):
+        from raytracingproject_tpu.utils import rng as R
+        for l in (7, 16, 100, 1000):
+            out = np.asarray(R.cmj_permute(
+                np.arange(l, dtype=np.uint32), l, np.uint32(0xABCD)))
+            assert sorted(out.tolist()) == list(range(l)), l
+
+
+class TestPMJ02:
+    """Progressive multi-jitter (0,2) tables (ref: render/jitter.cpp;
+    built as Owen-scrambled (0,2)-sequences — every power-of-two
+    prefix must be (0,2)-stratified)."""
+
+    def test_prefixes_are_02_stratified(self):
+        from raytracingproject_tpu.utils import rng as R
+        tabs = R._pmj02_tables()
+        for pat in (0, 5, 11):
+            pts = tabs[pat]
+            for k in (2, 4, 6, 8):   # prefix sizes 4..256
+                npts = 1 << k
+                p = pts[:npts]
+                for a in range(k + 1):
+                    b = k - a
+                    cells = set(zip((p[:, 0] * (1 << a)).astype(int)
+                                    .tolist(),
+                                    (p[:, 1] * (1 << b)).astype(int)
+                                    .tolist()))
+                    assert len(cells) == npts, (pat, k, a, b)
+
+    def test_sampler_wrap_rotation(self):
+        from raytracingproject_tpu.utils import rng as R
+        n = R.PMJ02_NUM_SAMPLES
+        s0 = np.arange(8, dtype=np.uint32)
+        a = R.pmj02_2d(s0, np.uint32(1), np.uint32(2))
+        b = R.pmj02_2d(s0 + np.uint32(n), np.uint32(1), np.uint32(2))
+        assert not np.allclose(np.asarray(a[0]), np.asarray(b[0]))
+        assert (np.asarray(b[0]) >= 0).all() \
+            and (np.asarray(b[0]) < 1).all()
+
+
+class TestPatternFurnace:
+    def test_all_patterns_unit_furnace(self):
+        """Every sampling pattern must keep the furnace at 1.0 —
+        unbiasedness of the pattern plumbing end-to-end."""
+        import jax
+        import jax.numpy as jnp
+        from raytracingproject_tpu.app import examples
+        from raytracingproject_tpu.ops import integrator as integ
+        for pattern in ("cmj", "pmj02"):
+            scene = examples.furnace_scene(16, 16, albedo=1.0,
+                                           bounces=16)
+            scene.integrator.set("sampling_pattern", pattern)
+            scene.device_update()
+            kg = scene.make_kernel_globals()
+            yy, xx = np.mgrid[0:16, 0:16]
+            px = jnp.asarray(xx.reshape(-1), jnp.int32)
+            py = jnp.asarray(yy.reshape(-1), jnp.int32)
+            L, _ = jax.jit(lambda a, b, c: integ.render_samples(
+                kg, a, b, c, 0, 32))(px, py, py * 16 + px)
+            img = np.asarray(L).reshape(16, 16, 3) / 32
+            assert np.isfinite(img).all(), pattern
+            assert abs(float(img.mean()) - 1.0) < 0.02, (
+                pattern, img.mean())
