@@ -102,6 +102,50 @@ def cut_clusters(children, cluster_tris):
     return out
 
 
+def group_superclusters(cluster_ranges, super_ranges, gmax):
+    """Group clusters into superclusters (the two-level walk's level 0,
+    ops/pallas_cluster.py intersect_clusters2_pallas).
+
+    cluster_ranges / super_ranges: sorted contiguous (start, count)
+    prim ranges from cut_clusters at fine/coarse budgets on the SAME
+    tree — every cluster range nests inside exactly one super range
+    (both are maximal-subtree cuts, clusters from deeper cuts).
+    Groups bigger than gmax are split into consecutive chunks (still
+    subtree-ordered, so their union bounds stay coherent).
+
+    Returns [(cstart, gcount)] in CLUSTER-INDEX space, covering every
+    cluster exactly once, each gcount <= gmax.
+    """
+    groups = []
+    ci = 0
+    for (ss, sc) in super_ranges:
+        c0 = ci
+        send = ss + sc
+        while ci < len(cluster_ranges) \
+                and cluster_ranges[ci][0] < send:
+            s, c = cluster_ranges[ci]
+            assert s >= ss and s + c <= send, \
+                f"cluster {(s, c)} not nested in super {(ss, sc)}"
+            ci += 1
+        for k in range(c0, ci, gmax):
+            groups.append((k, min(gmax, ci - k)))
+    assert ci == len(cluster_ranges), "clusters left ungrouped"
+    return groups
+
+
+def supercluster_bounds(cb_lo_hi, groups):
+    """(SC, 8) supercluster rows: union AABB + (cstart, gcount) as f32
+    (counts < 2^24). cb_lo_hi: (C, 6) packed cluster bounds."""
+    out = np.zeros((len(groups), 8), np.float32)
+    for i, (cs, gc) in enumerate(groups):
+        out[i, 0:3] = cb_lo_hi[cs:cs + gc, 0:3].min(0)
+        out[i, 3:6] = cb_lo_hi[cs:cs + gc, 3:6].max(0)
+        out[i, 6] = cs
+        out[i, 7] = gc
+        assert cs < (1 << 24) and gc < (1 << 24)
+    return out
+
+
 def cluster_bounds(tri_verts, clusters):
     """Tight world/object-space AABBs per cluster.
 
