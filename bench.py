@@ -108,14 +108,24 @@ def autotune_kg(name, kg):
 
     # ---- main traversal: brute vs XLA clusters vs Pallas clusters ----
     variants = []
-    if not kg.get("has_instances", False) \
+    if "sc_bounds" in ds:
+        # two-level scene: A/B the hierarchical Pallas walk vs the
+        # packed BVH gather-walk (the only two contenders at this size)
+        if on_tpu:
+            variants = [("clusters2_pallas", {"use_brute": False,
+                                              "pallas_clusters2": True}),
+                        ("packed", {"use_brute": False,
+                                    "pallas_clusters2": False})]
+    elif not kg.get("has_instances", False) \
             and ds["tri_verts_world"].shape[0] <= 65536:
         variants.append(("brute", {"use_brute": True}))
-    variants.append(("clusters_xla",
-                     {"use_brute": False, "pallas_clusters": False}))
-    if on_tpu:
-        variants.append(("clusters_pallas",
-                         {"use_brute": False, "pallas_clusters": True}))
+    if "sc_bounds" not in ds:
+        variants.append(("clusters_xla",
+                         {"use_brute": False, "pallas_clusters": False}))
+        if on_tpu:
+            variants.append(("clusters_pallas",
+                             {"use_brute": False,
+                              "pallas_clusters": True}))
     times = {}
     tune_t0 = time.time()
     for vname, flags in variants:
@@ -135,6 +145,8 @@ def autotune_kg(name, kg):
         win = min(times, key=times.get)
         kg["use_brute"] = win == "brute"
         kg["pallas_clusters"] = win == "clusters_pallas"
+        if "sc_bounds" in ds:
+            kg["pallas_clusters2"] = win == "clusters2_pallas"
         tuned["traversal"] = {"winner": win,
                               "ms": {k: round(v * 1e3, 2)
                                      for k, v in times.items()}}
@@ -313,7 +325,17 @@ TUNED = {}
 
 
 def main():
+    import os
     import jax
+    # persistent compile cache: a warm rerun on the same host skips the
+    # multi-minute cold compiles entirely (entries are keyed by backend,
+    # so CPU test entries never collide with the TPU bench)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     print(f"device={jax.devices()[0].platform} x{len(jax.devices())}",
           file=sys.stderr)
     per_config = {}

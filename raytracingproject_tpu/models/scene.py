@@ -48,6 +48,14 @@ CLUSTER_MIN_PRIMS = 384
 # measured v5e crossover (tools/cluster_bench.py): dense wins below
 # ~1-2k prims on incoherent wavefronts
 BRUTE_VS_CLUSTER_PRIMS = 1024
+# single-level cluster-table row cap (the (C, chunk) XLA entry table /
+# (C, TILE) Pallas VMEM table both scale with C); past it the scene
+# packs the TWO-LEVEL tables (sc_bounds + the same cluster arrays) for
+# the hierarchical Pallas walk (ops/pallas_cluster.py
+# intersect_clusters2_pallas)
+CLUSTER_MAX_SINGLE_LEVEL = 640
+# two-level target group size; actual gmax grows to keep SC <= 512
+CLUSTER2_GROUP_TARGET = 64
 # curve segments from this count up ride the oriented-cluster walk
 # (ops/curve_clusters.py); below it the dense segment sweep wins the
 # same way dense triangles do
@@ -237,6 +245,7 @@ class Scene:
             "obj_motion_steps": packed.pop("__obj_motion_steps__", 2),
             "cluster_tris": packed.pop("__cluster_tris__", 0),
             "cluster_motion": packed.pop("__cluster_motion__", False),
+            "sc_gmax": packed.pop("__sc_gmax__", 0),
             "bvh_stack_depth": packed.pop("__bvh_stack_depth__", 0),
             "curve_prim_base": packed.pop("__curve_prim_base__", 0),
             "curve_cluster_segs": packed.pop("__curve_cluster_segs__", 0),
@@ -250,6 +259,7 @@ class Scene:
         dscene.pop("__obj_motion_steps__", None)
         dscene.pop("__cluster_tris__", None)
         dscene.pop("__cluster_motion__", None)
+        dscene.pop("__sc_gmax__", None)
         dscene.pop("__bvh_stack_depth__", None)
         dscene.pop("__curve_prim_base__", None)
         dscene.pop("__curve_cluster_segs__", None)
@@ -1011,6 +1021,7 @@ class Scene:
             # row width (and the one-hot MXU cost) grows with cluster
             # size, so cap at 64 tris -> max ~40k prims on the cluster
             # path; bigger scenes fall back to dense
+            two_level = False
             for ct_size in (16, 32, 64):
                 block_cuts = [cl_mod.cut_clusters(blk["children"], ct_size)
                               for blk in blocks]
@@ -1019,10 +1030,17 @@ class Scene:
                                   for r in instance_rows)
                 else:
                     total_c = len(block_cuts[0]) if block_cuts else 0
-                if total_c <= 640:
+                if total_c <= CLUSTER_MAX_SINGLE_LEVEL:
                     break
             else:
-                block_cuts = None
+                # big scene: keep the ct=64 cut and pack the TWO-LEVEL
+                # tables (supercluster groups over the same cluster
+                # arrays) for the hierarchical Pallas walk; past its
+                # 512x512-cluster capacity fall back to the packed BVH
+                if total_c <= 512 * 512:
+                    two_level = True
+                else:
+                    block_cuts = None
             if block_cuts is not None and total_c > 0:
                 cluster_dicts = []
                 if has_instances:
@@ -1082,6 +1100,36 @@ class Scene:
                 packed["__cluster_motion__"] = cmotion
                 log.vlog(1, "cluster tables: %d clusters x %d tris "
                          "(row %d cols)", len(cb), ct_used, ctab.shape[1])
+                if two_level:
+                    gmax = max(CLUSTER2_GROUP_TARGET,
+                               -(-total_c // 512))
+                    gmax = -(-gmax // 8) * 8
+                    if has_instances:
+                        # each instance's clusters are consecutive:
+                        # chunk per instance (subtree-ordered)
+                        groups, base = [], 0
+                        for r in instance_rows:
+                            nci = len(block_cuts[r[1]])
+                            for k in range(0, nci, gmax):
+                                groups.append(
+                                    (base + k, min(gmax, nci - k)))
+                            base += nci
+                    else:
+                        super_cuts = cl_mod.cut_clusters(
+                            blocks[0]["children"], gmax * ct_size)
+                        groups = cl_mod.group_superclusters(
+                            block_cuts[0], super_cuts, gmax)
+                    if len(groups) > 512:
+                        # rare (many tiny tree groups): plain chunking
+                        # guarantees SC <= 512
+                        gmax = -(-(-(-total_c // 512)) // 8) * 8
+                        groups = [(k, min(gmax, total_c - k))
+                                  for k in range(0, total_c, gmax)]
+                    packed["sc_bounds"] = \
+                        cl_mod.supercluster_bounds(cb, groups)
+                    packed["__sc_gmax__"] = gmax
+                    log.vlog(1, "two-level clusters: %d groups x "
+                             "gmax %d", len(groups), gmax)
 
         # finalize kernel dispatch now that we know which fast paths
         # exist (measured on v5e at 262k incoherent lanes,
@@ -1569,6 +1617,7 @@ class Scene:
             "use_brute": ds["use_brute"],
             "cluster_tris": ds.get("cluster_tris", 0),
             "cluster_motion": ds.get("cluster_motion", False),
+            "sc_gmax": ds.get("sc_gmax", 0),
             "bvh_stack_depth": ds.get("bvh_stack_depth", 0),
             "volume_stack_depth": int(self.integrator.volume_stack_depth),
             "curve_prim_base": ds.get("curve_prim_base", 0),

@@ -113,6 +113,17 @@ def _use_pallas_clusters(kg):
     return bool(mode)
 
 
+def _use_pallas_clusters2(kg):
+    """Two-level walk backend select (big scenes pack sc_bounds).
+    "auto"/absent = TPU (or interpret-forced tests); off TPU the packed
+    BVH walk is the fallback twin."""
+    mode = kg.get("pallas_clusters2", "auto")
+    if mode == "auto":
+        return jax.default_backend() == "tpu" \
+            or bool(kg.get("pallas_interpret", False))
+    return bool(mode)
+
+
 def _use_pallas_occlusion(kg):
     """Dual-reduction volume-NEE sweep backend select. "auto" follows
     the main cluster dispatch (Pallas walk on TPU, never on use_brute
@@ -121,6 +132,10 @@ def _use_pallas_occlusion(kg):
     ds = kg["dscene"]
     if "cluster_bounds" not in ds or "cluster_boundary" not in ds \
             or int(kg.get("cluster_tris", 0)) <= 0:
+        return False
+    if "sc_bounds" in ds:
+        # two-level scenes: the single-level occlusion kernel would pin
+        # the whole (big) table in VMEM — dense stays the fallback
         return False
     mode = kg.get("pallas_occlusion", "auto")
     if mode == "auto":
@@ -140,7 +155,23 @@ def _scene_intersect_tris(kg, o, d, tmin, tmax, visibility, shadow=False,
                                 ds["tri_verts_world_t1"])
             if deform else None,
             time=time if deform else None)
-    if "cluster_bounds" in ds and int(kg.get("cluster_tris", 0)) > 0:
+    if "sc_bounds" in ds and int(kg.get("cluster_tris", 0)) > 0 \
+            and _use_pallas_clusters2(kg):
+        # big-scene two-level tile-shared walk (ops/pallas_cluster.py):
+        # rows stream from HBM, VMEM holds only the entry tables; off
+        # TPU the packed BVH below stays the twin (the XLA shortlist's
+        # (C, chunk) entry table would not scale to this C)
+        from raytracingproject_tpu.ops import pallas_cluster as pcl
+        return pcl.intersect_clusters2_pallas(
+            ds["sc_bounds"], ds["cluster_bounds"], ds["cluster_table"],
+            int(kg["cluster_tris"]), int(kg["sc_gmax"]), o, d, tmin,
+            tmax, visibility, shadow_any_hit=shadow,
+            has_instances=bool(kg.get("has_instances", False)),
+            time=time,
+            has_motion=bool(kg.get("cluster_motion", False)),
+            interpret=bool(kg.get("pallas_interpret", False)))
+    if "cluster_bounds" in ds and "sc_bounds" not in ds \
+            and int(kg.get("cluster_tris", 0)) > 0:
         if _use_pallas_clusters(kg):
             # tile-shared VMEM-resident walk (ops/pallas_cluster.py):
             # one dispatch for the whole wavefront, per-tile convergence

@@ -121,3 +121,56 @@ class TestParity:
         kg, ds = _cluster_scene(spheres="glossy")
         o, d = _rand_rays(1000, 5)
         _compare(kg, ds, o, d, gmax=8)
+
+
+class TestSceneIntegration:
+    """Scene packing + integrator dispatch for the two-level path:
+    force it by shrinking the single-level cap, then check the packed
+    tables and hit parity against the packed-BVH fallback twin."""
+
+    def _two_level_scene(self, monkeypatch, factory="cornell_box", **kw):
+        from raytracingproject_tpu.models import scene as scene_mod
+        monkeypatch.setattr(scene_mod, "CLUSTER_MAX_SINGLE_LEVEL", 2)
+        monkeypatch.setattr(scene_mod, "CLUSTER2_GROUP_TARGET", 8)
+        scene = getattr(examples, factory)(32, 32, spp=2, **kw)
+        scene.device_update()
+        kg = scene.make_kernel_globals()
+        return kg, kg["dscene"]
+
+    def test_packs_sc_bounds(self, monkeypatch):
+        kg, ds = self._two_level_scene(monkeypatch, spheres="glossy")
+        assert "sc_bounds" in ds
+        scb = np.asarray(ds["sc_bounds"])
+        assert scb.shape[1] == 8
+        assert int(kg["sc_gmax"]) >= 8
+        # groups cover every cluster exactly once
+        c = int(ds["cluster_bounds"].shape[0])
+        covered = sorted(
+            i for row in scb
+            for i in range(int(row[6]), int(row[6]) + int(row[7])))
+        assert covered == list(range(c))
+        # union bounds contain their members
+        cb = np.asarray(ds["cluster_bounds"])
+        for row in scb:
+            cs, gc = int(row[6]), int(row[7])
+            assert (row[0:3] <= cb[cs:cs + gc, 0:3].min(0) + 1e-6).all()
+            assert (row[3:6] >= cb[cs:cs + gc, 3:6].max(0) - 1e-6).all()
+
+    def test_dispatch_parity_vs_packed(self, monkeypatch):
+        from raytracingproject_tpu.ops import integrator as integ
+        kg, ds = self._two_level_scene(monkeypatch, spheres="glossy")
+        o, d = _rand_rays(512, 21)
+        n = o.shape[0]
+        tmin = jnp.full((n,), 1e-4, jnp.float32)
+        tmax = jnp.full((n,), 1e30, jnp.float32)
+        vis = jnp.full((n,), ob.PATH_RAY_CAMERA, jnp.uint32)
+        kg2 = {**kg, "use_brute": False, "pallas_clusters2": True,
+               "pallas_interpret": True}
+        got = integ._scene_intersect_tris(kg2, o, d, tmin, tmax, vis)
+        kgp = {**kg, "use_brute": False, "pallas_clusters2": False}
+        ref = integ._scene_intersect_tris(kgp, o, d, tmin, tmax, vis)
+        np.testing.assert_array_equal(np.asarray(ref["prim"]),
+                                      np.asarray(got["prim"]))
+        np.testing.assert_allclose(np.asarray(ref["t"]),
+                                   np.asarray(got["t"]), rtol=1e-5)
+        assert (np.asarray(ref["prim"]) >= 0).mean() > 0.2
