@@ -220,6 +220,80 @@ def instanced_scene(width=256, height=256, spp=32, grid=4, nlat=12,
     return scene
 
 
+def many_lights_scene(width=128, height=128, spp=16, grid=8,
+                      light_kind="mesh", seed=3, with_infinite=False,
+                      use_light_tree=False, glossy_floor=False):
+    """Many-light stress scene for the hierarchical light tree
+    (ops/light_tree.py): a grid x grid array of small emitters with
+    power varying over ~2 orders of magnitude above a large floor.
+    Each floor point is dominated by its nearest bright panel, so the
+    flat power-CDF pick wastes most samples on far lights while the
+    P-aware tree pick concentrates — the variance-ratio test in
+    tests/test_light_tree.py measures exactly that.
+
+    light_kind: 'mesh' (emissive quads), 'point', or 'spot' (pointing
+    down). with_infinite adds a distant sun + constant background (the
+    tree's infinite group)."""
+    rng = np.random.default_rng(seed)
+    scene = Scene()
+    scene.camera.set("matrix", tfm.look_at((10, -9, 9), (10, 10, 0),
+                                           (0, 0, 1)))
+    scene.camera.set("fov", 0.85)
+    scene.camera.set("width", width)
+    scene.camera.set("height", height)
+
+    floor_sh = (glossy_shader("ml_floor", (0.8, 0.8, 0.8), 0.25)
+                if glossy_floor else diffuse_shader("ml_floor",
+                                                    (0.7, 0.7, 0.7)))
+    scene.add_shader(floor_sh)
+    plane = make_plane_mesh((0, 0, 0), (20, 0, 0), (0, 20, 0), 0,
+                            "ml_floor")
+    plane.used_shaders = [floor_sh]
+    scene.add_object(Object("ml_floor", plane))
+
+    for i in range(grid):
+        for j in range(grid):
+            power = float(rng.uniform(0.5, 1.0)
+                          * (40.0 if (i + j) % 3 == 0 else 0.5))
+            color = (1.0, float(rng.uniform(0.4, 1.0)),
+                     float(rng.uniform(0.2, 0.9)))
+            cx = (i + 0.5) * 20.0 / grid
+            cy = (j + 0.5) * 20.0 / grid
+            if light_kind == "mesh":
+                sh = emission_shader(f"ml_e{i}_{j}", color, power)
+                scene.add_shader(sh)
+                quad = make_plane_mesh((cx - 0.4, cy - 0.4, 4.0),
+                                       (0.8, 0, 0), (0, 0.8, 0), 0,
+                                       f"ml_q{i}_{j}")
+                quad.used_shaders = [sh]
+                scene.add_object(Object(f"ml_q{i}_{j}", quad))
+            elif light_kind == "point":
+                scene.add_light(Light(
+                    f"ml_p{i}_{j}", light_type="point",
+                    co=(cx, cy, 4.0), size=0.05,
+                    strength=tuple(np.asarray(color) * power)))
+            else:  # spot, pointing down
+                sp = Light(f"ml_s{i}_{j}", light_type="spot",
+                           co=(cx, cy, 4.0),
+                           strength=tuple(np.asarray(color) * power))
+                sp.set("dir", (0, 0, -1))
+                sp.set("spot_angle", 1.1)
+                sp.set("spot_smooth", 0.15)
+                scene.add_light(sp)
+    if with_infinite:
+        scene.add_light(Light("ml_sun", light_type="distant",
+                              dir=(-0.3, 0.4, -0.85),
+                              strength=(1.5, 1.4, 1.2), angle=0.05))
+        scene.background.shader = background_shader(
+            "ml_sky", (0.2, 0.3, 0.45), 0.4)
+    else:
+        scene.background.shader = None
+    scene.integrator.set("aa_samples", spp)
+    scene.integrator.set("max_bounce", 3)
+    scene.integrator.set("use_light_tree", bool(use_light_tree))
+    return scene
+
+
 def dof_motion_scene(width=256, height=256, spp=32):
     """DoF + camera motion blur + adaptive sampling (BASELINE config 4)."""
     scene = cornell_box(width, height, spp, spheres="glossy")

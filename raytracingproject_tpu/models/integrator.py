@@ -58,6 +58,10 @@ class Integrator(Node):
         S("min_bounce", S.INT, 2),
         # light sampling
         S("light_sampling_threshold", S.FLOAT, 0.01),
+        # hierarchical many-light sampling (ops/light_tree.py): replaces
+        # the flat power CDF with a P-aware bounding-cone tree pick.
+        # Structural (repacks the scene), not a kint record.
+        S("use_light_tree", S.BOOLEAN, False),
         S("sample_all_lights_direct", S.BOOLEAN, True),
         S("sample_all_lights_indirect", S.BOOLEAN, True),
         # branched path per-type samples (ref: kernel_types.h:1362-1369)

@@ -250,6 +250,7 @@ class Scene:
             "curve_prim_base": packed.pop("__curve_prim_base__", 0),
             "curve_cluster_segs": packed.pop("__curve_cluster_segs__", 0),
             "film_transparent": bool(self.background.transparent),
+            "light_tree": dscene.pop("__light_tree__", None),
         }
         dscene.pop("__prim_source__", None)
         dscene.pop("__use_brute__", None)
@@ -1396,6 +1397,18 @@ class Scene:
         else:
             out_bg = bg_map
 
+        # ---- hierarchical light tree (ops/light_tree.py) ----
+        # Opt-in via integrator.use_light_tree; the flat CDF machinery
+        # above stays (fallback + within-infinite-group pick). Finite
+        # emitters (triangles, point/spot/area lamps) become tree
+        # leaves; distant + background form the infinite group.
+        lt_meta = None
+        lt_out = {}
+        if bool(getattr(self.integrator, "use_light_tree", False)) and D >= 2:
+            lt_meta, lt_out = self._build_light_tree(
+                packed, entries, lamp_arrays, tri_verts, prim_obj,
+                src_copies, num_l)
+
         out = {
             "portal_data": (np.stack(portal_rows).astype(np.float32)
                             if portal_rows else
@@ -1410,6 +1423,8 @@ class Scene:
         }
         out.update(lamp_arrays)
         out.update(out_bg)
+        out.update(lt_out)
+        out["__light_tree__"] = lt_meta
 
         # fill light columns of the packed prim table + build lamp table
         from raytracingproject_tpu.ops import lookup as lk
@@ -1458,6 +1473,113 @@ class Scene:
         else:
             out["light_entries"] = np.zeros((1, 4), np.float32)
         return out
+
+    # ------------------------------------------------------------------
+    def _build_light_tree(self, packed, entries, lamp_arrays, tri_verts,
+                          prim_obj, src_copies, num_l):
+        """Host-side light-tree build (ops/light_tree.py): leaf bounding
+        cones per finite emitter, balanced Morton heap, infinite-group
+        CDF. Writes the per-prim leaf slot into prim_table[PT_LT_LEAF]
+        so BSDF-hit MIS can re-derive the P-aware pick pmf with zero
+        extra gathers. Returns (meta, device-array dict)."""
+        from raytracingproject_tpu.ops import light_tree as ltree
+        from raytracingproject_tpu.ops import lookup as lk
+        ot = packed.get("object_table")
+        pt = packed.get("prim_table")
+        if pt is not None:
+            pt[:, lk.PT_LT_LEAF] = -1.0
+        fin_rows, fin_entries, fin_src = [], [], []
+        inf_entries, inf_powers, inf_is_bg = [], [], []
+        for etype, eid, power in entries:
+            if etype == 1:
+                # emissive triangle: world-space bounds; double-sided
+                # planar emitter => theta_o = theta_e = pi/2 (the pdf in
+                # sample_light uses |cos|, so both hemispheres emit)
+                v = tri_verts[eid].astype(np.float64)
+                oi = int(prim_obj[eid])
+                if ot is not None and 0 <= oi < len(ot):
+                    m = ot[oi, lk.OT_TFM:lk.OT_TFM + 12].reshape(3, 4)
+                    v = v @ m[:, :3].T + m[None, :, 3]
+                nrm = np.cross(v[1] - v[0], v[2] - v[0])
+                if np.linalg.norm(nrm) < 1e-20:
+                    nrm = np.array([0.0, 0.0, 1.0])
+                fin_rows.append(ltree.leaf_cluster(
+                    v.min(0), v.max(0), nrm, np.pi / 2, np.pi / 2, power))
+                fin_entries.append((1.0, float(eid), 0.0, 0.0))
+                fin_src.append((1, int(eid)))
+                continue
+            li = int(eid)
+            lt_type = int(lamp_arrays["lamp_type"][li])
+            if lt_type in (1, 2):       # distant / background: no
+                inf_entries.append((0.0, float(li), 0.0, 0.0))
+                inf_powers.append(max(float(power), 1e-12))
+                inf_is_bg.append(lt_type == 2)
+                continue
+            co = lamp_arrays["lamp_co"][li].astype(np.float64)
+            size = float(lamp_arrays["lamp_size"][li])
+            if lt_type == 3:            # area: rect bounds, one-sided
+                au = (lamp_arrays["lamp_axisu"][li].astype(np.float64)
+                      * 0.5 * float(lamp_arrays["lamp_sizeu"][li]))
+                av = (lamp_arrays["lamp_axisv"][li].astype(np.float64)
+                      * 0.5 * float(lamp_arrays["lamp_sizev"][li]))
+                corners = np.stack([co + au + av, co + au - av,
+                                    co - au + av, co - au - av])
+                lo, hi = corners.min(0), corners.max(0)
+                axis = np.cross(lamp_arrays["lamp_axisu"][li],
+                                lamp_arrays["lamp_axisv"][li])
+                if np.linalg.norm(axis) < 1e-20:
+                    axis = np.array([0.0, 0.0, 1.0])
+                th_o, th_e = 0.0, np.pi / 2
+            elif lt_type == 4:          # spot: emission cone = spot cone
+                lo, hi = co - size, co + size
+                axis = lamp_arrays["lamp_dir"][li]
+                th_o = 0.0
+                th_e = min(max(
+                    float(lamp_arrays["lamp_spot_angle"][li]) * 0.5,
+                    1e-3), np.pi)
+            else:                       # point: isotropic
+                lo, hi = co - size, co + size
+                axis, th_o, th_e = (0.0, 0.0, 1.0), np.pi, np.pi / 2
+            fin_rows.append(ltree.leaf_cluster(lo, hi, axis, th_o, th_e,
+                                               power))
+            fin_entries.append((0.0, float(li), 0.0, 0.0))
+            fin_src.append((0, li))
+        if not fin_rows:
+            return None, {}
+        tree_arrays, depth, leaf_of = ltree.build_light_tree(
+            np.stack(fin_rows), np.asarray(fin_entries, np.float32))
+        inf_energy = float(np.sum(inf_powers)) if inf_powers else 0.0
+        bg_inf_pmf = 0.0
+        if inf_powers:
+            ip = np.asarray(inf_powers, np.float64)
+            ipmf = ip / ip.sum()
+            icdf = np.concatenate([[0.0], np.cumsum(ipmf)])
+            icdf[-1] = 1.0
+            ient = np.asarray(inf_entries, np.float32)
+            ient[:, 2] = ipmf.astype(np.float32)
+            for k, isbg in enumerate(inf_is_bg):
+                if isbg:
+                    bg_inf_pmf = float(ipmf[k])
+            tree_arrays["lt_inf_cdf"] = icdf.astype(np.float32)
+            tree_arrays["lt_inf_entries"] = ient
+        else:
+            tree_arrays["lt_inf_cdf"] = np.array([0.0, 1.0], np.float32)
+            tree_arrays["lt_inf_entries"] = np.zeros((1, 4), np.float32)
+        lamp_leaf = [-1] * max(num_l, 1)
+        for fi, (kind, idx) in enumerate(fin_src):
+            slot = int(leaf_of[fi])
+            if kind == 1:
+                if pt is not None:
+                    pt[idx, lk.PT_LT_LEAF] = float(slot)
+                    # spatial-split copies carry the canonical leaf so a
+                    # hit on ANY copy re-derives the same pick pmf
+                    for cp in src_copies.get(idx, ()):
+                        pt[cp, lk.PT_LT_LEAF] = float(slot)
+            else:
+                lamp_leaf[idx] = slot
+        meta = {"depth": int(depth), "inf_energy": inf_energy,
+                "bg_inf_pmf": bg_inf_pmf, "lamp_leaf": lamp_leaf}
+        return meta, tree_arrays
 
     # ------------------------------------------------------------------
     def _estimate_volume_majorants(self):
@@ -1646,6 +1768,9 @@ class Scene:
             "film_transparent": ds["film_transparent"],
             "num_area_lamps": num_area_lamps,
             "lamp_types": lamp_types,
+            # hierarchical light-pick meta (static depths/energies;
+            # device arrays live in dscene as lt_*) — None = flat CDF
+            "light_tree": ds.get("light_tree"),
             "bg_map_res": tuple(self.dscene["arrays"].pop(
                 "__bg_map_res__", (0, 0))),
             "shader_has_volume": [bool(s.has_volume) for s in self.shaders],

@@ -334,6 +334,14 @@ def make_path_kernel(kg, px, py, pixel_index):
     ds = kg["dscene"]
     has_lights = int(ds["light_dist_type"].shape[0]) > 0
     bg_pmf = float(ds["bg_pmf"])
+    # hierarchical many-light pick (ops/light_tree.py). The pick pmf
+    # becomes a function of the receiving point, so the path state
+    # threads P_mis — the exact point this bounce's NEE sampled from —
+    # and every BSDF-hit MIS site re-derives the pmf there (twin walks
+    # are bit-exact at equal P, keeping the weights summing to one).
+    light_tree = kg.get("light_tree")
+    if "light_tree" in kg.get("debug_ablate", ()):
+        light_tree = None
     # DebugFlags analog (ref: util/util_debug.h): statically disable
     # pipeline stages for profiling/debugging via kg["debug_ablate"].
     ablate = kg.get("debug_ablate", ())
@@ -412,6 +420,10 @@ def make_path_kernel(kg, px, py, pixel_index):
             "bounce": jnp.zeros((n,), jnp.int32),
             "sample": samples_u32,
         }
+        if light_tree is not None:
+            # the previous bounce's NEE point (pdf_prev's twin); camera
+            # rays never weight by it (singular_prev), zeros are fine
+            state["P_mis"] = jnp.zeros((n, 3), prec.FT)
         if has_volume:
             # K-level volume stack (ref: kernel_types.h:1035
             # VolumeStack): vol_shader = current medium (top),
@@ -630,7 +642,8 @@ def make_path_kernel(kg, px, py, pixel_index):
                 contrib = _clamp_contrib(contrib, clamp_indirect)
                 L = jnp.where(m[:, None], L + contrib, L)
             light_ops.lamp_hits(ds, kg["lamp_types"], st["o"], st["d"],
-                                st["tmax"], lamp_accum)
+                                st["tmax"], lamp_accum, tree=light_tree,
+                                P_mis=st.get("P_mis"))
 
         # ---- background (ref: indirect_background) ----
         miss = alive & ~found & ~scattered
@@ -642,12 +655,17 @@ def make_path_kernel(kg, px, py, pixel_index):
             # importance map, mixed 50/50 with portal-rect sampling when
             # portals exist (must match sample_light's mixture exactly
             # for the MIS weights to sum to 1)
+            if light_tree is not None:
+                from raytracingproject_tpu.ops import light_tree as ltree
+                pick_bg = ltree.bg_pick_pmf(ds, light_tree, st["P_mis"])
+            else:
+                pick_bg = bg_pmf
             if int(ds["portal_data"].shape[0]):
-                pdf_bg = bg_pmf * (
+                pdf_bg = pick_bg * (
                     0.5 * light_ops.bg_map_pdf(ds, st["d"])
                     + 0.5 * light_ops.portal_pdf(ds, st["o"], st["d"]))
             else:
-                pdf_bg = bg_pmf * light_ops.bg_map_pdf(ds, st["d"])
+                pdf_bg = pick_bg * light_ops.bg_map_pdf(ds, st["d"])
             w_bg = jnp.where(st["singular_prev"], 1.0,
                              um.power_heuristic(st["pdf_prev"], pdf_bg))
         else:
@@ -925,7 +943,8 @@ def make_path_kernel(kg, px, py, pixel_index):
         has_emis = jnp.any(emis > 0.0, axis=-1)
         cos_hit = um.dot(sd.Ng, sd.I)
         pdf_light = light_ops.triangle_light_pdf(
-            ds, (sd.prim_row, sd.object_tfm), hit["t"], cos_hit) \
+            ds, (sd.prim_row, sd.object_tfm), hit["t"], cos_hit,
+            tree=light_tree, P_mis=st.get("P_mis")) \
             if has_lights else 0.0
         w_emis = jnp.where(st["singular_prev"], 1.0,
                            um.power_heuristic(st["pdf_prev"], pdf_light))
@@ -955,7 +974,8 @@ def make_path_kernel(kg, px, py, pixel_index):
         if has_lights:
             P_nee = jnp.where(scattered[:, None], P_scatter, sd.P) \
                 if has_medium else sd.P
-            ls = light_ops.sample_light(ds, P_nee, sel_u, lu, lv)
+            ls = light_ops.sample_light(ds, P_nee, sel_u, lu, lv,
+                                        tree=light_tree)
             l_eval = ls["eval"]  # tri emission already folded in
             if bg_pmf > 0.0:
                 # background-light NEE evaluates the bg shader along the
@@ -1513,6 +1533,15 @@ def make_path_kernel(kg, px, py, pixel_index):
             "bounce": bounce + 1,
             "sample": st["sample"],
         }
+        if light_tree is not None:
+            # pdf_prev's twin: the point NEE sampled from this bounce;
+            # kept through singular/transparent bounces exactly like
+            # pdf_prev so the MIS-side walk re-derives the pmf the
+            # sample-side pick actually used
+            p_nee_pt = (jnp.where(scattered[:, None], P_scatter, sd.P)
+                        if has_medium else sd.P)
+            out["P_mis"] = jnp.where(is_sing[:, None], st["P_mis"],
+                                     p_nee_pt)
         if has_volume:
             out["vol_shader"] = new_vol
             out["vol_rest"] = new_rest

@@ -83,7 +83,8 @@ def portal_pdf(dscene, P, D):
     return total / k_num
 
 
-def sample_light(dscene, P, u_sel, u1, u2, time=None, rows=None):
+def sample_light(dscene, P, u_sel, u1, u2, time=None, rows=None,
+                 tree=None):
     """Sample one light point for NEE from shading points P (N, 3).
 
     Four wide-table lookups total (entries, prim_table, object_table,
@@ -92,7 +93,14 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None, rows=None):
     the random numbers, not on P — callers that re-evaluate the same
     sampled light from a second observer point (the equiangular volume
     estimator, ref: kernel_volume.h:978-1050) pass the first call's
-    returned `rows` back in and skip every lookup.
+    returned `rows` back in and skip every lookup. (With the light
+    tree the pick DOES depend on P; the reused `rows` then carry the
+    original pick point's pmf, which is exactly the pmf the estimator
+    divided by — still consistent.)
+
+    tree: kg["light_tree"] meta — when set, the pick walks the
+    bounding-cone hierarchy (ops/light_tree.py) instead of the flat
+    power CDF, making the selection pmf receiver-aware.
 
     Returns dict: valid, delta (no-MIS lanes), D (unit dir to light),
     dist, pdf (solid angle x selection), eval ((N,3) emitted radiance
@@ -102,7 +110,11 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None, rows=None):
     from raytracingproject_tpu.ops import lookup as lk
     n = P.shape[0]
     if rows is None:
-        _entry, erow = light_distribution_sample(dscene, u_sel)
+        if tree is not None:
+            from raytracingproject_tpu.ops import light_tree as ltree
+            erow = ltree.sample_entry(dscene, tree, P, u_sel)
+        else:
+            _entry, erow = light_distribution_sample(dscene, u_sel)
         prim0 = jnp.maximum(
             jnp.where(erow[:, 0].astype(jnp.int32) == 1,
                       erow[:, 1].astype(jnp.int32), 0), 0)
@@ -342,7 +354,8 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None, rows=None):
                                                  jnp.where(is_distant[:, None],
                                                            eval_distant, eval_bg)))))
 
-    valid = (pdf > 1e-12) & (jnp.where(is_tri, jnp.abs(cos_l), 1.0) > 1e-6)
+    valid = (pdf > 1e-12) & (jnp.where(is_tri, jnp.abs(cos_l), 1.0) > 1e-6) \
+        & (erow[:, 1] >= 0.0)   # light-tree pad leaves carry id -1
     return {
         "valid": valid, "delta": delta, "D": D, "dist": dist, "pdf": pdf,
         "eval": ev, "Ng_l": Ng_l, "is_tri": is_tri, "tri_prim": prim,
@@ -351,14 +364,26 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None, rows=None):
     }
 
 
-def triangle_light_pdf(dscene, prim_row, t_hit, cos_hit):
+def triangle_light_pdf(dscene, prim_row, t_hit, cos_hit, tree=None,
+                       P_mis=None):
     """pdf (solid angle) with which NEE would sample the emissive
     triangle hit by a BSDF ray (ref: triangle_light_pdf). Takes the
     already-fetched prim_table rows + their object rows to avoid
-    re-lookup."""
+    re-lookup. With the light tree, the flat pmf column is replaced by
+    the P-aware walk pmf re-derived at P_mis — the point the previous
+    bounce's NEE sampled from (bit-exact twin of the sample-side pick,
+    so the MIS weights sum to one)."""
     from raytracingproject_tpu.ops import lookup as lk
     prow, otfm = prim_row
-    pmf = prow[:, lk.PT_LIGHT_PMF]
+    if tree is not None:
+        from raytracingproject_tpu.ops import light_tree as ltree
+        leaf = prow[:, lk.PT_LT_LEAF].astype(jnp.int32)
+        pmf = jnp.where(leaf >= 0,
+                        ltree.finite_pmf(dscene, tree, P_mis,
+                                         jnp.maximum(leaf, 0)),
+                        0.0)
+    else:
+        pmf = prow[:, lk.PT_LIGHT_PMF]
     n = prow.shape[0]
     tv = prow[:, lk.PT_V0:lk.PT_V0 + 9].reshape(n, 3, 3)
     v0 = um.mat34_point(otfm, tv[:, 0])
@@ -369,12 +394,19 @@ def triangle_light_pdf(dscene, prim_row, t_hit, cos_hit):
     return pdf * pmf
 
 
-def lamp_hits(dscene, lamp_types, o, d, tmax, accum_fn):
+def lamp_hits(dscene, lamp_types, o, d, tmax, accum_fn, tree=None,
+              P_mis=None):
     """Analytic area-lamp intersection for BSDF-MIS
     (ref: indirect_lamp_emission). Calls accum_fn(emission, pdf, t, mask)
     once per lamp; cheap since lamp counts are tiny. `lamp_types` is the
     HOST-side python list of lamp type ints (static — device arrays
-    become tracers inside jit and cannot steer python control flow)."""
+    become tracers inside jit and cannot steer python control flow).
+    With the light tree the static lamp_pmf is replaced by the P-aware
+    walk pmf at P_mis (the previous NEE point) for each lamp's static
+    leaf slot."""
+    if tree is not None:
+        from raytracingproject_tpu.ops import light_tree as ltree
+        lamp_leaf = tree["lamp_leaf"]
     for li, ltype in enumerate(lamp_types):
         if int(ltype) != LIGHT_AREA:
             continue
@@ -398,7 +430,12 @@ def lamp_hits(dscene, lamp_types, o, d, tmax, accum_fn):
             & (jnp.abs(uu) <= 0.5) & (jnp.abs(vv) <= 0.5)
         area = jnp.maximum(sizeu * sizev * um.length(um.cross(axisu, axisv)),
                            1e-12)
-        pmf = dscene["lamp_pmf"][li]
+        if tree is not None and lamp_leaf[li] >= 0:
+            pmf = ltree.finite_pmf(
+                dscene, tree, P_mis,
+                jnp.full(o.shape[:1], lamp_leaf[li], jnp.int32))
+        else:
+            pmf = dscene["lamp_pmf"][li]
         pdf = um.safe_divide(t * t, jnp.abs(denom) * area, 0.0) * pmf
         emission = jnp.broadcast_to(dscene["lamp_strength"][li], o.shape)
         accum_fn(li, emission, pdf, t, mask)

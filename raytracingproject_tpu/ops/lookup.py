@@ -8,8 +8,9 @@ scene packer therefore concatenates all per-primitive (resp. per-object,
 per-lamp) attributes into ONE wide float32 table and the kernels fetch
 each with a single `lookup_rows` call:
 
-  prim_table   (P, 32): verts(9) vnormal(9) uv(6) shader smooth
-                        emission(3) light_pmf object
+  prim_table   (P, 36): verts(9) vnormal(9) uv(6) shader smooth
+                        emission(3) light_pmf object tangent(3) curve
+                        lt_leaf
   object_table (O, 48): tfm(12) itfm(12) itfm_gen(12) color(3) random
                         bounds(6) visibility flags
   lamp_table   (L, 24): type co(3) dir(3) size axisu(3) axisv(3)
@@ -47,7 +48,11 @@ PT_CURVE = 34      # 1.0 on native curve-segment rows. Those rows remap
 #                    the prim table so shader_setup stays one gather):
 #                    V0:V0+3 = segment p0, V0+3:V0+6 = p1-p0,
 #                    V0+6/V0+7 = r0/r1, UV/UV+1 = strand v at the ends
-PT_COLS = 35
+PT_LT_LEAF = 35    # light-tree leaf slot of an emissive prim, -1 when
+#                    the prim is not a light (or the tree is disabled);
+#                    BSDF-hit MIS re-derives the P-dependent pick pmf
+#                    from it (ops/light_tree.py finite_pmf)
+PT_COLS = 36
 
 # object_table column layout
 OT_TFM = 0         # 0:12
