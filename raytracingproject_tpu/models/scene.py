@@ -1869,6 +1869,11 @@ class Scene:
                     [getattr(s, "bevel_samples", 0)
                      for s in self.shaders] + [0]), 8) or 4,
                 "has_bump": any(s.has_bump() for s in self.shaders),
+                # BumpNode / NormalMapNode linked into BSDF normal
+                # inputs: compile the custom_N substitution in
+                "has_custom_normal": any(
+                    getattr(s, "has_custom_normal", False)
+                    for s in self.shaders),
             },
         }
 

@@ -121,6 +121,77 @@ class ShaderGraph:
                 visit(n)
         return order
 
+    def _stamp_custom_normal(self, ctx, node, inp, out):
+        """A BSDF node with a LINKED normal input records it on its
+        closure output as custom_N — the integrator substitutes it for
+        sd.N in BSDF math (ref: per-ShaderClosure N; see
+        ops/closures.py for the shared-normal approximation)."""
+        if self.links.get((id(node), "normal")) is None:
+            return
+        nv = inp.get("normal")
+        if nv is None:
+            return
+        import jax.numpy as jnp
+        from raytracingproject_tpu.utils import precision as prec
+        for (oname, _t) in node.OUTPUTS:
+            v = out.get(oname)
+            if cl.is_closure(v):
+                v["custom_N"] = jnp.broadcast_to(
+                    jnp.asarray(nv, prec.FT), ctx.batch_shape + (3,))
+
+    def _eval_subgraph(self, ctx, node, values):
+        """Evaluate `node` and its upstream dependencies under `ctx`,
+        memoizing into `values`. Used to re-trace the height subgraph of
+        a BumpNode at offset contexts (the traced analog of the
+        reference's bump graph duplication, render/graph.cpp
+        bump_from_displacement). Nested bump nodes inside a height
+        subgraph pass through (no differentials at that level)."""
+        if (id(node), "__done__") in values:
+            return values
+        values[(id(node), "__done__")] = True
+        inp = {}
+        for (iname, itype, _d) in node.INPUTS:
+            link = self.links.get((id(node), iname))
+            if link is not None:
+                from_node, from_socket = link
+                self._eval_subgraph(ctx, from_node, values)
+                inp[iname] = values[(id(from_node), from_socket)]
+            else:
+                inp[iname] = node.input_default(ctx, iname, itype)
+        if getattr(node, "IS_BUMP", False):
+            inp["__bump__"] = None
+        out = node.eval(ctx, inp)
+        self._stamp_custom_normal(ctx, node, inp, out)
+        for (oname, _t) in node.OUTPUTS:
+            values[(id(node), oname)] = out[oname]
+        return values
+
+    def _bump_aux(self, ctx, order):
+        """Per-BumpNode (h_c, h_x, h_y, dPdx, dPdy) tuples: the height
+        subgraph re-traced at two barycentric-offset contexts. XLA DCE
+        keeps only the height-feeding ops of the offset traces, so each
+        bump costs its height subgraph twice more — same cost model as
+        the reference's duplicated bump graph."""
+        bump_nodes = [n for n in order
+                      if getattr(n, "IS_BUMP", False)
+                      and (id(n), "height") in self.links]
+        if not bump_nodes:
+            return {}
+        from raytracingproject_tpu.ops import shade as _shade
+        off = _shade.bump_offset_contexts(ctx)
+        if off is None:
+            return {}
+        ctx_c, ctx_x, ctx_y, dPdx, dPdy = off
+        vals_c, vals_x, vals_y = {}, {}, {}
+        aux = {}
+        for bn in bump_nodes:
+            src, sock = self.links[(id(bn), "height")]
+            h_c = self._eval_subgraph(ctx_c, src, vals_c)[(id(src), sock)]
+            h_x = self._eval_subgraph(ctx_x, src, vals_x)[(id(src), sock)]
+            h_y = self._eval_subgraph(ctx_y, src, vals_y)[(id(src), sock)]
+            aux[id(bn)] = (h_c, h_x, h_y, dPdx, dPdy)
+        return aux
+
     def evaluate(self, ctx):
         """Trace the graph for shading context `ctx` (ops/shade.ShaderData
         view). Returns dict with 'surface' closures, 'volume' closures,
@@ -128,7 +199,9 @@ class ShaderGraph:
         values = {}
         aovs = {}
         result = None
-        for node in self.topo_order():
+        order = self.topo_order()
+        bump_aux = self._bump_aux(ctx, order)
+        for node in order:
             inp = {}
             for (iname, itype, _d) in node.INPUTS:
                 link = self.links.get((id(node), iname))
@@ -138,7 +211,10 @@ class ShaderGraph:
                 else:
                     v = node.input_default(ctx, iname, itype)
                 inp[iname] = v
+            if getattr(node, "IS_BUMP", False):
+                inp["__bump__"] = bump_aux.get(id(node))
             out = node.eval(ctx, inp)
+            self._stamp_custom_normal(ctx, node, inp, out)
             for (oname, _t) in node.OUTPUTS:
                 values[(id(node), oname)] = out[oname]
             if node is self.output_node:
@@ -243,11 +319,16 @@ class Shader(Node):
         self.ao_inside = False
         self.bevel_radius = 0.0
         self.bevel_samples = 0
+        self.has_custom_normal = False
 
         def linked(node, sock):
             return self.graph.links.get((id(node), sock)) is not None
 
         for node in self.graph.nodes:
+            if linked(node, "normal") and any(
+                    t == "closure" for (_n, t) in node.OUTPUTS):
+                # a BSDF consumes a custom normal (bump / normal map)
+                self.has_custom_normal = True
             if isinstance(node, (sn.EmissionNode, sn.BackgroundNode)):
                 self.has_surface_emission = True
             if isinstance(node, sn.TransparentBsdfNode):

@@ -1143,6 +1143,80 @@ class NormalMapNode(ShaderNode):
         return {"normal": n}
 
 
+class BumpNode(ShaderNode):
+    """Mid-graph height→normal perturbation (ref: nodes.h:1424 BumpNode,
+    kernel/svm/svm_displace.h svm_node_set_bump).
+
+    The reference duplicates the height subgraph three times at compile
+    time and differentiates with ray differentials; here the graph
+    evaluator re-traces the height subgraph at two barycentric-offset
+    contexts (ShaderGraph._bump_aux) and this node combines the three
+    samples with the reference's surface-gradient formula. Off-surface
+    contexts (background/volume) pass the input normal through."""
+    NODE_NAME = "bump"
+    IS_BUMP = True
+    INPUTS = [("height", "float", 1.0), ("distance", "float", 0.1),
+              ("strength", "float", 1.0),
+              ("normal", "normal", (0.0, 0.0, 0.0))]
+    OUTPUTS = [("normal", "normal")]
+    PARAMS = [S("invert", S.BOOLEAN, False),
+              S("use_object_space", S.BOOLEAN, False)]
+
+    def eval(self, ctx, inp):
+        N_in = _normal(ctx, inp["normal"])
+        aux = inp.get("__bump__")
+        if aux is None:
+            return {"normal": N_in}
+        h_c, h_x, h_y, dPdx, dPdy = aux
+        h_c = _bf(ctx, h_c)
+        h_x = _bf(ctx, h_x)
+        h_y = _bf(ctx, h_y)
+
+        if self.use_object_space and ctx.object_row is not None:
+            # work in object space: dirs by the inverse transform,
+            # normals by its transpose (ref: object_inverse_*_transform)
+            from raytracingproject_tpu.ops import lookup as lk
+            oitfm = lk.mat34(
+                ctx.object_row[:, lk.OT_ITFM:lk.OT_ITFM + 12])
+            N_w = N_in
+            N_in = um.safe_normalize(um.mat33T_dir(ctx.object_tfm, N_in))
+            dPdx = um.mat34_dir(oitfm, dPdx)
+            dPdy = um.mat34_dir(oitfm, dPdy)
+        else:
+            oitfm = None
+
+        Rx = um.cross(dPdy, N_in)
+        Ry = um.cross(N_in, dPdx)
+        det = um.dot(dPdx, Rx)
+        surfgrad = (h_x - h_c)[..., None] * Rx + (h_y - h_c)[..., None] * Ry
+        absdet = jnp.abs(det)
+        strength = jnp.maximum(_bf(ctx, inp["strength"]), 0.0)
+        scale = _bf(ctx, inp["distance"])
+        if self.invert:
+            scale = -scale
+        n_out = um.safe_normalize(
+            absdet[..., None] * N_in
+            - (scale * jnp.sign(det))[..., None] * surfgrad)
+        degenerate = um.dot(n_out, n_out) < 0.5
+        n_out = jnp.where(
+            degenerate[..., None], N_in,
+            um.safe_normalize(strength[..., None] * n_out
+                              + (1.0 - strength)[..., None] * N_in))
+        if oitfm is not None:
+            n_out = um.safe_normalize(um.mat33T_dir(oitfm, n_out))
+            n_out = jnp.where(degenerate[..., None], N_w, n_out)
+        # keep the result in the visible hemisphere wrt the geometric
+        # normal (ref: ensure_valid_reflection)
+        if ctx.Ng is not None:
+            d_ng = um.dot(n_out, ctx.Ng)
+            n_out = jnp.where(
+                (d_ng < 0.0)[..., None],
+                um.safe_normalize(
+                    n_out + ctx.Ng * (1e-3 - 2.0 * d_ng)[..., None]),
+                n_out)
+        return {"normal": n_out}
+
+
 # ===========================================================================
 # Extended texture / color nodes (second batch of the ~100-node library)
 # ===========================================================================

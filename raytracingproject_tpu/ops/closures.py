@@ -30,7 +30,8 @@ CLOSURE_VEC_KEYS = ("emission", "diffuse", "glossy", "refraction",
                     "transparent", "subsurface", "subsurface_radius",
                     "holdout", "hair", "hair_sigma",
                     "toon_diffuse", "toon_glossy", "sheen",
-                    "glossy_tangent", "chair_refl", "chair_trans")
+                    "glossy_tangent", "chair_refl", "chair_trans",
+                    "custom_N")
 CLOSURE_SCALAR_KEYS = ("glossy_roughness", "refraction_roughness", "ior",
                        "diffuse_roughness", "glossy_multiscatter",
                        "subsurface_burley", "hair_v", "hair_s",
@@ -45,6 +46,14 @@ CLOSURE_SCALAR_KEYS = ("glossy_roughness", "refraction_roughness", "ior",
 # scale with mix factors, they blend by the slot's weight
 _PARAM_VEC = {"subsurface_radius": "subsurface", "hair_sigma": "hair",
               "glossy_tangent": "glossy"}
+
+# custom_N: per-material shading-normal override (BumpNode/NormalMapNode
+# linked into BSDF normal inputs). It scales like a weight so closure
+# mixes average it, but by the SCALAR mean of a color factor — a
+# componentwise color scale would skew the direction. Consumers
+# renormalize; all-zero means "use sd.N". This is one shared normal per
+# closure stack, not the reference's per-ShaderClosure N — the
+# approximation covers the dominant one-bump-per-material pattern.
 
 # which slot's weight governs a scalar parameter's blend in add/mix
 _SCALAR_SLOT = {
@@ -133,6 +142,9 @@ def scale_closures(c, fac):
     for k in CLOSURE_VEC_KEYS:
         if k in _PARAM_VEC:
             continue  # radius/sigma are parameters, not weights
+        if k == "custom_N":
+            out[k] = c[k] * jnp.mean(fac3, axis=-1, keepdims=True)
+            continue
         out[k] = c[k] * fac3
     return out
 

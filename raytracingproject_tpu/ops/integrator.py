@@ -858,6 +858,24 @@ def make_path_kernel(kg, px, py, pixel_index):
             sd.N = jnp.where(sss_exit[:, None], -sd.N, sd.N)
             sd.Ng = jnp.where(sss_exit[:, None], -sd.Ng, sd.Ng)
 
+        # ---- custom shading normal (BumpNode / NormalMapNode linked
+        # into a BSDF normal input, recorded as closures["custom_N"]):
+        # substitutes for sd.N in BSDF eval/sample ONLY — ray offsets
+        # and MIS geometry stay on the true frame (ref: per-closure N
+        # in ShaderClosure; compiled in only when a scene shader links
+        # one, like every other feature flag) ----
+        N_bsdf = sd.N
+        if kg.get("features", {}).get("has_custom_normal"):
+            cN = closures["custom_N"]
+            use_cn = um.dot(cN, cN) > 1e-12
+            cNn = um.safe_normalize(cN)
+            d_ng = um.dot(cNn, sd.Ng)
+            cNn = jnp.where(
+                (d_ng < 0.0)[:, None],
+                um.safe_normalize(cNn + sd.Ng * (1e-3 - 2.0 * d_ng)[:, None]),
+                cNn)
+            N_bsdf = jnp.where(use_cn[:, None], cNn, sd.N)
+
         # ---- AO pass (ref: kernel_path.h kernel_path_ao): one cosine
         # hemisphere occlusion probe at the camera hit ----
         if aux_names and "ao" in aux_names:
@@ -986,11 +1004,11 @@ def make_path_kernel(kg, px, py, pixel_index):
                 l_eval = jnp.where(ls["is_bg"][:, None], bg_l, l_eval)
             if light_passes:
                 f_l, pdf_fwd, f_comp = bsdf_ops.bsdf_eval(
-                    closures, sd.N, sd.I, ls["D"], kg.get("features"),
+                    closures, N_bsdf, sd.I, ls["D"], kg.get("features"),
                     want_components=True, sd=sd)
             else:
                 f_l, pdf_fwd = bsdf_ops.bsdf_eval(
-                    closures, sd.N, sd.I, ls["D"], kg.get("features"),
+                    closures, N_bsdf, sd.I, ls["D"], kg.get("features"),
                     sd=sd)
             if has_medium:
                 from raytracingproject_tpu.ops import volume as vol_ops2
@@ -1358,8 +1376,8 @@ def make_path_kernel(kg, px, py, pixel_index):
                         st["aux_volume_direct"])
 
         # ---- BSDF bounce (ref: kernel_path_surface_bounce) ----
-        bs = bsdf_ops.bsdf_sample(closures, sd.N, sd.Ng, sd.I, bu, bv, lobe_u,
-                                  kg.get("features"), sd=sd)
+        bs = bsdf_ops.bsdf_sample(closures, N_bsdf, sd.Ng, sd.I, bu, bv,
+                                  lobe_u, kg.get("features"), sd=sd)
         if has_medium:
             from raytracingproject_tpu.ops import volume as vol_ops3
             ph_dir, ph_pdf = vol_ops3.hg_phase_sample(st["d"], vol_g, bu, bv)

@@ -390,25 +390,26 @@ def eval_shaders_sorted(shaders, sd, shader_id, chunk=4096):
     return _unpack_closures(unsorted)
 
 
-def eval_bump_normals(shaders, sd, shader_id, bump_slots):
-    """Shade-time bump mapping (ref: kernel/svm/svm_displace.h
-    svm_node_set_bump + ShaderGraph bump duplication, render/graph.cpp).
+def bump_offset_contexts(sd):
+    """Finite-difference shading contexts for shade-time bump.
 
-    The reference differentiates the displacement height with ray
-    differentials; here the finite-difference step rides the hit
-    triangle's own barycentric frame, rebuilt from the cached prim row
-    (no extra table lookups). For each shader whose displacement_method
-    requests bump, the displacement graph is evaluated at the hit and
-    at two barycentric offsets; the surface gradient of the height
-    perturbs N (f(P) = P + h*N  =>  N' ~ N - grad_tangent h). XLA dead-
-    code-eliminates the surface closures of the two offset evals, so
-    each bump shader costs only its displacement subgraph twice more.
+    Returns (ctx_c, ctx_x, ctx_y, dPdx, dPdy): the hit context rebuilt
+    at its own barycentrics plus two barycentric-offset twins, and the
+    world-space deltas the offsets correspond to. The center context is
+    RECONSTRUCTED (triangle lerp) rather than the caller's sd so the
+    differencing is consistent — reconstruction error cancels. Returns
+    None when sd lacks hit geometry (background/volume contexts), in
+    which case bump must pass through.
 
-    Returns the per-lane (possibly) bumped shading normal."""
+    Ref: ray-differential dP.dx/dP.dy in kernel/kernel_differential.h;
+    here the step rides the triangle's own barycentric frame so no
+    extra table fetches are needed."""
     import dataclasses
     from raytracingproject_tpu.ops import lookup as lk
-    if not any(bump_slots):
-        return sd.N
+    if not isinstance(sd, ShaderData) \
+            or sd.prim_row is None or sd.bary_u is None \
+            or sd.object_tfm is None:
+        return None
     prow = sd.prim_row
     otfm = sd.object_tfm
     n = prow.shape[0]
@@ -437,6 +438,30 @@ def eval_bump_normals(shaders, sd, shader_id, bump_slots):
     # world-space offsets corresponding to the barycentric steps
     e1 = um.mat34_dir(otfm, tv[:, 1] - tv[:, 0]) * DELTA
     e2 = um.mat34_dir(otfm, tv[:, 2] - tv[:, 0]) * DELTA
+    return ctx0, ctx1, ctx2, e1, e2
+
+
+def eval_bump_normals(shaders, sd, shader_id, bump_slots):
+    """Shade-time bump mapping (ref: kernel/svm/svm_displace.h
+    svm_node_set_bump + ShaderGraph bump duplication, render/graph.cpp).
+
+    The reference differentiates the displacement height with ray
+    differentials; here the finite-difference step rides the hit
+    triangle's own barycentric frame, rebuilt from the cached prim row
+    (no extra table lookups). For each shader whose displacement_method
+    requests bump, the displacement graph is evaluated at the hit and
+    at two barycentric offsets; the surface gradient of the height
+    perturbs N (f(P) = P + h*N  =>  N' ~ N - grad_tangent h). XLA dead-
+    code-eliminates the surface closures of the two offset evals, so
+    each bump shader costs only its displacement subgraph twice more.
+
+    Returns the per-lane (possibly) bumped shading normal."""
+    if not any(bump_slots):
+        return sd.N
+    off = bump_offset_contexts(sd)
+    if off is None:
+        return sd.N
+    ctx0, ctx1, ctx2, e1, e2 = off
 
     N = sd.N
     new_N = N
