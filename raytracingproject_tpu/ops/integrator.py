@@ -489,13 +489,21 @@ def make_path_kernel(kg, px, py, pixel_index):
             # so every lobe/light whose CDF span exceeds 1/branch is
             # deterministically covered across the branch set; unbiased
             # because (k + u)/n remains uniform on [0,1)).
-            k_strat, n_strat = st["lobe_strat"]
+            k_strat, n_strat, k_place = st["lobe_strat"]
             first = bounce == 0
             lobe_u = jnp.where(first, (k_strat + lobe_u) / n_strat, lobe_u)
             # sel_u is the light-SELECTION random (sample_light CDF
             # inversion); lu/lv only place the sample on the chosen
             # light's surface
             sel_u = jnp.where(first, (k_strat + sel_u) / n_strat, sel_u)
+            # lu carries the background portal-vs-map decision and the
+            # on-light placement u: stratify it too, but on a per-AA-
+            # sample Latin ROTATION of the branch index (k_place) — the
+            # raw index would lock each light's placement bin to the
+            # branch that picks it (sel_u and lu bins would pair
+            # diagonally forever: a bin-0 light would never see
+            # lu >= 1/n, so portals could never trigger for it).
+            lu = jnp.where(first, (k_place + lu) / n_strat, lu)
 
         vis_ray = jnp.where(
             st["path_flag"] & ob.PATH_RAY_CAMERA > 0,
@@ -1823,10 +1831,21 @@ def render_samples_branched(kg, px, py, pixel_index, aa_start, num_aa,
         st = start_paths(s_path, samples_cam=s_cam)
         if lobe_split:
             # per-lobe/per-light forced split at the first bounce: the
-            # branch index stratifies the pick randoms (see bounce_body)
+            # branch index stratifies the pick randoms (see bounce_body).
+            # The placement random gets a per-(lane, AA-sample) Latin
+            # rotation of the branch index so placement bins decorrelate
+            # from the light-pick bins (portal-aware branched NEE).
+            rot_u = rngu.uint_to_float_01(rngu.hash_pcg3d(
+                pixel_index.astype(jnp.uint32),
+                jnp.uint32(aa_start) + aa.astype(jnp.uint32),
+                jnp.uint32(0x9D0C7A5B)))
+            k_place = jnp.mod(
+                k.astype(prec.FT)
+                + jnp.floor(rot_u * float(branch)), float(branch))
             st["lobe_strat"] = (
                 jnp.broadcast_to(k.astype(prec.FT), (n,)),
-                jnp.full((n,), float(branch), prec.FT))
+                jnp.full((n,), float(branch), prec.FT),
+                jnp.broadcast_to(k_place, (n,)))
         fin = jax.lax.fori_loop(0, max_bounce + 1,
                                 lambda i, s: step(i, s), st)
         return (L + fin["L"], A + fin["alpha"])

@@ -88,3 +88,30 @@ class TestPortals:
         e_off = float(((lo_off - ref_off) ** 2).mean())
         e_on = float(((lo_on - ref_on) ** 2).mean())
         assert e_on < e_off * 0.8
+
+
+class TestPortalBranched:
+    def test_branched_lobe_split_unbiased_with_portals(self):
+        """Portal-aware branched NEE: lobe_split stratifies the
+        placement random lu (which carries the portal-vs-map decision)
+        on a Latin-ROTATED branch index — the raw index would lock each
+        light's portal decision to the branch bin that picks it. The
+        branched estimator must agree with plain path tracing."""
+        import jax
+        import jax.numpy as jnp
+        from raytracingproject_tpu.ops import integrator as integ
+        scene = _room(True, 12, 12)
+        scene.integrator.set("max_bounce", 4)
+        scene.device_update()
+        kg = scene.make_kernel_globals()
+        yy, xx = np.mgrid[0:12, 0:12]
+        px = jnp.asarray(xx.reshape(-1), jnp.int32)
+        py = jnp.asarray(yy.reshape(-1), jnp.int32)
+        pidx = py * 12 + px
+        Lp, _ = jax.jit(lambda a, b, c: integ.render_samples(
+            kg, a, b, c, 0, 96))(px, py, pidx)
+        Lb, _ = jax.jit(lambda a, b, c: integ.render_samples_branched(
+            kg, a, b, c, 0, 24, 4, lobe_split=True))(px, py, pidx)
+        imp = float(np.asarray(Lp).mean()) / 96
+        imb = float(np.asarray(Lb).mean()) / 96
+        assert abs(imp - imb) < 0.06 * max(imp, 1e-6), (imp, imb)
