@@ -36,6 +36,15 @@ CONFIGS = [
     ("volume_sss", "volume_sss_scene", {}, 256, 256, 32, 16, 4),
 ]
 
+# Informational configs: measured and reported, but NOT part of the
+# headline min (BASELINE.json defines exactly five configs). A failure
+# here is reported, never fatal. big_instanced exercises the >32k-prim
+# regime (two-level supercluster tables + the hierarchical Pallas walk)
+# that none of the five BASELINE configs reach.
+INFO_CONFIGS = [
+    ("big_instanced", "instanced_scene", {"grid": 8}, 256, 256, 16, 4, 2),
+]
+
 
 # the tunneled-TPU watchdog kills executions around ~120 s; a bench
 # config whose per-chunk dispatch creeps toward it dies mysteriously
@@ -342,6 +351,14 @@ def main():
     for cfg in CONFIGS:
         per_config[cfg[0]] = round(bench_one(*cfg), 3)
     worst = min(per_config.values())
+    info = {}
+    for cfg in INFO_CONFIGS:
+        try:
+            info[cfg[0]] = round(bench_one(*cfg), 3)
+        except Exception as e:  # info-only: report, never fatal
+            print(f"[{cfg[0]}] info config failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+            info[cfg[0]] = None
     print(json.dumps({
         "metric": "path-trace throughput, min over the 5 BASELINE configs "
                   "(single chip)",
@@ -349,6 +366,7 @@ def main():
         "unit": "Msamples/s",
         "vs_baseline": round(worst / 12.5, 3),
         "per_config": per_config,
+        "info_configs": info,
         "tuned": TUNED,
     }))
 
