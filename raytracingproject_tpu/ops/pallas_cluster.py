@@ -171,7 +171,7 @@ def _cluster_kernel(cluster_tris, has_instances, shadow_any_hit,
             hit, t, u, v = isect._wt_block(ws, v0c, e1c, e2c, tmin, bt)
             pid = rs(pbase + k)
             hit = hit & act & (pid >= 0.0)
-            tri_vis = rs(vbase + k).astype(jnp.uint32)
+            tri_vis = rs(vbase + k).astype(jnp.int32)
             hit &= (tri_vis & vis_lane) > 0
             bt = jnp.where(hit, t, bt)
             bp = jnp.where(hit, pid.astype(jnp.int32), bp)
@@ -275,7 +275,7 @@ def intersect_clusters_pallas(cbounds, ctable, cluster_tris, o, d,
         ],
         interpret=interpret,
     )(cbounds, ctable, o_soa, d_soa, tmin, tmax,
-      visibility.astype(jnp.uint32), time)
+      visibility.astype(jnp.int32), time)
 
     hit = prim >= 0
     tfull = jnp.pad(jnp.minimum(tmax[:n], RAY_TMAX), (0, 0))
@@ -427,7 +427,7 @@ def _cluster2_kernel(cluster_tris, gmax, has_instances, shadow_any_hit,
             hit, t, u, v = isect._wt_block(ws, v0c, e1c, e2c, tmin, bt)
             pid = rs(pbase + k)
             hit = hit & act & (pid >= 0.0)
-            tri_vis = rs(vbase + k).astype(jnp.uint32)
+            tri_vis = rs(vbase + k).astype(jnp.int32)
             hit &= (tri_vis & vis_lane) > 0
             bt = jnp.where(hit, t, bt)
             bp = jnp.where(hit, pid.astype(jnp.int32), bp)
@@ -569,7 +569,7 @@ def intersect_clusters2_pallas(sc_bounds, cbounds, ctable, cluster_tris,
         ],
         interpret=interpret,
     )(sc_bounds, cbounds, ctable, o_soa, d_soa, tmin, tmax,
-      visibility.astype(jnp.uint32), time)
+      visibility.astype(jnp.int32), time)
 
     hit = prim >= 0
     return {"t": jnp.where(hit[:n], t[:n],
@@ -703,15 +703,15 @@ def _occlusion_kernel(cluster_tris, has_instances, has_motion,
                                            jnp.float32(RAY_TMAX))
             pid = rs(pbase + k)
             hit = hit & act & (pid >= 0.0)
-            tri_vis = rs(vbase + k).astype(jnp.uint32)
+            tri_vis = rs(vbase + k).astype(jnp.int32)
             is_b = brow[0, k] > 0.0
             hit_c = hit & (t < tmaxc) \
-                & ((tri_vis & jnp.uint32(vis_closest)) > 0)
+                & ((tri_vis & jnp.int32(vis_closest)) > 0)
             t_b = jnp.where(hit_c & is_b, jnp.minimum(t_b, t), t_b)
             t_o = jnp.where(hit_c & (~is_b), jnp.minimum(t_o, t), t_o)
             blocked = blocked | (
                 hit & (t < tmaxa)
-                & ((tri_vis & jnp.uint32(vis_any)) > 0))
+                & ((tri_vis & jnp.int32(vis_any)) > 0))
 
         entry_ref[pl.ds(cid, 1), :] = jnp.full((1, TILE), INF,
                                                jnp.float32)
