@@ -248,6 +248,10 @@ def bench_one(name, factory, kwargs, W, H, spp, chunk, lpp=1):
         t0 = time.time()
         L, A = fn(px, py, pidx, jnp.uint32(0))
         L.block_until_ready()
+    # warm the accumulation add too: its one-off compile is also excluded
+    # (observed: over a degraded tunnel the add-compile costs seconds and
+    # a config with a single timed chunk reports it as render time)
+    (L + L).block_until_ready()
     compile_time = time.time() - t0
 
     t0 = time.time()
@@ -333,6 +337,33 @@ def bench_adaptive(name, scene, kg, W, H, spp, chunk, lpp, sync_time,
 TUNED = {}
 
 
+def _tunnel_preflight(budget_s=240):
+    """Fail fast on a dead-but-registered TPU tunnel.
+
+    Observed in round 3: the axon PJRT plugin enumerates the device in
+    <0.1 s but dispatches never complete — a plain bench run then hangs
+    FOREVER at the first compile and the driver records nothing. Probe
+    with a tiny dispatch in a subprocess (SIGALRM can't interrupt a
+    hung block_until_ready: the main thread is parked inside a C call,
+    so Python never reaches a bytecode boundary to run the handler).
+    Returns None when live, else an error string.
+    """
+    import subprocess
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((128, 128)); "
+             "(x @ x).block_until_ready(); print('LIVE')")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, timeout=budget_s)
+    except subprocess.TimeoutExpired:
+        return (f"device dispatch did not complete within {budget_s}s "
+                "(tunnel registers the device but executions hang)")
+    if b"LIVE" not in r.stdout:
+        return ("device probe failed: "
+                + r.stderr.decode(errors="replace")[-300:])
+    return None
+
+
 def main():
     import os
     import jax
@@ -347,6 +378,17 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     print(f"device={jax.devices()[0].platform} x{len(jax.devices())}",
           file=sys.stderr)
+    err = _tunnel_preflight()
+    if err is not None:
+        # one honest JSON line instead of an infinite hang: 0 throughput
+        # demonstrated, with the reason machine-readable
+        print(f"PREFLIGHT FAILED: {err}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "path-trace throughput, min over the 5 BASELINE "
+                      "configs (single chip)",
+            "value": 0.0, "unit": "Msamples/s", "vs_baseline": 0.0,
+            "error": err}))
+        return
     per_config = {}
     for cfg in CONFIGS:
         per_config[cfg[0]] = round(bench_one(*cfg), 3)

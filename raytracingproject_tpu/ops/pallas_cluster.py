@@ -388,11 +388,20 @@ def _cluster2_kernel(cluster_tris, gmax, has_instances, shadow_any_hit,
     def inner_body(st):
         t_best, prim_b, u_b, v_b, obj_b, cstart, g, _, it = st
         cid = cstart + g
-        cp = pltpu.make_async_copy(ct_hbm.at[pl.ds(cid, 1), :],
+        # real Mosaic rejects a dynamic 1-row HBM slice ("Slice shape
+        # along dimension 0 must be aligned to tiling (8)") — DMA the
+        # aligned 8-row block instead and select the wanted row with an
+        # iota compare + sum (rows are zero-padded, never NaN/inf, so
+        # the masked sum is exact)
+        base = (cid // SUBLANE) * SUBLANE
+        cp = pltpu.make_async_copy(ct_hbm.at[pl.ds(base, SUBLANE), :],
                                    row_ref, sem)
         cp.start()
         cp.wait()
-        row = row_ref[:]
+        sel = jax.lax.broadcasted_iota(
+            jnp.int32, (SUBLANE, 1), 0) == (cid - base)
+        row = jnp.sum(jnp.where(sel, row_ref[:], 0.0), axis=0,
+                      keepdims=True)
 
         def rs(j):
             return row[0, j]
@@ -524,6 +533,19 @@ def intersect_clusters2_pallas(sc_bounds, cbounds, ctable, cluster_tris,
     pad_cb = jnp.tile(jnp.asarray([[INF, INF, INF, -INF, -INF, -INF]],
                                   jnp.float32), (int(gmax), 1))
     cbounds = jnp.concatenate([cbounds, pad_cb], axis=0)
+    # the kernel DMAs aligned 8-row blocks of ctable — pad the row count
+    # to a SUBLANE multiple so the last block stays in bounds (zeros:
+    # the row-select sum in the kernel relies on finite pad rows)
+    rpad = (-ctable.shape[0]) % SUBLANE
+    if rpad:
+        ctable = jnp.concatenate(
+            [ctable, jnp.zeros((rpad, ctable.shape[1]), jnp.float32)],
+            axis=0)
+    # ... and the width to a LANE multiple (the HBM DMA slice must be
+    # lane-tile aligned too); rs() only reads valid columns
+    wpad = (-ctable.shape[1]) % LANE
+    if wpad:
+        ctable = jnp.pad(ctable, ((0, 0), (0, wpad)))
 
     if time is None:
         time = jnp.zeros((np_,), jnp.float32)
@@ -564,7 +586,8 @@ def intersect_clusters2_pallas(sc_bounds, cbounds, ctable, cluster_tris,
         scratch_shapes=[
             pltpu.VMEM((scn + scpad, TILE), jnp.float32),  # sc entries
             pltpu.VMEM((int(gmax), TILE), jnp.float32),    # group entries
-            pltpu.VMEM((1, ctable.shape[1]), jnp.float32),  # row buffer
+            pltpu.VMEM((SUBLANE, ctable.shape[1]),
+                       jnp.float32),                       # row block buf
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -645,9 +668,11 @@ def _occlusion_kernel(cluster_tris, has_instances, has_motion,
 
     def gate(t_b, t_o, blocked):
         """Largest t that could still matter per lane: tightening either
-        capped min, or finding the first any-hit while unblocked."""
+        capped min, or finding the first any-hit while unblocked.
+        `blocked` is carried as int32 0/1 — Mosaic cannot yield i1
+        vectors from scf loops ("failed to legalize scf.yield")."""
         g = jnp.maximum(jnp.minimum(t_b, tmaxc), jnp.minimum(t_o, tmaxc))
-        return jnp.where(blocked, g, jnp.maximum(g, tmaxa))
+        return jnp.where(blocked != 0, g, jnp.maximum(g, tmaxa))
 
     def pick(t_b, t_o, blocked):
         g = gate(t_b, t_o, blocked).reshape(1, TILE)
@@ -658,7 +683,7 @@ def _occlusion_kernel(cluster_tris, has_instances, has_motion,
 
     tb0 = jnp.full((SUBLANE, LANE), RAY_TMAX, jnp.float32)
     to0 = jnp.full((SUBLANE, LANE), RAY_TMAX, jnp.float32)
-    blk0 = jnp.zeros((SUBLANE, LANE), jnp.bool_)
+    blk0 = jnp.zeros((SUBLANE, LANE), jnp.int32)
     cid0, m0 = pick(tb0, to0, blk0)
     carry0 = (tb0, to0, blk0, cid0, m0, jnp.int32(0))
 
@@ -711,7 +736,7 @@ def _occlusion_kernel(cluster_tris, has_instances, has_motion,
             t_o = jnp.where(hit_c & (~is_b), jnp.minimum(t_o, t), t_o)
             blocked = blocked | (
                 hit & (t < tmaxa)
-                & ((tri_vis & jnp.int32(vis_any)) > 0))
+                & ((tri_vis & jnp.int32(vis_any)) > 0)).astype(jnp.int32)
 
         entry_ref[pl.ds(cid, 1), :] = jnp.full((1, TILE), INF,
                                                jnp.float32)
@@ -721,7 +746,7 @@ def _occlusion_kernel(cluster_tris, has_instances, has_motion,
     out = jax.lax.while_loop(cond, body, carry0)
     tb_ref[:] = out[0].reshape(TILE)
     to_ref[:] = out[1].reshape(TILE)
-    blk_ref[:] = out[2].reshape(TILE).astype(jnp.int32)
+    blk_ref[:] = out[2].reshape(TILE)
 
 
 @functools.partial(
