@@ -57,6 +57,7 @@ def render_adaptive(kg, W, H, spp, *, threshold, min_samples=None,
     E_sum = np.zeros((npix, 3), np.float32)
     counts = np.zeros(npix, np.int64)
     active = np.arange(npix, dtype=np.int64)
+    err_act = None  # per-active-pixel error from the previous test
     dispatches = 0
     lanes_wasted = 0
 
@@ -81,6 +82,36 @@ def render_adaptive(kg, W, H, spp, *, threshold, min_samples=None,
                                         spp))
         cap = np.maximum((milestone - ca + chunk - 1) // chunk, 1)
         reps_c = np.minimum(reps, cap)
+        # milestone caps must never turn surplus lanes into padding
+        # (round-3 bench: 75% of every dispatch was masked duplicate
+        # work — the 6.7x dof regression). Surplus lanes render REAL
+        # extra chunks beyond the milestone, highest-error pixels
+        # first: the lanes are paid for either way, and the pixels
+        # least likely to converge absorb them with the least risk of
+        # over-rendering.
+        leftover = n - int(reps_c.sum())
+        if leftover > 0:
+            rem = np.maximum((spp - ca) // chunk - reps_c, 0)
+            order = (np.argsort(-err_act, kind="stable")
+                     if err_act is not None and err_act.size == A
+                     else np.arange(A))
+            rs = rem[order]
+            # waterfill: largest level m with sum(min(rs, m)) <= leftover
+            lo, hi = 0, int(rs.max()) if rs.size else 0
+            while lo < hi:
+                mid = (lo + hi + 1) // 2
+                if int(np.minimum(rs, mid).sum()) <= leftover:
+                    lo = mid
+                else:
+                    hi = mid - 1
+            extra_sorted = np.minimum(rs, lo)
+            short = leftover - int(extra_sorted.sum())
+            if short > 0:
+                idxs = np.flatnonzero(rs > lo)[:short]
+                extra_sorted[idxs] += 1
+            extras = np.zeros(A, np.int64)
+            extras[order] = extra_sorted
+            reps_c = reps_c + extras
         lane_pix = np.repeat(active, reps_c)
         offs = np.repeat(np.cumsum(reps_c) - reps_c, reps_c)
         rep_idx = np.arange(lane_pix.size, dtype=np.int64) - offs
@@ -120,6 +151,7 @@ def render_adaptive(kg, W, H, spp, *, threshold, min_samples=None,
         if threshold > 0.0:
             keep &= (counts[active] < min_samples) | (err >= threshold)
         active = active[keep]
+        err_act = err[keep]
 
     stats = {
         "samples_rendered": int(counts.sum()),

@@ -59,3 +59,20 @@ class TestAdaptiveDriver:
             kg, W, H, spp, threshold=0.0, chunk=2, lanes=4 * W * H)
         assert (counts == spp).all()
         np.testing.assert_allclose(L, L_ref, rtol=1e-4, atol=1e-4)
+
+    def test_surplus_lanes_render_real_work_not_padding(self):
+        # round-3 bench regression: milestone caps turned surplus lanes
+        # into masked duplicate padding (75% of every dispatch wasted).
+        # With lanes = 8x pixels and milestone min_samples=8 < spp=16,
+        # the surplus must spill into extra chunks toward spp — zero
+        # padded lanes, full budget in ONE dispatch.
+        W = H = 8
+        spp = 16
+        L_ref, _, kg = _reference(examples.cornell_box(W, H), W, H, spp)
+        L, A, counts, stats = render_adaptive(
+            kg, W, H, spp, threshold=0.0, min_samples=8, chunk=2,
+            lanes=8 * W * H)
+        assert stats["lanes_wasted"] == 0
+        assert stats["dispatches"] == 1
+        assert (counts == spp).all()
+        np.testing.assert_allclose(L, L_ref, rtol=1e-4, atol=1e-4)

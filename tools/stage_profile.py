@@ -9,14 +9,22 @@ light sample, shader setup/eval) on the same wavefront.
 Usage: python tools/stage_profile.py [config ...]
   configs: cornell_diffuse glossy_nee_mis textured_instanced
            dof_motion_adaptive volume_sss   (default: all slow ones)
+Env:
+  STAGE_FIXED=1     time the fixed-grid kernel (precise per-iter deltas)
+  STAGE_ABLATIONS=shadow,nee  comma-joined subset ("" = FULL only)
+  STAGE_OUT=path    also write a JSON artifact (per-config stage table)
 """
+import json
 import sys
 import os
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
 
 import numpy as np
+
+RESULTS = {}
 
 CONFIGS = {
     "cornell_diffuse": ("cornell_box", {}, 512, 512, 32),
@@ -83,7 +91,13 @@ def profile_config(name, chunk=16):
     fixed = bool(int(os.environ.get("STAGE_FIXED", "0")))
     iters_per = (int(kg["kint"]["max_bounce"]) + 1) * chunk if fixed else 0
     base_t = None
-    for ab in ABLATIONS:
+    ablations = ABLATIONS
+    if os.environ.get("STAGE_ABLATIONS") is not None:
+        want = [a for a in os.environ["STAGE_ABLATIONS"].split(",") if a]
+        ablations = [()] + [tuple(a.split("+")) for a in want]
+    rec = RESULTS.setdefault(name, {"W": W, "H": H, "chunk": chunk,
+                                    "stages_ms": {}})
+    for ab in ablations:
         kg2 = dict(kg)
         kg2["debug_ablate"] = ab
         if fixed:
@@ -105,10 +119,13 @@ def profile_config(name, chunk=16):
             continue
         msps = n * chunk / t / 1e6
         lbl = ",".join(ab) if ab else "FULL"
+        rec["stages_ms"][lbl] = round(t * 1e3, 1)
         extra = ""
         if base_t is None and not ab:
             base_t = t
+            rec["full_msps"] = round(msps, 2)
         elif base_t is not None:
+            rec["stages_ms"][lbl + "_delta"] = round(1e3 * (base_t - t), 1)
             extra = f"  delta={1e3 * (base_t - t):+.1f}ms " \
                     f"({100 * (base_t - t) / base_t:+.0f}%)"
             if fixed:
@@ -174,8 +191,18 @@ def profile_config(name, chunk=16):
 
 if __name__ == "__main__":
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     names = sys.argv[1:] or ["volume_sss", "glossy_nee_mis",
                              "textured_instanced", "dof_motion_adaptive"]
     print(f"device={jax.devices()[0].platform}", flush=True)
     for nm in names:
         profile_config(nm)
+    out = os.environ.get("STAGE_OUT")
+    if out:
+        RESULTS["device"] = jax.devices()[0].platform
+        with open(out, "w") as f:
+            json.dump(RESULTS, f, indent=1)
+        print(f"wrote {out}", flush=True)
