@@ -35,13 +35,22 @@ from raytracingproject_tpu.models import shader_nodes as sn
 from raytracingproject_tpu.utils import transform as tfm
 from raytracingproject_tpu.utils import log
 
-# shader-graph node tags -> classes (reflection registry)
-_SHADER_NODE_TAGS = {}
-for _name, _nt in NodeType.types.items():
-    if issubclass(_nt.cls, sn.ShaderNode):
-        _SHADER_NODE_TAGS[_name] = _nt.cls
-# convenience aliases matching the reference's XML tag names
-_SHADER_NODE_TAGS["background"] = sn.BackgroundNode
+# shader-graph node tags -> classes: resolved LIVE through the
+# reflection registry so user-defined nodes (docs/CUSTOM_NODES.md)
+# registered after this import still parse; _SHADER_NODE_TAGS holds
+# only the aliases that differ from NODE_NAME (matching the
+# reference's XML tag names)
+_SHADER_NODE_TAGS = {"background": sn.BackgroundNode}
+
+
+def _shader_node_class(tag):
+    cls = _SHADER_NODE_TAGS.get(tag)
+    if cls is not None:
+        return cls
+    nt = NodeType.find(tag)
+    if nt is not None and issubclass(nt.cls, sn.ShaderNode):
+        return nt.cls
+    return None
 
 
 class XMLReadState:
@@ -113,7 +122,7 @@ def read_shader_graph(state, elem):
                 continue
             graph.connect(fnode, frm[1], tnode, to[1])
             continue
-        cls = _SHADER_NODE_TAGS.get(tag)
+        cls = _shader_node_class(tag)
         if cls is None:
             log.log_warning("xml: unknown shader node <%s>", tag)
             continue

@@ -1020,19 +1020,49 @@ class CheckerTextureNode(ShaderNode):
 
     def eval(self, ctx, inp):
         link_v = inp["vector"]
-        if link_v is None or (isinstance(link_v, np.ndarray)
-                              and not link_v.any()):
-            p = ctx.generated
-        else:
-            p = _bc(ctx, link_v)
-        p = p * _bf(ctx, inp["scale"])[..., None]
+        unlinked = link_v is None or (isinstance(link_v, np.ndarray)
+                                      and not link_v.any())
+        p = ctx.generated if unlinked else _bc(ctx, link_v)
+        scale = _bf(ctx, inp["scale"])
         # ref: svm_checker.h — offset avoids seams at integer coords
-        idx = jnp.floor(p + 1e-5).astype(jnp.int32)
-        check = ((idx[..., 0] + idx[..., 1] + idx[..., 2]) & 1) == 0
+        p = p * scale[..., None] + 1e-5
+
+        # Analytic box filter over the shading footprint (the TPU-native
+        # answer to the point-sampled checker's decision-flip noise: a
+        # hit-position perturbation of eps flips a point sample O(1) but
+        # moves the filtered value only O(eps / width)). Exact: the mean
+        # of (-1)^(ix+iy+iz) over an axis-aligned box factorizes into
+        # per-axis means of the +-1 square wave, each a difference of
+        # its triangle-wave antiderivative G. Footprint = ray_length x
+        # pixel angle (the auto-mip estimate above) through the
+        # world->generated Jacobian; falls back to point sampling when
+        # the context carries no footprint (volume/bake probes, linked
+        # vector inputs whose Jacobian is unknown).
+        fw = None
+        if (unlinked and ctx.ray_length is not None
+                and ctx.gen_tfm is not None
+                and getattr(ctx.textures, "pixel_angle", None)):
+            fp_world = ctx.ray_length * prec.FT(
+                getattr(ctx.textures, "pixel_angle"))
+            jac = jnp.sqrt(jnp.sum(ctx.gen_tfm[..., :3] ** 2, axis=-1))
+            fw = jnp.abs(scale)[..., None] * fp_world[..., None] * jac
+
         c1 = _bc(ctx, inp["color1"])
         c2 = _bc(ctx, inp["color2"])
-        return {"color": jnp.where(check[..., None], c1, c2),
-                "fac": check.astype(prec.FT)}
+        if fw is None:
+            idx = jnp.floor(p).astype(jnp.int32)
+            check = ((idx[..., 0] + idx[..., 1] + idx[..., 2]) & 1) == 0
+            prob = check.astype(prec.FT)
+        else:
+            def G(t):
+                return 1.0 - jnp.abs(jnp.mod(t, 2.0) - 1.0)
+
+            w = jnp.maximum(fw, 1e-4)
+            avg = (G(p + 0.5 * w) - G(p - 0.5 * w)) / w
+            prob = 0.5 + 0.5 * avg[..., 0] * avg[..., 1] * avg[..., 2]
+        return {"color": prob[..., None] * c1
+                + (1.0 - prob[..., None]) * c2,
+                "fac": prob}
 
 
 class NoiseTextureNode(ShaderNode):

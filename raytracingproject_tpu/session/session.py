@@ -128,6 +128,20 @@ class Session:
         return self.buffers.get_display_rgba(
             exposure=float(self.scene.film.exposure))
 
+    def render_range(self, start, count):
+        """Render a different sample range of the SAME scene without
+        re-syncing or re-jitting — the dynamic chunk queue's hot loop
+        (parallel/multihost.py DynamicMultiHostSession): the scene sync
+        and kernel compile are paid once, then every chunk is pure
+        device time (ref: the reference's tile server re-renders ranges
+        against one persistent device, device_network.cpp)."""
+        self.params.range_start_sample = int(start)
+        self.params.range_num_samples = int(count)
+        self.reset()
+        self._run(update_scene=self._kg is None)
+        return self.buffers.get_display_rgba(
+            exposure=float(self.scene.film.exposure))
+
     def _run_safe(self):
         try:
             self._run()
@@ -331,11 +345,12 @@ class Session:
             n * np.sqrt(np.maximum(mean.sum(-1), 1e-4)))
         return err
 
-    def _run(self):
+    def _run(self, update_scene=True):
         import jax.numpy as jnp
         if self.buffers is None:
             self.reset()
-        self._update_scene()
+        if update_scene or self._kg is None:
+            self._update_scene()
 
         # zero buffers only at range start (ref: session.cpp:1055-1058)
         if self.tile_manager.sample == self.tile_manager.start_sample:
