@@ -1688,6 +1688,11 @@ def render_samples_regen(kg, px, py, pixel_index, sample_start, num_samples,
         "fresh": jnp.ones((n,), bool),        # lane holds unmerged sample
     }
     carry0.update({"acc_" + k: jnp.zeros_like(st0[k]) for k in aux_keys})
+    count_iters = bool(kg.get("count_iters", False))
+    if count_iters:
+        # profiling diagnostic (tools/trav_context_bench.py): the loop
+        # trip count divides wall time into per-bounce-iteration cost
+        carry0["n_iters"] = jnp.int32(0)
 
     def cond(c):
         return jnp.any(c["st"]["alive"] | (c["fresh"])
@@ -1714,6 +1719,8 @@ def render_samples_regen(kg, px, py, pixel_index, sample_start, num_samples,
         st = step(0, st)
         out = {"st": st, "L_acc": L_acc, "A_acc": A_acc, "done": done,
                "fresh": fresh}
+        if count_iters:
+            out["n_iters"] = c["n_iters"] + 1
         out.update(aux_acc)
         return out
 
@@ -1728,7 +1735,11 @@ def render_samples_regen(kg, px, py, pixel_index, sample_start, num_samples,
     L, A = _pix(out["L_acc"]), _pix(out["A_acc"])
     if want_aux:
         aux = {k[4:]: _pix(out["acc_" + k]) for k in aux_keys}
+        if count_iters:
+            return L, A, aux, out["n_iters"]
         return L, A, aux
+    if count_iters:
+        return L, A, out["n_iters"]
     return L, A
 
 
