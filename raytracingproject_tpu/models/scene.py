@@ -1101,6 +1101,16 @@ class Scene:
                 packed["__cluster_motion__"] = cmotion
                 log.vlog(1, "cluster tables: %d clusters x %d tris "
                          "(row %d cols)", len(cb), ct_used, ctab.shape[1])
+                if not two_level:
+                    # per-lane one-hot MXU walk tables (round 4,
+                    # ops/pallas_onehot.py): transposed bf16x3 splits +
+                    # padded bounds, packed ONCE at sync (ADVICE r03
+                    # #2 — never pad inside the dispatch)
+                    from raytracingproject_tpu.ops import pallas_onehot \
+                        as po
+                    oh = po.pack_onehot_tables(cb, ctab)
+                    if oh is not None:
+                        packed.update(oh)
                 if two_level:
                     gmax = max(CLUSTER2_GROUP_TARGET,
                                -(-total_c // 512))

@@ -113,6 +113,19 @@ def _use_pallas_clusters(kg):
     return bool(mode)
 
 
+def _use_pallas_onehot(kg):
+    """Per-lane one-hot MXU walk backend select (ops/pallas_onehot.py,
+    round 4). "auto"/absent = TPU whenever the sync packed one-hot
+    tables (single-level scenes, C <= 512) — measured 8.5x the XLA
+    shortlist on incoherent wavefronts (tools/cluster_profile.py)."""
+    if "oh_cbounds" not in kg["dscene"]:
+        return False
+    mode = kg.get("pallas_onehot", "auto")
+    if mode == "auto":
+        return jax.default_backend() == "tpu"
+    return bool(mode)
+
+
 def _use_pallas_clusters2(kg):
     """Two-level walk backend select (big scenes pack sc_bounds).
     "auto"/absent = TPU (or interpret-forced tests); off TPU the packed
@@ -172,6 +185,18 @@ def _scene_intersect_tris(kg, o, d, tmin, tmax, visibility, shadow=False,
             interpret=bool(kg.get("pallas_interpret", False)))
     if "cluster_bounds" in ds and "sc_bounds" not in ds \
             and int(kg.get("cluster_tris", 0)) > 0:
+        if _use_pallas_onehot(kg):
+            # per-lane one-hot MXU walk (ops/pallas_onehot.py): VMEM
+            # entry table + exact bf16x3 row fetch on the MXU
+            from raytracingproject_tpu.ops import pallas_onehot as po
+            return po.intersect_clusters_onehot(
+                ds["oh_cbounds"], ds["oh_table_hi"], ds["oh_table_mid"],
+                ds["oh_table_lo"], int(kg["cluster_tris"]), o, d, tmin,
+                tmax, visibility, shadow_any_hit=shadow,
+                has_instances=bool(kg.get("has_instances", False)),
+                time=time,
+                has_motion=bool(kg.get("cluster_motion", False)),
+                interpret=bool(kg.get("pallas_interpret", False)))
         if _use_pallas_clusters(kg):
             # tile-shared VMEM-resident walk (ops/pallas_cluster.py):
             # one dispatch for the whole wavefront, per-tile convergence

@@ -1,0 +1,357 @@
+"""Pallas per-lane one-hot cluster traversal — the MXU-resident walk.
+
+Third traversal backend for single-level cluster scenes (C <= 512),
+joining the XLA shortlist (ops/cluster_intersect.py) and the
+tile-shared Pallas walk (ops/pallas_cluster.py). Same contract, same
+watertight math (isect._wt_block), bit-identical hit sets up to
+exact-t ties.
+
+Why this exists (measured, round 4, tools/cluster_profile.py on v5e):
+
+- The XLA shortlist walk pays ~300 us of per-8192-chunk SETUP (lax.map
+  slicing + while-state round trips through HBM) plus ~6 full HBM
+  passes over its (C, chunk) entry table per cluster visit — on the
+  glossy bench scene that is 13.9/18.7 ms per 262k-lane sweep
+  (camera/bounce), HALF of it setup.
+- The tile-shared Pallas walk (one scalar cluster per 1024-lane tile
+  per iteration) serializes 256 tiles x ~25 union-visits of tiny
+  steps and loses to the XLA path in-context (35 vs 23 ms/iteration).
+- This kernel keeps the XLA algorithm's PER-LANE front-to-back walk
+  (per-lane visit counts, mean ~3.5 camera / ~7.5 bounce, are 3-7x
+  smaller than tile-shared union visits) but runs it entirely in
+  VMEM: the (C, T) entry table never touches HBM, and the per-lane
+  row fetch is a one-hot matmul on the MXU against the resident
+  cluster table.
+
+Two TPU-specific tricks carry the design:
+
+1. PACKED ENTRY ORDERING. The entry table stores
+   (f32_bits(entry) & ~0x1FF) | cluster_id as int32. Positive-float
+   bit patterns order like the floats, so ONE int min-reduction per
+   visit yields the per-lane nearest cluster AND a guaranteed-unique
+   winner (ids break exact ties) — the equality compare against the
+   min IS the one-hot, no argmin / second reduction / gather needed.
+   Truncating 9 mantissa bits only COARSENS the front-to-back order
+   (entry_trunc <= entry keeps the cull conservative); hit selection
+   stays exact because every triangle test compares exact f32 t.
+2. EXACT 3x-bf16 FETCH. One-hot contraction is exact in bf16 (0/1
+   times a bf16 payload, exactly one nonzero term per output), so the
+   f32 cluster rows are split hi/mid/lo at sync time
+   (pack_onehot_tables; the classic non-overlapping 8+8+8-bit mantissa
+   split) and fetched with three DEFAULT-precision bf16 matmuls
+   summed in f32 — bit-exact row reconstruction at half the MXU
+   passes of a Precision.HIGHEST f32 contraction.
+
+Ref capability being matched: the per-thread BVH walk of
+kernel/bvh/bvh_traversal.h:34-229 — redesigned (shortlist + MXU fetch)
+rather than translated, per SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracingproject_tpu.utils.math import RAY_TMAX
+from raytracingproject_tpu.ops import intersect as isect
+from raytracingproject_tpu.ops.cluster_intersect import META_COLS
+
+LANE = 128
+INF = 3e38          # finite sentinel: one-hot payloads must stay finite
+ID_BITS = 9         # supports C <= 512; 2^-14 relative entry coarsening
+ID_MASK = (1 << ID_BITS) - 1
+# default VMEM budget for the per-tile working set (entry + one-hot +
+# fetched rows); v5e VMEM is ~16 MB/core and the pipeline needs
+# headroom for lane-IO double buffering
+VMEM_BUDGET = 9 * 2**20
+
+MAX_C = 1 << ID_BITS
+
+
+def choose_tile(c_pad, w_pad):
+    """Largest lane-tile whose working set fits the VMEM budget."""
+    per_lane = c_pad * (4 + 2) + w_pad * 4 + 64
+    for t in (4096, 2048, 1024):
+        if per_lane * t <= VMEM_BUDGET:
+            return t
+    return 1024
+
+
+def split_bf16x3(x):
+    """Exact f32 = hi + mid + lo bf16 split (non-overlapping mantissa
+    bits; the residual of each bf16 rounding is exactly representable
+    in f32, so the reconstruction is bit-exact)."""
+    x = np.asarray(x, np.float32)
+    bf = jnp.bfloat16  # ml_dtypes-backed numpy dtype via jnp
+    hi = np.asarray(x, bf)
+    r1 = x - np.asarray(hi, np.float32)
+    mid = np.asarray(r1, bf)
+    r2 = r1 - np.asarray(mid, np.float32)
+    lo = np.asarray(r2, bf)
+    assert (np.asarray(hi, np.float32) + np.asarray(mid, np.float32)
+            + np.asarray(lo, np.float32) == x).all(), \
+        "bf16x3 split must reconstruct exactly"
+    return hi, mid, lo
+
+
+def pack_onehot_tables(cbounds, ctable):
+    """Sync-time packing for the one-hot walk: transpose the cluster
+    table to (W, C) fetch orientation, pad W to the bf16 sublane tile
+    (16) and C to the MXU lane tile (128), split into exact bf16
+    thirds, and pad the bounds to the same C with never-hit boxes.
+    Returns dict of numpy arrays to device_put (or None when C exceeds
+    the packed-id capacity)."""
+    c, w = ctable.shape
+    if c > MAX_C:
+        return None
+    c_pad = max(128, -(-c // 128) * 128)
+    w_pad = -(-w // 16) * 16
+    tt = np.zeros((w_pad, c_pad), np.float32)
+    tt[:w, :c] = np.asarray(ctable, np.float32).T
+    hi, mid, lo = split_bf16x3(tt)
+    cb = np.full((c_pad, 6), np.float32(INF))
+    cb[:, 3:] = -INF
+    cb[:c] = np.asarray(cbounds, np.float32)
+    return {"oh_table_hi": hi, "oh_table_mid": mid, "oh_table_lo": lo,
+            "oh_cbounds": cb}
+
+
+def _onehot_kernel(cluster_tris, has_instances, shadow_any_hit,
+                   has_motion, c_pad, tile,
+                   cb_ref, th_ref, tm_ref, tl_ref,
+                   o_ref, d_ref, tmin_ref, tmax_ref, vis_ref, time_ref,
+                   t_ref, prim_ref, u_ref, v_ref, obj_ref,
+                   entry_ref):
+    """One (tile,)-lane block vs the whole cluster table (VMEM)."""
+    s = tile // LANE
+    ox = o_ref[0].reshape(s, LANE)
+    oy = o_ref[1].reshape(s, LANE)
+    oz = o_ref[2].reshape(s, LANE)
+    dx = d_ref[0].reshape(s, LANE)
+    dy = d_ref[1].reshape(s, LANE)
+    dz = d_ref[2].reshape(s, LANE)
+    tmin = tmin_ref[:].reshape(s, LANE)
+    tmax = tmax_ref[:].reshape(s, LANE)
+    vis_lane = vis_ref[:].reshape(s, LANE)
+    time = time_ref[:].reshape(s, LANE) if has_motion else None
+
+    # ---- packed entry table (C, T): truncated f32 entry bits | id ----
+    tn = jnp.full((c_pad, tile), -INF, jnp.float32)
+    tf = jnp.full((c_pad, tile), INF, jnp.float32)
+    for ax, dax_t in ((0, dx), (1, dy), (2, dz)):
+        dax = dax_t.reshape(1, tile)
+        oax = (ox, oy, oz)[ax].reshape(1, tile)
+        inv = jnp.where(jnp.abs(dax) > 1e-20,
+                        1.0 / jnp.where(dax == 0, 1.0, dax),
+                        jnp.where(dax >= 0, 1e20, -1e20))
+        lo_b = cb_ref[:, ax].reshape(c_pad, 1)
+        hi_b = cb_ref[:, 3 + ax].reshape(c_pad, 1)
+        t0 = (lo_b - oax) * inv
+        t1 = (hi_b - oax) * inv
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    tmin_f = tmin.reshape(1, tile)
+    tmax_f = tmax.reshape(1, tile)
+    ok = (tn <= tf) & (tf >= tmin_f) & (tn <= tmax_f)
+    ef = jnp.where(ok, jnp.maximum(tn, tmin_f), INF)
+    cid = jax.lax.broadcasted_iota(jnp.int32, (c_pad, 1), 0)
+    mask = jnp.int32(~ID_MASK)
+    entry_ref[:] = (pltpu.bitcast(ef, jnp.int32) & mask) | cid
+    # retired/processed sentinel per row: keeps the packed values
+    # unique even when every live row is exhausted, so the equality
+    # one-hot always selects exactly one row
+    sent = (pltpu.bitcast(jnp.full((c_pad, 1), INF, jnp.float32),
+                          jnp.int32) & mask) | cid
+
+    tri_w = 18 if has_motion else 9
+    pbase = META_COLS + tri_w * cluster_tris
+    obase = pbase + cluster_tris
+    vbase = obase + cluster_tris
+
+    ws0 = None
+    if not has_instances:
+        ws0 = isect.watertight_setup_c(ox, oy, oz, dx, dy, dz)
+
+    def gate(t_best, prim_b):
+        if shadow_any_hit:
+            return jnp.where(prim_b >= 0, -INF, jnp.minimum(t_best, INF))
+        return jnp.minimum(t_best, INF)
+
+    def unpack(m):
+        return pltpu.bitcast(m & mask, jnp.float32)
+
+    def alive_of(m, t_best, prim_b):
+        act = unpack(m) < gate(t_best, prim_b)
+        return jnp.max(act.astype(jnp.int32))
+
+    t0w = jnp.minimum(tmax, RAY_TMAX)
+    prim0 = jnp.full((s, LANE), -1, jnp.int32)
+    m0 = jnp.min(entry_ref[:], axis=0).reshape(s, LANE)
+    carry0 = (t0w, prim0,
+              jnp.zeros((s, LANE), jnp.float32),
+              jnp.zeros((s, LANE), jnp.float32),
+              jnp.full((s, LANE), -1, jnp.int32),
+              m0, alive_of(m0, t0w, prim0), jnp.int32(0))
+
+    def cond(st):
+        return (st[6] != 0) & (st[7] < c_pad)
+
+    def body(st):
+        t_best, prim_b, u_b, v_b, obj_b, m, _, it = st
+        act = unpack(m) < gate(t_best, prim_b)
+
+        # equality against the (unique) packed min IS the one-hot.
+        # Select in f32 first: Mosaic cannot relayout the (8,128)-tiled
+        # i1 mask of an int32 compare straight into a (16,128) bf16
+        # select ("Invalid relayout ... vector<...xi1>")
+        eq = entry_ref[:] == m.reshape(1, tile)
+        oh = jnp.where(eq, 1.0, 0.0).astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))
+        rows = jax.lax.dot_general(th_ref[:], oh, dn,
+                                   preferred_element_type=jnp.float32)
+        rows = rows + jax.lax.dot_general(
+            tm_ref[:], oh, dn, preferred_element_type=jnp.float32)
+        rows = rows + jax.lax.dot_general(
+            tl_ref[:], oh, dn, preferred_element_type=jnp.float32)
+
+        def rs(j):
+            return rows[j].reshape(s, LANE)
+
+        if has_instances:
+            mt = [rs(j) for j in range(12)]
+            oxx = mt[0] * ox + mt[1] * oy + mt[2] * oz + mt[3]
+            oyy = mt[4] * ox + mt[5] * oy + mt[6] * oz + mt[7]
+            ozz = mt[8] * ox + mt[9] * oy + mt[10] * oz + mt[11]
+            dxx = mt[0] * dx + mt[1] * dy + mt[2] * dz
+            dyy = mt[4] * dx + mt[5] * dy + mt[6] * dz
+            dzz = mt[8] * dx + mt[9] * dy + mt[10] * dz
+            ws = isect.watertight_setup_c(oxx, oyy, ozz, dxx, dyy, dzz)
+        else:
+            ws = ws0
+
+        bt, bp, bu, bv, bo = t_best, prim_b, u_b, v_b, obj_b
+        for k in range(cluster_tris):
+            b = META_COLS + 9 * k
+            v0c = (rs(b), rs(b + 1), rs(b + 2))
+            e1c = (rs(b + 3), rs(b + 4), rs(b + 5))
+            e2c = (rs(b + 6), rs(b + 7), rs(b + 8))
+            if has_motion:
+                db = META_COLS + 9 * cluster_tris + 9 * k
+                v0c = tuple(v0c[j] + time * rs(db + j) for j in range(3))
+                e1c = tuple(e1c[j] + time * rs(db + 3 + j)
+                            for j in range(3))
+                e2c = tuple(e2c[j] + time * rs(db + 6 + j)
+                            for j in range(3))
+            hit, t, u, v = isect._wt_block(ws, v0c, e1c, e2c, tmin, bt)
+            pid = rs(pbase + k)
+            hit = hit & act & (pid >= 0.0)
+            tri_vis = rs(vbase + k).astype(jnp.int32)
+            hit &= (tri_vis & vis_lane) > 0
+            bt = jnp.where(hit, t, bt)
+            bp = jnp.where(hit, pid.astype(jnp.int32), bp)
+            bu = jnp.where(hit, u, bu)
+            bv = jnp.where(hit, v, bv)
+            bo = jnp.where(hit, rs(obase + k).astype(jnp.int32), bo)
+
+        # retire the processed rows and cull everything behind the
+        # (tightened) best hit, then re-reduce for the next visit
+        ent = entry_ref[:]
+        cull = eq | (unpack(ent)
+                     >= jnp.minimum(bt, INF).reshape(1, tile))
+        ent = jnp.where(cull, sent, ent)
+        entry_ref[:] = ent
+        m2 = jnp.min(ent, axis=0).reshape(s, LANE)
+        return (bt, bp, bu, bv, bo, m2, alive_of(m2, bt, bp), it + 1)
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    t_ref[:] = out[0].reshape(tile)
+    prim_ref[:] = out[1].reshape(tile)
+    u_ref[:] = out[2].reshape(tile)
+    v_ref[:] = out[3].reshape(tile)
+    obj_ref[:] = out[4].reshape(tile)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cluster_tris", "shadow_any_hit",
+                              "has_instances", "has_motion", "tile",
+                              "interpret"))
+def intersect_clusters_onehot(oh_cbounds, th, tm, tl, cluster_tris,
+                              o, d, tmin, tmax, visibility,
+                              shadow_any_hit=False, has_instances=False,
+                              time=None, has_motion=False, tile=None,
+                              interpret=False):
+    """Whole-wavefront per-lane one-hot traversal as one Pallas dispatch.
+
+    oh_cbounds (C_pad, 6) f32 and th/tm/tl (W_pad, C_pad) bf16 come
+    from pack_onehot_tables (sync-time padding — ADVICE r03 #2). Same
+    contract/returns as cluster_intersect.intersect_clusters.
+    """
+    c_pad = oh_cbounds.shape[0]
+    w_pad = th.shape[0]
+    if tile is None:
+        tile = choose_tile(c_pad, w_pad)
+    n = o.shape[0]
+    pad = (-n) % tile
+    if pad:
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        tmin = jnp.pad(tmin, (0, pad))
+        tmax = jnp.pad(tmax, (0, pad), constant_values=-1.0)
+        visibility = jnp.pad(visibility, (0, pad))
+        if time is not None:
+            time = jnp.pad(time, (0, pad))
+    np_ = n + pad
+    ntiles = np_ // tile
+    if time is None:
+        time = jnp.zeros((np_,), jnp.float32)
+
+    o_soa = o.T.reshape(3, np_)
+    d_soa = d.T.reshape(3, np_)
+
+    kern = functools.partial(_onehot_kernel, int(cluster_tris),
+                             bool(has_instances), bool(shadow_any_hit),
+                             bool(has_motion), int(c_pad), int(tile))
+    lane_spec = pl.BlockSpec((tile,), lambda i: (i,),
+                             memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    t, prim, u, v, obj = pl.pallas_call(
+        kern,
+        grid=(ntiles,),
+        in_specs=[
+            full_spec,                               # cbounds (padded)
+            full_spec, full_spec, full_spec,         # bf16 table thirds
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),   # o
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),   # d
+            lane_spec,                               # tmin
+            lane_spec,                               # tmax
+            lane_spec,                               # visibility
+            lane_spec,                               # time
+        ],
+        out_specs=[lane_spec] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct((np_,), jnp.float32),
+            jax.ShapeDtypeStruct((np_,), jnp.int32),
+            jax.ShapeDtypeStruct((np_,), jnp.float32),
+            jax.ShapeDtypeStruct((np_,), jnp.float32),
+            jax.ShapeDtypeStruct((np_,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c_pad, tile), jnp.int32),    # packed entries
+        ],
+        interpret=interpret,
+    )(oh_cbounds, th, tm, tl, o_soa, d_soa, tmin, tmax,
+      visibility.astype(jnp.int32), time)
+
+    hit = prim >= 0
+    return {"t": jnp.where(hit[:n], t[:n],
+                           jnp.minimum(tmax[:n], RAY_TMAX)),
+            "prim": jnp.where(hit[:n], prim[:n], -1),
+            "u": u[:n], "v": v[:n],
+            "object": jnp.where(hit[:n], obj[:n], -1)}

@@ -67,8 +67,12 @@ def run(name, lpp_override=None):
     variants = [("default", {})]
     if has_clusters and "sc_bounds" not in ds:
         variants = [
-            ("xla_clusters", {"use_brute": False, "pallas_clusters": False}),
+            ("onehot", {"use_brute": False, "pallas_onehot": True,
+                        "pallas_clusters": False}),
+            ("xla_clusters", {"use_brute": False, "pallas_onehot": False,
+                              "pallas_clusters": False}),
             ("pallas", {"use_brute": False, "pallas_clusters": True,
+                        "pallas_onehot": False,
                         "pallas_occlusion": False}),
         ]
         if not kg.get("has_instances", False) \
