@@ -227,8 +227,11 @@ def intersect_clusters_pallas(cbounds, ctable, cluster_tris, o, d,
     c = cbounds.shape[0]
     cpad = (-c) % SUBLANE
     if cpad:
-        # padding clusters: inverted boxes never hit
-        pad_b = jnp.tile(jnp.asarray([[INF, INF, INF, -INF, -INF, -INF]],
+        # padding clusters: degenerate point boxes at +INF never
+        # pass the slab test (an INVERTED box lo=+INF/hi=-INF is
+        # always-hit at entry=tmin under this slab math — round-4
+        # fix, see ops/pallas_onehot.py pack_onehot_tables)
+        pad_b = jnp.tile(jnp.asarray([[INF, INF, INF, INF, INF, INF]],
                                      jnp.float32), (cpad, 1))
         cbounds = jnp.concatenate([cbounds, pad_b], axis=0)
         ctable = jnp.concatenate(
@@ -525,12 +528,12 @@ def intersect_clusters2_pallas(sc_bounds, cbounds, ctable, cluster_tris,
     scpad = (-scn) % SUBLANE
     if scpad:
         pad_b = jnp.tile(jnp.asarray(
-            [[INF, INF, INF, -INF, -INF, -INF, 0.0, 0.0]], jnp.float32),
+            [[INF, INF, INF, INF, INF, INF, 0.0, 0.0]], jnp.float32),
             (scpad, 1))
         sc_bounds = jnp.concatenate([sc_bounds, pad_b], axis=0)
     # inner slices read [cstart, cstart+gmax) — pad the bounds with
     # never-hit rows so the slice stays in range for the last group
-    pad_cb = jnp.tile(jnp.asarray([[INF, INF, INF, -INF, -INF, -INF]],
+    pad_cb = jnp.tile(jnp.asarray([[INF, INF, INF, INF, INF, INF]],
                                   jnp.float32), (int(gmax), 1))
     cbounds = jnp.concatenate([cbounds, pad_cb], axis=0)
     # the kernel DMAs aligned 8-row blocks of ctable — pad the row count
@@ -783,7 +786,7 @@ def occlusion_clusters_pallas(cbounds, ctable, cboundary, cluster_tris,
     c = cbounds.shape[0]
     cpad = (-c) % SUBLANE
     if cpad:
-        pad_b = jnp.tile(jnp.asarray([[INF, INF, INF, -INF, -INF, -INF]],
+        pad_b = jnp.tile(jnp.asarray([[INF, INF, INF, INF, INF, INF]],
                                      jnp.float32), (cpad, 1))
         cbounds = jnp.concatenate([cbounds, pad_b], axis=0)
         ctable = jnp.concatenate(

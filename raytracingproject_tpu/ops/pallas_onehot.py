@@ -114,8 +114,14 @@ def pack_onehot_tables(cbounds, ctable):
     tt = np.zeros((w_pad, c_pad), np.float32)
     tt[:w, :c] = np.asarray(ctable, np.float32).T
     hi, mid, lo = split_bf16x3(tt)
+    # pad bounds: a degenerate point box at +INF. NOT the "inverted
+    # box" (lo=+INF, hi=-INF): under the slab math an inverted box is
+    # ALWAYS-HIT with entry=tmin (tn=-INF, tf=+INF), which made every
+    # lane walk all c_pad-c pad rows before any real cluster (round-4
+    # bug: 77 pad rows = 77 wasted visits per tile on glossy). The
+    # point box at +INF fails the slab test for every sign pattern:
+    # any +inf axis fails tn<=tmax, any -inf axis fails tf>=tmin.
     cb = np.full((c_pad, 6), np.float32(INF))
-    cb[:, 3:] = -INF
     cb[:c] = np.asarray(cbounds, np.float32)
     return {"oh_table_hi": hi, "oh_table_mid": mid, "oh_table_lo": lo,
             "oh_cbounds": cb}
@@ -186,8 +192,12 @@ def _onehot_kernel(cluster_tris, has_instances, shadow_any_hit,
         return pltpu.bitcast(m & mask, jnp.float32)
 
     def alive_of(m, t_best, prim_b):
-        act = unpack(m) < gate(t_best, prim_b)
-        return jnp.max(act.astype(jnp.int32))
+        # float-only liveness scalar (negative = some lane still active):
+        # the proven kernels (ops/pallas_cluster.py pick) reduce floats
+        # for their while conds; a bool->int reduction here left the
+        # loop running to its iteration cap on real Mosaic (the i1
+        # relayout family of bugs), costing 8x in-context
+        return jnp.min(unpack(m) - gate(t_best, prim_b))
 
     t0w = jnp.minimum(tmax, RAY_TMAX)
     prim0 = jnp.full((s, LANE), -1, jnp.int32)
@@ -199,7 +209,7 @@ def _onehot_kernel(cluster_tris, has_instances, shadow_any_hit,
               m0, alive_of(m0, t0w, prim0), jnp.int32(0))
 
     def cond(st):
-        return (st[6] != 0) & (st[7] < c_pad)
+        return (st[6] < 0.0) & (st[7] < c_pad)
 
     def body(st):
         t_best, prim_b, u_b, v_b, obj_b, m, _, it = st
@@ -274,6 +284,13 @@ def _onehot_kernel(cluster_tris, has_instances, shadow_any_hit,
     u_ref[:] = out[2].reshape(tile)
     v_ref[:] = out[3].reshape(tile)
     obj_ref[:] = out[4].reshape(tile)
+    if _DEBUG_ITERS:
+        # diagnostic: per-tile loop trip count riding the v channel
+        v_ref[:] = jnp.broadcast_to(
+            out[7].astype(jnp.float32), (tile,))
+
+
+_DEBUG_ITERS = False
 
 
 @functools.partial(

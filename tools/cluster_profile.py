@@ -47,10 +47,12 @@ def main():
     # camera wavefront
     u = rngu.hash_pcg3d(jnp.arange(n, dtype=jnp.uint32), jnp.uint32(0),
                         jnp.uint32(1))
-    o, d, _tm, _tx = cam_ops.generate_camera_rays(
-        kg["cam"], px, py, rngu.uint_to_float_01(u),
-        rngu.uint_to_float_01(u ^ 12345), jnp.zeros((n,), jnp.float32),
-        jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
+    ray = cam_ops.camera_sample_ray(
+        kg["cam"], px.astype(jnp.float32) + rngu.uint_to_float_01(u),
+        py.astype(jnp.float32) + rngu.uint_to_float_01(u ^ 12345),
+        jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32))
+    o, d = ray["o"], ray["d"]
     tmin = jnp.full((n,), 1e-5, jnp.float32)
     tmax = jnp.full((n,), um.RAY_TMAX, jnp.float32)
     vis_c = jnp.full((n,), 1, jnp.uint32)
@@ -77,7 +79,7 @@ def main():
               flush=True)
         return out
 
-    for chunk in (8192, 16384, 32768):
+    for chunk in (8192, 32768, 131072, 262144):
         hit = bench("camera closest", o, d, tmax, False, chunk)
 
     # bounce-1 wavefront: diffuse-ish scatter from the hit points
@@ -91,7 +93,7 @@ def main():
     nd /= np.linalg.norm(nd, axis=1, keepdims=True)
     o2 = jnp.asarray(P - np.asarray(d) * 1e-3)
     d2 = jnp.asarray(nd)
-    for chunk in (8192, 16384, 32768):
+    for chunk in (8192, 32768, 131072, 262144):
         bench("bounce-1 closest", o2, d2, tmax, False, chunk)
         bench("bounce-1 shadow any", o2, d2,
               jnp.full((n,), 600.0, jnp.float32), True, chunk)
