@@ -129,12 +129,21 @@ def autotune_kg(name, kg):
             and ds["tri_verts_world"].shape[0] <= 65536:
         variants.append(("brute", {"use_brute": True}))
     if "sc_bounds" not in ds:
+        # pallas_onehot pinned False in every non-onehot variant: its
+        # "auto" mode turns itself on for TPU and would hijack them
         variants.append(("clusters_xla",
-                         {"use_brute": False, "pallas_clusters": False}))
+                         {"use_brute": False, "pallas_clusters": False,
+                          "pallas_onehot": False}))
         if on_tpu:
             variants.append(("clusters_pallas",
                              {"use_brute": False,
-                              "pallas_clusters": True}))
+                              "pallas_clusters": True,
+                              "pallas_onehot": False}))
+            if "oh_cbounds" in ds:
+                variants.append(("clusters_onehot",
+                                 {"use_brute": False,
+                                  "pallas_clusters": False,
+                                  "pallas_onehot": True}))
     times = {}
     tune_t0 = time.time()
     for vname, flags in variants:
@@ -154,11 +163,13 @@ def autotune_kg(name, kg):
         win = min(times, key=times.get)
         kg["use_brute"] = win == "brute"
         kg["pallas_clusters"] = win == "clusters_pallas"
+        kg["pallas_onehot"] = win == "clusters_onehot"
         if "sc_bounds" in ds:
             kg["pallas_clusters2"] = win == "clusters2_pallas"
         tuned["traversal"] = {"winner": win,
                               "ms": {k: round(v * 1e3, 2)
-                                     for k, v in times.items()}}
+                                     for k, v in times.items()},
+                              "flags": dict(variants)}
 
     # ---- volume dual sweep: dense vs Pallas occlusion walk ----
     if "cluster_boundary" in ds and on_tpu:
@@ -250,6 +261,41 @@ def bench_one(name, factory, kwargs, W, H, spp, chunk, lpp=1):
     # a config with a single timed chunk reports it as render time)
     (L + L).block_until_ready()
     compile_time = time.time() - t0
+
+    # in-context tie-break (round 4, VERDICT r03 weak #3: the probe's
+    # isolated sweeps mispredict in-context winners — e.g. volume_sss
+    # favors the tile-shared walk in-context while the one-hot walk
+    # wins the probe). If the probe runner-up is within 2.5x, time one
+    # REAL integrator chunk for both and keep the faster; the extra
+    # compile is tuning time, excluded from the render clock.
+    tinfo = TUNED[name].get("traversal")
+    if tinfo and len(tinfo.get("ms", {})) > 1:
+        ms_tbl = tinfo["ms"]
+        order = sorted(ms_tbl, key=ms_tbl.get)
+        runner = order[1]
+        if ms_tbl[runner] <= 2.5 * ms_tbl[order[0]]:
+            def _one_chunk(f):
+                f(px, py, pidx, jnp.uint32(0))[0].block_until_ready()
+                td = time.time()
+                f(px, py, pidx, jnp.uint32(chunk))[0].block_until_ready()
+                return time.time() - td
+            try:
+                kg_ru = {**kg, **dict(tinfo["flags"])[runner]}
+                fn_ru = make_fn(kg_ru)
+                t_ru = _one_chunk(fn_ru)
+                t_win = _one_chunk(fn)
+                tinfo["incontext_ms"] = {order[0]: round(t_win * 1e3, 1),
+                                         runner: round(t_ru * 1e3, 1)}
+                if t_ru < t_win:
+                    tinfo["winner"] = runner
+                    kg, fn = kg_ru, fn_ru
+                print(f"[{name}] in-context tie-break: "
+                      f"{tinfo['incontext_ms']} -> {tinfo['winner']}",
+                      file=sys.stderr)
+            except Exception as e:
+                print(f"[{name}] tie-break failed ({type(e).__name__})",
+                      file=sys.stderr)
+        tinfo.pop("flags", None)
 
     t0 = time.time()
     acc = L

@@ -68,14 +68,20 @@ ID_MASK = (1 << ID_BITS) - 1
 # default VMEM budget for the per-tile working set (entry + one-hot +
 # fetched rows); v5e VMEM is ~16 MB/core and the pipeline needs
 # headroom for lane-IO double buffering
-VMEM_BUDGET = 9 * 2**20
+VMEM_BUDGET = 14 * 2**20
 
 MAX_C = 1 << ID_BITS
 
 
 def choose_tile(c_pad, w_pad):
-    """Largest lane-tile whose working set fits the VMEM budget."""
-    per_lane = c_pad * (4 + 2) + w_pad * 4 + 64
+    """Largest lane-tile whose working set fits the VMEM budget.
+
+    The per-lane coefficient is calibrated to real Mosaic scoped-vmem
+    allocations (round 4): entry int32 + one-hot build intermediates
+    (~13 B/cluster with the blocked entry build) plus the three dot
+    outputs and the accumulated rows (~10 B/table-col), plus ~1 KB of
+    lane IO/state."""
+    per_lane = c_pad * 13 + w_pad * 10 + 1024
     for t in (4096, 2048, 1024):
         if per_lane * t <= VMEM_BUDGET:
             return t
@@ -146,28 +152,37 @@ def _onehot_kernel(cluster_tris, has_instances, shadow_any_hit,
     vis_lane = vis_ref[:].reshape(s, LANE)
     time = time_ref[:].reshape(s, LANE) if has_motion else None
 
-    # ---- packed entry table (C, T): truncated f32 entry bits | id ----
-    tn = jnp.full((c_pad, tile), -INF, jnp.float32)
-    tf = jnp.full((c_pad, tile), INF, jnp.float32)
-    for ax, dax_t in ((0, dx), (1, dy), (2, dz)):
-        dax = dax_t.reshape(1, tile)
-        oax = (ox, oy, oz)[ax].reshape(1, tile)
-        inv = jnp.where(jnp.abs(dax) > 1e-20,
-                        1.0 / jnp.where(dax == 0, 1.0, dax),
-                        jnp.where(dax >= 0, 1e20, -1e20))
-        lo_b = cb_ref[:, ax].reshape(c_pad, 1)
-        hi_b = cb_ref[:, 3 + ax].reshape(c_pad, 1)
-        t0 = (lo_b - oax) * inv
-        t1 = (hi_b - oax) * inv
-        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    # ---- packed entry table (C, T): truncated f32 entry bits | id.
+    # Built in 128-row blocks: the full (C, T) tn/tf temporaries were
+    # the largest scoped-vmem peak contributor (measured OOM at
+    # C=512, W=384, T=1024) ----
     tmin_f = tmin.reshape(1, tile)
     tmax_f = tmax.reshape(1, tile)
-    ok = (tn <= tf) & (tf >= tmin_f) & (tn <= tmax_f)
-    ef = jnp.where(ok, jnp.maximum(tn, tmin_f), INF)
-    cid = jax.lax.broadcasted_iota(jnp.int32, (c_pad, 1), 0)
     mask = jnp.int32(~ID_MASK)
-    entry_ref[:] = (pltpu.bitcast(ef, jnp.int32) & mask) | cid
+    inv3 = []
+    for dax_t in (dx, dy, dz):
+        dax = dax_t.reshape(1, tile)
+        inv3.append(jnp.where(jnp.abs(dax) > 1e-20,
+                              1.0 / jnp.where(dax == 0, 1.0, dax),
+                              jnp.where(dax >= 0, 1e20, -1e20)))
+    cb_blk = 128
+    for c0 in range(0, c_pad, cb_blk):
+        tn = jnp.full((cb_blk, tile), -INF, jnp.float32)
+        tf = jnp.full((cb_blk, tile), INF, jnp.float32)
+        for ax in range(3):
+            oax = (ox, oy, oz)[ax].reshape(1, tile)
+            lo_b = cb_ref[c0:c0 + cb_blk, ax].reshape(cb_blk, 1)
+            hi_b = cb_ref[c0:c0 + cb_blk, 3 + ax].reshape(cb_blk, 1)
+            t0 = (lo_b - oax) * inv3[ax]
+            t1 = (hi_b - oax) * inv3[ax]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        ok = (tn <= tf) & (tf >= tmin_f) & (tn <= tmax_f)
+        ef = jnp.where(ok, jnp.maximum(tn, tmin_f), INF)
+        cid_b = c0 + jax.lax.broadcasted_iota(jnp.int32, (cb_blk, 1), 0)
+        entry_ref[c0:c0 + cb_blk, :] = \
+            (pltpu.bitcast(ef, jnp.int32) & mask) | cid_b
+    cid = jax.lax.broadcasted_iota(jnp.int32, (c_pad, 1), 0)
     # retired/processed sentinel per row: keeps the packed values
     # unique even when every live row is exhausted, so the equality
     # one-hot always selects exactly one row
