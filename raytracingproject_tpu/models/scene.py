@@ -244,6 +244,7 @@ class Scene:
             "deform_steps": packed.pop("__deform_steps__", 1),
             "obj_motion_steps": packed.pop("__obj_motion_steps__", 2),
             "cluster_tris": packed.pop("__cluster_tris__", 0),
+            "oh_cluster_tris": packed.pop("__oh_tris__", 0),
             "cluster_motion": packed.pop("__cluster_motion__", False),
             "sc_gmax": packed.pop("__sc_gmax__", 0),
             "bvh_stack_depth": packed.pop("__bvh_stack_depth__", 0),
@@ -259,6 +260,7 @@ class Scene:
         dscene.pop("__deform_steps__", None)
         dscene.pop("__obj_motion_steps__", None)
         dscene.pop("__cluster_tris__", None)
+        dscene.pop("__oh_tris__", None)
         dscene.pop("__cluster_motion__", None)
         dscene.pop("__sc_gmax__", None)
         dscene.pop("__bvh_stack_depth__", None)
@@ -1105,12 +1107,18 @@ class Scene:
                     # per-lane one-hot MXU walk tables (round 4,
                     # ops/pallas_onehot.py): transposed bf16x3 splits +
                     # padded bounds, packed ONCE at sync (ADVICE r03
-                    # #2 — never pad inside the dispatch)
+                    # #2 — never pad inside the dispatch). Same cut as
+                    # the XLA tables: a coarser merged cut was measured
+                    # SLOWER in-context (glossy 19.0->30.5 ms/iter —
+                    # adjacent-segment union AABBs are loose enough
+                    # that rays enter them without entering either
+                    # child, so visits grow instead of halving).
                     from raytracingproject_tpu.ops import pallas_onehot \
-                        as po
-                    oh = po.pack_onehot_tables(cb, ctab)
+                        as p_oh
+                    oh = p_oh.pack_onehot_tables(cb, ctab)
                     if oh is not None:
                         packed.update(oh)
+                        packed["__oh_tris__"] = ct_used
                 if two_level:
                     gmax = max(CLUSTER2_GROUP_TARGET,
                                -(-total_c // 512))
@@ -1748,6 +1756,7 @@ class Scene:
             "background_shader": ds["background_shader"],
             "use_brute": ds["use_brute"],
             "cluster_tris": ds.get("cluster_tris", 0),
+            "oh_cluster_tris": ds.get("oh_cluster_tris", 0),
             "cluster_motion": ds.get("cluster_motion", False),
             "sc_gmax": ds.get("sc_gmax", 0),
             "bvh_stack_depth": ds.get("bvh_stack_depth", 0),

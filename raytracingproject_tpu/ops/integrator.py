@@ -152,7 +152,8 @@ def _use_pallas_occlusion(kg):
         return False
     mode = kg.get("pallas_occlusion", "auto")
     if mode == "auto":
-        return _use_pallas_clusters(kg) and not kg["use_brute"]
+        return (not kg["use_brute"]) and (
+            _use_pallas_clusters(kg) or _use_pallas_onehot(kg))
     return bool(mode)
 
 
@@ -191,7 +192,9 @@ def _scene_intersect_tris(kg, o, d, tmin, tmax, visibility, shadow=False,
             from raytracingproject_tpu.ops import pallas_onehot as po
             return po.intersect_clusters_onehot(
                 ds["oh_cbounds"], ds["oh_table_hi"], ds["oh_table_mid"],
-                ds["oh_table_lo"], int(kg["cluster_tris"]), o, d, tmin,
+                ds["oh_table_lo"],
+                int(kg.get("oh_cluster_tris", 0)
+                    or kg["cluster_tris"]), o, d, tmin,
                 tmax, visibility, shadow_any_hit=shadow,
                 has_instances=bool(kg.get("has_instances", False)),
                 time=time,
@@ -385,14 +388,17 @@ def make_path_kernel(kg, px, py, pixel_index):
     has_equiangular = has_volume \
         and bool(features.get("has_equiangular", False)) \
         and "equiangular" not in ablate
-    # volume NEE on the dense path: the shadow any-hit and the medium
-    # boundary closest-hit interrogate the SAME segment — one dual-
-    # reduction sweep (intersect_brute_dual) answers both, halving the
-    # per-bounce NEE triangle work (measured 21% of volume_sss in
-    # tools/stage_profile.py). Transparent shadows need the stepped
-    # loop, so they keep the general path.
-    use_dual_shadow = bool(kg["use_brute"]) and has_volume \
-        and not any(kg.get("shader_shadow_transparent", ()))
+    # volume NEE: the shadow any-hit and the medium boundary
+    # closest-hit interrogate the SAME segment — one dual-reduction
+    # sweep answers both, halving the per-bounce NEE triangle work
+    # (measured 21% of volume_sss in tools/stage_profile.py). Dense
+    # scenes use intersect_brute_occlusion; cluster scenes the
+    # VMEM-resident Pallas dual walk (round 4 — previously the cluster
+    # path fell back to the stepped loop and paid two sweeps).
+    # Transparent shadows need the stepped loop, so they keep it.
+    use_dual_shadow = has_volume \
+        and not any(kg.get("shader_shadow_transparent", ())) \
+        and (bool(kg["use_brute"]) or _use_pallas_occlusion(kg))
 
     aux_names = tuple(kg.get("aux_passes", ()))
     aov_names = tuple(n[4:] for n in aux_names if n.startswith("aov:"))

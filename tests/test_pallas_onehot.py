@@ -32,7 +32,8 @@ def _rand_rays(n, seed, lo=(-300, -300, -300), hi=(900, 900, 900)):
     return jnp.asarray(o), jnp.asarray(d)
 
 
-def _run_both(kg, ds, o, d, shadow=False, vis=None, time=None):
+def _run_both(kg, ds, o, d, shadow=False, vis=None, time=None,
+              same_cut=True):
     n = o.shape[0]
     tmin = jnp.full((n,), 1e-4, jnp.float32)
     tmax = jnp.full((n,), 1e30, jnp.float32)
@@ -45,9 +46,22 @@ def _run_both(kg, ds, o, d, shadow=False, vis=None, time=None):
         int(kg["cluster_tris"]), o, d, tmin, tmax,
         visibility=vis, shadow_any_hit=shadow, has_instances=has_inst,
         time=time, has_motion=has_mot)
+    if same_cut:
+        # pack one-hot tables from the SAME cluster cut for bit-level
+        # parity (the scene packs a coarser merged cut for the walk)
+        oh = po.pack_onehot_tables(np.asarray(ds["cluster_bounds"]),
+                                   np.asarray(ds["cluster_table"]))
+        tabs = (jnp.asarray(oh["oh_cbounds"]),
+                jnp.asarray(oh["oh_table_hi"]),
+                jnp.asarray(oh["oh_table_mid"]),
+                jnp.asarray(oh["oh_table_lo"]))
+        ct = int(kg["cluster_tris"])
+    else:
+        tabs = (ds["oh_cbounds"], ds["oh_table_hi"],
+                ds["oh_table_mid"], ds["oh_table_lo"])
+        ct = int(kg.get("oh_cluster_tris", 0) or kg["cluster_tris"])
     got = po.intersect_clusters_onehot(
-        ds["oh_cbounds"], ds["oh_table_hi"], ds["oh_table_mid"],
-        ds["oh_table_lo"], int(kg["cluster_tris"]), o, d, tmin, tmax,
+        *tabs, ct, o, d, tmin, tmax,
         vis, shadow_any_hit=shadow, has_instances=has_inst,
         time=time, has_motion=has_mot, tile=1024, interpret=True)
     return ({k: np.asarray(v) for k, v in ref.items()},
@@ -93,6 +107,16 @@ class TestParity:
         kg, ds = _cluster_scene(spheres="glossy")
         o, d = _rand_rays(1000, 4)     # forces padding
         ref, got = _run_both(kg, ds, o, d)
+        _assert_match(ref, got)
+
+    def test_scene_packed_tables(self):
+        """The tables the scene packs at sync must match the XLA walk
+        (same cut; a coarser merged cut was tried in round 4 and
+        measured slower in-context — loose union AABBs grow visits)."""
+        kg, ds = _cluster_scene(spheres="glossy")
+        assert int(kg.get("oh_cluster_tris", 0)) > 0
+        o, d = _rand_rays(1024, 14)
+        ref, got = _run_both(kg, ds, o, d, same_cut=False)
         _assert_match(ref, got)
 
     def test_per_lane_visibility(self):

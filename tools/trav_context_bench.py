@@ -74,6 +74,12 @@ def run(name, lpp_override=None):
             ("pallas", {"use_brute": False, "pallas_clusters": True,
                         "pallas_onehot": False,
                         "pallas_occlusion": False}),
+            ("pallas+dual", {"use_brute": False, "pallas_clusters": True,
+                             "pallas_onehot": False,
+                             "pallas_occlusion": True}),
+            ("onehot+dual", {"use_brute": False, "pallas_clusters": False,
+                             "pallas_onehot": True,
+                             "pallas_occlusion": True}),
         ]
         if not kg.get("has_instances", False) \
                 and ds["tri_verts_world"].shape[0] <= 65536:
