@@ -511,12 +511,15 @@ def main():
             "value": 0.0, "unit": "Msamples/s", "vs_baseline": 0.0,
             "error": err}))
         return
+    only = [s for s in os.environ.get("BENCH_ONLY", "").split(",") if s]
     per_config = {}
     for cfg in CONFIGS:
+        if only and cfg[0] not in only:
+            continue
         per_config[cfg[0]] = round(bench_one(*cfg), 3)
     worst = min(per_config.values())
     info = {}
-    for cfg in INFO_CONFIGS:
+    for cfg in (INFO_CONFIGS if not only else []):
         try:
             info[cfg[0]] = round(bench_one(*cfg), 3)
         except Exception as e:  # info-only: report, never fatal
