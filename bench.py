@@ -171,8 +171,32 @@ def autotune_kg(name, kg):
                                      for k, v in times.items()},
                               "flags": dict(variants)}
 
-    # ---- volume dual sweep: dense vs Pallas occlusion walk ----
-    if "cluster_boundary" in ds and on_tpu:
+    # ---- occlusion backend: volume scenes A/B the dual sweep (dense
+    # vs Pallas); surface cluster scenes A/B the NEE shadow any-hit
+    # (traversal walk vs the Pallas occlusion kernel with the closest
+    # window disabled — integrator._shadow_blocked) ----
+    has_vol_boundary = "prim_is_boundary" in ds and bool(
+        np.asarray(ds["prim_is_boundary"]).any())
+    if "cluster_boundary" in ds and on_tpu and not has_vol_boundary \
+            and not kg.get("use_brute", False):
+        otimes = {}
+        try:
+            fw = jax.jit(lambda a, b: integ._shadow_blocked(
+                {**kg, "pallas_occlusion": False}, a, b, tmin, tmax))
+            otimes["walk"] = _time_jit(fw, (o, d))
+            fo = jax.jit(lambda a, b: integ._shadow_blocked(
+                {**kg, "pallas_occlusion": True}, a, b, tmin, tmax))
+            otimes["pallas"] = _time_jit(fo, (o, d))
+        except Exception as e:
+            print(f"[{name}] tune shadow: FAILED "
+                  f"({type(e).__name__})", file=sys.stderr)
+        if otimes:
+            win = min(otimes, key=otimes.get)
+            kg["pallas_occlusion"] = win == "pallas"
+            tuned["shadow"] = {"winner": win,
+                               "ms": {k: round(v * 1e3, 2)
+                                      for k, v in otimes.items()}}
+    elif "cluster_boundary" in ds and on_tpu:
         from raytracingproject_tpu.ops import pallas_cluster as pcl
         otimes = {}
         try:

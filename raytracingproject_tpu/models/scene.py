@@ -1490,6 +1490,34 @@ class Scene:
                  np.zeros(D, np.float32)], -1)
         else:
             out["light_entries"] = np.zeros((1, 4), np.float32)
+
+        # per-ENTRY row snapshots: the NEE pick's three row fetches
+        # (prim/object/lamp tables, indexed through erow) collapse to
+        # D-row tables indexed by the entry index itself. D is tiny on
+        # most scenes (1-2 emitters -> broadcast/select-chain fetches,
+        # ~free) while prim_table can be >512 rows (a 0.7 ms dynamic
+        # gather per NEE per iteration at 256k lanes — ops/lookup.py).
+        # Rows are verbatim copies, so the fast path is bit-exact vs
+        # the wide fetch (tests/test_light_entry_rows.py). Flat-CDF
+        # pick only: the light-tree pick has no entry index.
+        pt_full = packed.get("prim_table")
+        ot_full = packed.get("object_table")
+        if D and D <= lk.ONEHOT_MAX_ROWS \
+                and pt_full is not None and len(pt_full) \
+                and ot_full is not None and len(ot_full):
+            types = out["light_dist_type"]
+            ids = out["light_dist_id"]
+            p0 = np.maximum(np.where(types == 1, ids, 0), 0)
+            le_prim = pt_full[np.minimum(p0, len(pt_full) - 1)]
+            ob = np.maximum(
+                le_prim[:, lk.PT_OBJECT].astype(np.int64), 0)
+            le_obj = ot_full[np.minimum(ob, len(ot_full) - 1)]
+            l0 = np.maximum(np.where(types == 1, 0, ids), 0)
+            le_lamp = (lt[np.minimum(l0, len(lt) - 1)] if len(lt)
+                       else np.zeros((D, lk.LT_COLS), np.float32))
+            out["le_prim_rows"] = le_prim.astype(np.float32)
+            out["le_obj_rows"] = le_obj.astype(np.float32)
+            out["le_lamp_rows"] = le_lamp.astype(np.float32)
         return out
 
     # ------------------------------------------------------------------
@@ -1732,8 +1760,12 @@ class Scene:
         prim_bnd = shv[pshader]
         arrays["prim_is_boundary"] = jnp.asarray(prim_bnd)
         # per-cluster-slot boundary flags for the Pallas dual-reduction
-        # occlusion walk (ops/pallas_cluster.py occlusion_clusters_pallas)
-        if "cluster_table" in ds["arrays"] and shv.any():
+        # occlusion walk (ops/pallas_cluster.py occlusion_clusters_pallas).
+        # Packed for EVERY cluster scene (all-zero without volume
+        # shaders): surface NEE routes its pure any-hit through the same
+        # kernel with the closest window disabled (integrator.
+        # _shadow_blocked), which needs the table present.
+        if "cluster_table" in ds["arrays"]:
             from raytracingproject_tpu.ops import cluster_intersect as ci
             ctab_np = np.asarray(ds["arrays"]["cluster_table"])
             ct = int(ds.get("cluster_tris", 0))

@@ -260,6 +260,27 @@ def _shadow_blocked(kg, o, d, tmin, tmax, time=None):
         if "curve_p0" in ds:
             blocked = blocked | _curve_any_hit(kg, o, d, tmin, tmax, vis)
         return blocked
+    if _use_pallas_occlusion(kg):
+        # pure any-hit via the VMEM-resident dual-reduction walk with
+        # the closest accumulator disabled (empty [tmin, tmin] window):
+        # no winner tracking, no per-chunk while-state HBM round trips
+        # (the XLA walk's dominant cost — docs/PERF.md), lanes early-exit
+        # on first accepted hit. Same vis_any semantics as the volume
+        # dual sweep (parity: tests/test_volume_dual_occlusion.py).
+        from raytracingproject_tpu.ops import pallas_cluster as pcl
+        _tb, _to, blocked = pcl.occlusion_clusters_pallas(
+            ds["cluster_bounds"], ds["cluster_table"],
+            ds["cluster_boundary"], int(kg["cluster_tris"]), o, d, tmin,
+            tmax_closest=tmin, tmax_any=tmax,
+            vis_closest=int(ob.PATH_RAY_CAMERA),
+            vis_any=int(ob.PATH_RAY_SHADOW),
+            has_instances=bool(kg.get("has_instances", False)),
+            time=time if kg.get("cluster_motion") else None,
+            has_motion=bool(kg.get("cluster_motion", False)),
+            interpret=bool(kg.get("pallas_interpret", False)))
+        if "curve_p0" in ds:
+            blocked = blocked | _curve_any_hit(kg, o, d, tmin, tmax, vis)
+        return blocked
     hit = _scene_intersect(kg, o, d, tmin, tmax, vis, shadow=True,
                            time=time)
     return hit["prim"] >= 0

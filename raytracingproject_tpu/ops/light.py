@@ -110,21 +110,31 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None, rows=None,
     from raytracingproject_tpu.ops import lookup as lk
     n = P.shape[0]
     if rows is None:
+        eidx = None
         if tree is not None:
             from raytracingproject_tpu.ops import light_tree as ltree
             erow = ltree.sample_entry(dscene, tree, P, u_sel)
         else:
-            _entry, erow = light_distribution_sample(dscene, u_sel)
-        prim0 = jnp.maximum(
-            jnp.where(erow[:, 0].astype(jnp.int32) == 1,
-                      erow[:, 1].astype(jnp.int32), 0), 0)
-        prow = lk.lookup_rows(dscene["prim_table"], prim0)
-        obj = prow[:, lk.PT_OBJECT].astype(jnp.int32)
-        orow = lk.lookup_rows(dscene["object_table"], jnp.maximum(obj, 0))
-        lamp0 = jnp.maximum(
-            jnp.where(erow[:, 0].astype(jnp.int32) == 1, 0,
-                      erow[:, 1].astype(jnp.int32)), 0)
-        lrow = lk.lookup_rows(dscene["lamp_table"], lamp0)
+            eidx, erow = light_distribution_sample(dscene, u_sel)
+        if eidx is not None and "le_prim_rows" in dscene:
+            # per-entry snapshot tables (models/scene.py _pack_lights):
+            # D-row copies fetched by the pick index — bit-exact vs the
+            # wide-table path below, ~free for the common tiny D
+            prow = lk.lookup_rows(dscene["le_prim_rows"], eidx)
+            orow = lk.lookup_rows(dscene["le_obj_rows"], eidx)
+            lrow = lk.lookup_rows(dscene["le_lamp_rows"], eidx)
+        else:
+            prim0 = jnp.maximum(
+                jnp.where(erow[:, 0].astype(jnp.int32) == 1,
+                          erow[:, 1].astype(jnp.int32), 0), 0)
+            prow = lk.lookup_rows(dscene["prim_table"], prim0)
+            obj = prow[:, lk.PT_OBJECT].astype(jnp.int32)
+            orow = lk.lookup_rows(dscene["object_table"],
+                                  jnp.maximum(obj, 0))
+            lamp0 = jnp.maximum(
+                jnp.where(erow[:, 0].astype(jnp.int32) == 1, 0,
+                          erow[:, 1].astype(jnp.int32)), 0)
+            lrow = lk.lookup_rows(dscene["lamp_table"], lamp0)
         rows = {"erow": erow, "prow": prow, "orow": orow, "lrow": lrow}
     else:
         erow, prow, orow, lrow = (rows["erow"], rows["prow"],
