@@ -1502,7 +1502,13 @@ class Scene:
         # pick only: the light-tree pick has no entry index.
         pt_full = packed.get("prim_table")
         ot_full = packed.get("object_table")
-        if D and D <= lk.ONEHOT_MAX_ROWS \
+        # skipped when the light tree picks (no entry index at runtime
+        # -> the fast path can never fire; shipping the rows would only
+        # waste device memory) and when any row payload is non-finite
+        # (the fetch is a one-hot dot: 0*inf = nan — docs/PERF.md).
+        use_tree = bool(getattr(self.integrator, "use_light_tree",
+                                False)) and D >= 2
+        if D and D <= lk.ONEHOT_MAX_ROWS and not use_tree \
                 and pt_full is not None and len(pt_full) \
                 and ot_full is not None and len(ot_full):
             types = out["light_dist_type"]
@@ -1515,9 +1521,14 @@ class Scene:
             l0 = np.maximum(np.where(types == 1, 0, ids), 0)
             le_lamp = (lt[np.minimum(l0, len(lt) - 1)] if len(lt)
                        else np.zeros((D, lk.LT_COLS), np.float32))
-            out["le_prim_rows"] = le_prim.astype(np.float32)
-            out["le_obj_rows"] = le_obj.astype(np.float32)
-            out["le_lamp_rows"] = le_lamp.astype(np.float32)
+            le_prim = le_prim.astype(np.float32)
+            le_obj = le_obj.astype(np.float32)
+            le_lamp = le_lamp.astype(np.float32)
+            if np.isfinite(le_prim).all() and np.isfinite(le_obj).all() \
+                    and np.isfinite(le_lamp).all():
+                out["le_prim_rows"] = le_prim
+                out["le_obj_rows"] = le_obj
+                out["le_lamp_rows"] = le_lamp
         return out
 
     # ------------------------------------------------------------------

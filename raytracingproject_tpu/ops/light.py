@@ -18,6 +18,7 @@ kernel_emission.h:209-233). Area lamps are virtual (not in the BVH);
 from __future__ import annotations
 from raytracingproject_tpu.utils import precision as prec
 
+import jax
 import jax.numpy as jnp
 
 from raytracingproject_tpu.utils import math as um
@@ -119,10 +120,26 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None, rows=None,
         if eidx is not None and "le_prim_rows" in dscene:
             # per-entry snapshot tables (models/scene.py _pack_lights):
             # D-row copies fetched by the pick index — bit-exact vs the
-            # wide-table path below, ~free for the common tiny D
-            prow = lk.lookup_rows(dscene["le_prim_rows"], eidx)
-            orow = lk.lookup_rows(dscene["le_obj_rows"], eidx)
-            lrow = lk.lookup_rows(dscene["le_lamp_rows"], eidx)
+            # wide-table path below, ~free for the common tiny D.
+            # method="onehot" + optimization_barrier are BOTH required
+            # for the bit-exact parity pillar: the default select-chain
+            # fetch for tiny D fused INTO the surrounding NEE math,
+            # and different drivers (fixed-grid vs regen — different
+            # jit graphs) then FMA-contract that math differently,
+            # diverging by 1 ulp (the r4 end-of-round regression,
+            # tests/test_regen.py test_bit_exact_vs_fixed_grid). The
+            # dot is a compilation unit both programs lower identically
+            # — the same boundary the wide path's one-hot/gather fetch
+            # provided implicitly. Payload finiteness (0*inf = nan) is
+            # guaranteed by the packer's isfinite gate.
+            erow, prow, orow, lrow = jax.lax.optimization_barrier((
+                erow,
+                lk.lookup_rows(dscene["le_prim_rows"], eidx,
+                               method="onehot"),
+                lk.lookup_rows(dscene["le_obj_rows"], eidx,
+                               method="onehot"),
+                lk.lookup_rows(dscene["le_lamp_rows"], eidx,
+                               method="onehot")))
         else:
             prim0 = jnp.maximum(
                 jnp.where(erow[:, 0].astype(jnp.int32) == 1,

@@ -117,6 +117,13 @@ def pack_onehot_tables(cbounds, ctable):
         return None
     c_pad = max(128, -(-c // 128) * 128)
     w_pad = -(-w // 16) * 16
+    if (c_pad * 13 + w_pad * 10 + 1024) * 1024 > VMEM_BUDGET:
+        # even the smallest lane tile would blow Mosaic's scoped-vmem
+        # budget (choose_tile coefficients) — decline here so dispatch
+        # (integrator._use_pallas_onehot keys on "oh_cbounds") falls
+        # back to the XLA/tile-shared walks instead of failing at
+        # compile time inside a jit (ADVICE r4)
+        return None
     tt = np.zeros((w_pad, c_pad), np.float32)
     tt[:w, :c] = np.asarray(ctable, np.float32).T
     hi, mid, lo = split_bf16x3(tt)

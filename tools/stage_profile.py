@@ -47,19 +47,25 @@ ABLATIONS = [
 ]
 
 
-def timeit(fn, *args, iters=3):
+def timeit(fn, *args, iters=5):
+    """MEDIAN of `iters` individually-synced reps (round-5 verdict
+    item 5: the r4 single-run ablation profile produced NEGATIVE stage
+    deltas larger than real stages — tunnel jitter, not signal; the
+    median of 5 synced reps is robust to the occasional 2x outlier)."""
     import jax
-    out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-        else x, out)
-    t0 = time.time()
+
+    def sync(x):
+        return jax.tree_util.tree_map(
+            lambda y: y.block_until_ready()
+            if hasattr(y, "block_until_ready") else y, x)
+
+    sync(fn(*args))  # warm/compile
+    ts = []
     for _ in range(iters):
-        out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-        else x, out)
-    return (time.time() - t0) / iters
+        t0 = time.time()
+        sync(fn(*args))
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
 
 
 def profile_config(name, chunk=16):
@@ -113,7 +119,7 @@ def profile_config(name, chunk=16):
             L.block_until_ready()
             compile_t = time.time() - t0
             t = timeit(lambda s: fn(px, py, pidx, s), jnp.uint32(chunk),
-                       iters=3)
+                       iters=5)
         except Exception as e:  # noqa
             print(f"  ablate={ab or 'none'}: FAILED {e}")
             continue
