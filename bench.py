@@ -386,48 +386,37 @@ def bench_adaptive(name, scene, kg, W, H, spp, chunk, lpp, sync_time,
     counts the NOMINAL sample budget over the wall clock, so converged
     pixels' skipped samples are throughput the error estimator earned;
     actual samples rendered are reported alongside."""
-    import jax
-    import jax.numpy as jnp
-    from raytracingproject_tpu.ops import integrator as integ
-    from raytracingproject_tpu.session.adaptive import render_adaptive
+    from raytracingproject_tpu.session.adaptive import (
+        render_adaptive_device)
 
     lanes = W * H * lpp
     min_samples = int(scene.integrator.adaptive_min_samples) \
         or max(spp // 4, 4)
-    # milestone-perfect chunk: the first dispatch (every pixel to
+    # milestone-perfect chunk: the first round (every pixel to
     # min_samples) exactly fills the wavefront with real strided work —
     # lanes/(W*H) replicas per pixel, each rendering achunk consecutive
-    # samples, zero padding (the round-3 chunk=16 choice left cap=1 and
-    # padded 75% of every dispatch)
+    # samples, zero padding
     achunk = max(min_samples * W * H // lanes, 1)
-    fn = jax.jit(lambda a, b, c, s: integ.render_samples_adaptive_chunk(
-        kg, a, b, c, s, achunk))
 
-    max_disp = [0.0]
-
-    def render_chunk(px, py, pidx, s0):
-        td = time.time()
-        L, A, E = fn(jnp.asarray(px, jnp.int32), jnp.asarray(py, jnp.int32),
-                     jnp.asarray(pidx, jnp.int32),
-                     jnp.asarray(s0, jnp.uint32))
-        out = np.asarray(L), np.asarray(A), np.asarray(E)
-        max_disp[0] = max(max_disp[0], time.time() - td)
-        return out
-
-    # warm the single compiled shape (excluded, matching the other
-    # configs' compile exclusion)
-    t0 = time.time()
-    ids = np.arange(lanes, dtype=np.int32) % (W * H)
-    render_chunk(ids % W, ids // W, ids, np.zeros(lanes, np.uint32))
-    compile_time = time.time() - t0
-
-    t0 = time.time()
-    L, A, counts, stats = render_adaptive(
+    # one call; the FIRST round carries the compile and is excluded
+    # from the clock along with its samples (the fixed path excludes
+    # its warm-up chunk the same way)
+    walls = []
+    L, A, counts, stats = render_adaptive_device(
         kg, W, H, spp, threshold=threshold, min_samples=min_samples,
-        chunk=achunk, lanes=lanes, render_chunk=render_chunk)
-    render_time = time.time() - t0
+        chunk=achunk, lanes=lanes, on_dispatch=walls.append)
+    compile_time = walls[0] if walls else 0.0
+    if len(walls) > 1:
+        render_time = sum(walls[1:])
+        max_disp = [max(walls[1:])]
+        excl = min(lanes * achunk // (W * H), spp - achunk)
+    else:  # converged in the compile round: no fair timed window;
+        # score the whole (compile-laden) round — conservative
+        render_time = max(compile_time, 1e-9)
+        max_disp = [compile_time]
+        excl = 0
     _check_dispatch_budget(name, max_disp[0], compile_time)
-    samples = W * H * spp
+    samples = W * H * (spp - excl)
     msps = samples / render_time / 1e6
     img = L / np.maximum(counts[:, None], 1)
     print(f"[{name}] {W}x{H}@{spp}spp(adaptive) sync={sync_time:.2f}s "

@@ -64,6 +64,11 @@ CURVE_CLUSTER_MIN_SEGS = 512
 # threshold is baked to world space (the reference applies static
 # transforms similarly, object.cpp apply_static_transforms).
 AUTO_FLATTEN_MAX_PRIMS = 16384
+# Independent BVH re-cut target (tris/cluster) for the one-hot walk
+# tables; None/0 = reuse the XLA-table cut (tools/onehot_cut_bench.py
+# measures the crossover — per-visit MXU MAC is ~invariant in cluster
+# size, so a coarser TIGHT cut trades fewer visits for cheap VPU tris)
+OH_CUT_TRIS = None
 
 
 def _resample_motion_steps(v0, extra_steps, n_extra):
@@ -1045,56 +1050,64 @@ class Scene:
                 else:
                     block_cuts = None
             if block_cuts is not None and total_c > 0:
-                cluster_dicts = []
-                if has_instances:
-                    for (w2o, bi, oi, _motion) in instance_rows:
-                        blk = blocks[bi]
-                        pb = prim_bases[bi]
-                        o2w = (np.asarray(objects[oi].transform, np.float32)
-                               if oi >= 0 else tfm.identity())
-                        for (s, c) in block_cuts[bi]:
-                            verts = blk["verts"][s:s + c]
-                            prim = pb + np.arange(s, s + c)
-                            if oi >= 0:
-                                objv = np.full(c, oi, np.int32)
-                            else:
-                                objv = blk["object"][s:s + c]
-                            vis = obj_visibility[np.maximum(objv, 0)]
-                            vlo = verts.reshape(-1, 3).min(0)
-                            vhi = verts.reshape(-1, 3).max(0)
-                            corners = np.array(
-                                [[x, y, z] for x in (vlo[0], vhi[0])
-                                 for y in (vlo[1], vhi[1])
-                                 for z in (vlo[2], vhi[2])], np.float32)
-                            wc = tfm.transform_point(o2w, corners)
-                            cluster_dicts.append({
-                                "verts": verts, "prim": prim, "obj": objv,
-                                "vis": vis, "w2o": w2o,
-                                "lo": wc.min(0), "hi": wc.max(0)})
-                else:
-                    tv = packed["tri_verts"]
-                    tv1 = packed["tri_verts_world_t1"] if has_deform \
-                        else None
-                    po = packed["prim_object_packed"]
-                    for (s, c) in block_cuts[0]:
-                        verts = tv[s:s + c]
-                        objv = po[s:s + c]
-                        # deform motion: bounds cover both shutter
-                        # steps; rows carry per-tri deltas lerped by
-                        # ray time in the intersector
-                        allv = verts.reshape(-1, 3) if tv1 is None \
-                            else np.concatenate(
-                                [verts, tv1[s:s + c]]).reshape(-1, 3)
-                        cluster_dicts.append({
-                            "verts": verts,
-                            "verts_t1": (None if tv1 is None
-                                         else tv1[s:s + c]),
-                            "prim": np.arange(s, s + c),
-                            "obj": objv,
-                            "vis": obj_visibility[np.maximum(objv, 0)],
-                            "w2o": None,
-                            "lo": allv.min(0),
-                            "hi": allv.max(0)})
+                def _cut_cluster_dicts(cuts):
+                    cds = []
+                    if has_instances:
+                        for (w2o, bi, oi, _motion) in instance_rows:
+                            blk = blocks[bi]
+                            pb = prim_bases[bi]
+                            o2w = (np.asarray(objects[oi].transform,
+                                              np.float32)
+                                   if oi >= 0 else tfm.identity())
+                            for (s, c) in cuts[bi]:
+                                verts = blk["verts"][s:s + c]
+                                prim = pb + np.arange(s, s + c)
+                                if oi >= 0:
+                                    objv = np.full(c, oi, np.int32)
+                                else:
+                                    objv = blk["object"][s:s + c]
+                                vis = obj_visibility[np.maximum(objv, 0)]
+                                vlo = verts.reshape(-1, 3).min(0)
+                                vhi = verts.reshape(-1, 3).max(0)
+                                corners = np.array(
+                                    [[x, y, z] for x in (vlo[0], vhi[0])
+                                     for y in (vlo[1], vhi[1])
+                                     for z in (vlo[2], vhi[2])],
+                                    np.float32)
+                                wc = tfm.transform_point(o2w, corners)
+                                cds.append({
+                                    "verts": verts, "prim": prim,
+                                    "obj": objv,
+                                    "vis": vis, "w2o": w2o,
+                                    "lo": wc.min(0), "hi": wc.max(0)})
+                    else:
+                        tv = packed["tri_verts"]
+                        tv1 = packed["tri_verts_world_t1"] if has_deform \
+                            else None
+                        po = packed["prim_object_packed"]
+                        for (s, c) in cuts[0]:
+                            verts = tv[s:s + c]
+                            objv = po[s:s + c]
+                            # deform motion: bounds cover both shutter
+                            # steps; rows carry per-tri deltas lerped by
+                            # ray time in the intersector
+                            allv = verts.reshape(-1, 3) if tv1 is None \
+                                else np.concatenate(
+                                    [verts, tv1[s:s + c]]).reshape(-1, 3)
+                            cds.append({
+                                "verts": verts,
+                                "verts_t1": (None if tv1 is None
+                                             else tv1[s:s + c]),
+                                "prim": np.arange(s, s + c),
+                                "obj": objv,
+                                "vis": obj_visibility[
+                                    np.maximum(objv, 0)],
+                                "w2o": None,
+                                "lo": allv.min(0),
+                                "hi": allv.max(0)})
+                    return cds
+
+                cluster_dicts = _cut_cluster_dicts(block_cuts)
                 cb, ctab, ct_used, cmotion = \
                     ci.pack_cluster_table(cluster_dicts)
                 packed["cluster_bounds"] = cb
@@ -1107,18 +1120,33 @@ class Scene:
                     # per-lane one-hot MXU walk tables (round 4,
                     # ops/pallas_onehot.py): transposed bf16x3 splits +
                     # padded bounds, packed ONCE at sync (ADVICE r03
-                    # #2 — never pad inside the dispatch). Same cut as
-                    # the XLA tables: a coarser merged cut was measured
-                    # SLOWER in-context (glossy 19.0->30.5 ms/iter —
-                    # adjacent-segment union AABBs are loose enough
-                    # that rays enter them without entering either
-                    # child, so visits grow instead of halving).
+                    # #2 — never pad inside the dispatch). Default:
+                    # same cut as the XLA tables. OH_CUT_TRIS re-cuts
+                    # the BVH independently for the one-hot tables —
+                    # a TRUE subtree re-cut with tight bounds, NOT the
+                    # r4 adjacent-segment merge (that one's union
+                    # AABBs were loose and visits GREW, glossy
+                    # 19.0->30.5 ms/iter; per-visit MXU MAC is
+                    # ~invariant in cluster size (C x W ~ 12P), so
+                    # fewer tight visits win if the cut stays tight).
                     from raytracingproject_tpu.ops import pallas_onehot \
                         as p_oh
-                    oh = p_oh.pack_onehot_tables(cb, ctab)
+                    oh = None
+                    ohtris = ct_used
+                    if OH_CUT_TRIS and int(OH_CUT_TRIS) != ct_size:
+                        oh_cuts = [cl_mod.cut_clusters(
+                            blk["children"], int(OH_CUT_TRIS))
+                            for blk in blocks]
+                        cb2, ctab2, ct2, _cm2 = ci.pack_cluster_table(
+                            _cut_cluster_dicts(oh_cuts))
+                        oh = p_oh.pack_onehot_tables(cb2, ctab2)
+                        ohtris = ct2
+                    if oh is None:
+                        oh = p_oh.pack_onehot_tables(cb, ctab)
+                        ohtris = ct_used
                     if oh is not None:
                         packed.update(oh)
-                        packed["__oh_tris__"] = ct_used
+                        packed["__oh_tris__"] = ohtris
                 if two_level:
                     gmax = max(CLUSTER2_GROUP_TARGET,
                                -(-total_c // 512))

@@ -19,6 +19,141 @@ the threshold (ref: kernel_adaptive_sampling.h kernel_do_adaptive_*).
 import numpy as np
 
 
+def render_adaptive_device(kg, W, H, spp, *, threshold, min_samples=None,
+                           chunk=4, lanes=None, max_rounds=None,
+                           on_dispatch=None):
+    """Device-resident adaptive loop (round-5 rebuild of the verdict's
+    "near-zero-overhead contract", ref: kernel_adaptive_sampling.h
+    :24-150 — the reference's estimator is a masked in-kernel early
+    exit, not a host driver).
+
+    The host version (render_adaptive) pays per-dispatch transfers of
+    the full lane buffers (~9 MB at 262k lanes over the tunneled TPU)
+    plus numpy scatter-adds and allocation on the single host core —
+    measured 0.955 vs 1.25 Msps on the dof config (BENCH_r04). Here the
+    ENTIRE round is one jitted device program: render a chunk, scatter
+    lanes into the framebuffer, update the half-buffer error, and build
+    the next lane->pixel allocation — only ONE scalar (the next active
+    count) crosses to the host per round.
+
+    Allocation is rank-based: active pixels get contiguous, near-even
+    lane ranges (first `lanes % A` ranks get one extra), computed
+    closed-form per lane so no sort is needed. Replica r of a pixel
+    renders samples [counts + r*chunk, counts + (r+1)*chunk) — the same
+    disjoint consecutive coverage as the host driver. `spp` must be a
+    chunk multiple (lanes never straddle the budget).
+
+    Returns (L_sum, A_sum, counts, stats) — the render_adaptive
+    contract. `on_dispatch(round_wall_s)` is the bench's max-dispatch
+    probe hook.
+    """
+    import functools
+    import time as _time
+    import jax
+    import jax.numpy as jnp
+    from raytracingproject_tpu.ops import integrator as integ
+
+    npix = W * H
+    n = int(lanes or npix)
+    if min_samples is None:
+        min_samples = max(spp // 8, 8)
+    min_samples = max(int(min_samples), 2)
+    assert spp % chunk == 0, "spp must be a multiple of chunk"
+    thr = float(threshold)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def round_fn(state):
+        counts = state["counts"]                       # (npix,) int32
+        L_sum, A_sum, E_sum = (state["L"], state["A"], state["E"])
+
+        # ---- active set (same predicate as the host driver) ----
+        mean = jnp.sum(L_sum, -1) / jnp.maximum(counts, 1)
+        err = jnp.sum(jnp.abs(L_sum - 2.0 * E_sum), -1) / (
+            jnp.maximum(counts, 1)
+            * jnp.sqrt(jnp.maximum(mean, 1e-4)))
+        active = counts < spp
+        if thr > 0.0:
+            active &= (counts < min_samples) | (err >= thr)
+        A = jnp.maximum(jnp.sum(active.astype(jnp.int32)), 1)
+
+        # rank -> pixel map (scatter; inactive ranks drop out of bounds)
+        rank = jnp.cumsum(active.astype(jnp.int32)) - 1
+        pix_ids = jnp.arange(npix, dtype=jnp.int32)
+        r2p = jnp.zeros((npix,), jnp.int32).at[
+            jnp.where(active, rank, npix)].set(pix_ids, mode="drop")
+
+        # closed-form lane -> rank (no sort, no big products): the
+        # first `extra` ranks hold base+1 lanes, the rest base
+        lane = jnp.arange(n, dtype=jnp.int32)
+        base = n // A
+        extra = n - base * A
+        split = extra * (base + 1)
+        in_hi = lane < split
+        k_raw = jnp.where(in_hi, lane // jnp.maximum(base + 1, 1),
+                          extra + (lane - split) // jnp.maximum(base, 1))
+        start_k = jnp.where(in_hi, k_raw * (base + 1),
+                            split + (k_raw - extra)
+                            * jnp.maximum(base, 1))
+        rep_idx = lane - start_k
+        k = jnp.minimum(k_raw, A - 1)
+        pix = r2p[k]
+        s0 = counts[pix] + rep_idx * chunk
+        # k_raw >= A only when base == 0 (more active pixels than
+        # lanes): those lanes idle this round; the still-behind pixels
+        # re-rank into range as others converge or hit the budget
+        valid = (s0 + chunk <= spp) & (k_raw < A)
+
+        px = pix % W
+        py = pix // W
+        L, Al, E = integ.render_samples_adaptive_chunk(
+            kg, px, py, pix, s0.astype(jnp.uint32), chunk)
+        vm = valid[:, None]
+        L_sum = L_sum.at[pix].add(jnp.where(vm, L, 0.0))
+        A_sum = A_sum.at[pix].add(jnp.where(valid, Al, 0.0))
+        E_sum = E_sum.at[pix].add(jnp.where(vm, E, 0.0))
+        counts = counts.at[pix].add(
+            jnp.where(valid, jnp.int32(chunk), 0))
+
+        # next-round active count (the ONLY host readback)
+        mean2 = jnp.sum(L_sum, -1) / jnp.maximum(counts, 1)
+        err2 = jnp.sum(jnp.abs(L_sum - 2.0 * E_sum), -1) / (
+            jnp.maximum(counts, 1)
+            * jnp.sqrt(jnp.maximum(mean2, 1e-4)))
+        nxt = counts < spp
+        if thr > 0.0:
+            nxt &= (counts < min_samples) | (err2 >= thr)
+        return {"L": L_sum, "A": A_sum, "E": E_sum, "counts": counts,
+                "n_active": jnp.sum(nxt.astype(jnp.int32))}
+
+    state = {"L": jnp.zeros((npix, 3), jnp.float32),
+             "A": jnp.zeros((npix,), jnp.float32),
+             "E": jnp.zeros((npix, 3), jnp.float32),
+             "counts": jnp.zeros((npix,), jnp.int32),
+             "n_active": jnp.int32(npix)}
+    cap = max_rounds or (spp // chunk + 8) * 4
+    dispatches = 0
+    for _ in range(cap):
+        t0 = _time.time()
+        state = round_fn(state)
+        na = int(state["n_active"])                    # syncs the round
+        dispatches += 1
+        if on_dispatch is not None:
+            on_dispatch(_time.time() - t0)
+        if na == 0:
+            break
+    counts = np.asarray(state["counts"])
+    stats = {
+        "samples_rendered": int(counts.sum()),
+        "samples_nominal": npix * spp,
+        "dispatches": dispatches,
+        "lanes_wasted": 0,
+        "max_samples": int(counts.max()) if npix else 0,
+        "min_samples": int(counts.min()) if npix else 0,
+    }
+    return (np.asarray(state["L"]), np.asarray(state["A"]), counts,
+            stats)
+
+
 def render_adaptive(kg, W, H, spp, *, threshold, min_samples=None,
                     chunk=4, lanes=None, render_chunk=None,
                     progress=None):

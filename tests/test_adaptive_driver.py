@@ -76,3 +76,62 @@ class TestAdaptiveDriver:
         assert stats["dispatches"] == 1
         assert (counts == spp).all()
         np.testing.assert_allclose(L, L_ref, rtol=1e-4, atol=1e-4)
+
+
+class TestAdaptiveDeviceDriver:
+    """Device-resident rounds (session/adaptive.py
+    render_adaptive_device): same contract as the host driver with the
+    allocation/scatter/error loop fused into one jitted program."""
+
+    def test_exact_when_threshold_disabled(self):
+        from raytracingproject_tpu.session.adaptive import (
+            render_adaptive_device)
+        W = H = 16
+        spp = 8
+        L_ref, A_ref, kg = _reference(examples.cornell_box(W, H), W, H,
+                                      spp)
+        L, A, counts, stats = render_adaptive_device(
+            kg, W, H, spp, threshold=0.0, chunk=2)
+        assert (counts == spp).all()
+        assert stats["samples_rendered"] == stats["samples_nominal"]
+        np.testing.assert_allclose(L, L_ref, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(A, A_ref, rtol=1e-4, atol=1e-4)
+
+    def test_adaptive_saves_samples(self):
+        from raytracingproject_tpu.session.adaptive import (
+            render_adaptive_device)
+        W = H = 16
+        spp = 32
+        L_ref, _, kg = _reference(examples.cornell_box(W, H), W, H, spp)
+        img_ref = L_ref / spp
+        L, A, counts, stats = render_adaptive_device(
+            kg, W, H, spp, threshold=0.1, min_samples=4, chunk=2)
+        assert stats["samples_rendered"] < stats["samples_nominal"]
+        assert counts.min() >= 4
+        img = L / counts[:, None]
+        assert np.abs(img - img_ref).mean() < 0.05
+
+    def test_wide_wavefront_disjoint_replicas(self):
+        from raytracingproject_tpu.session.adaptive import (
+            render_adaptive_device)
+        W = H = 8
+        spp = 16
+        L_ref, _, kg = _reference(examples.cornell_box(W, H), W, H, spp)
+        L, A, counts, stats = render_adaptive_device(
+            kg, W, H, spp, threshold=0.0, chunk=2, lanes=4 * W * H)
+        assert (counts == spp).all()
+        np.testing.assert_allclose(L, L_ref, rtol=1e-4, atol=1e-4)
+
+    def test_narrow_wavefront_fewer_lanes_than_pixels(self):
+        # base == 0 path: more active pixels than lanes; ranks beyond
+        # the lane count wait for later rounds — coverage must still
+        # complete and match the reference
+        from raytracingproject_tpu.session.adaptive import (
+            render_adaptive_device)
+        W = H = 8
+        spp = 4
+        L_ref, _, kg = _reference(examples.cornell_box(W, H), W, H, spp)
+        L, A, counts, stats = render_adaptive_device(
+            kg, W, H, spp, threshold=0.0, chunk=2, lanes=W * H // 4)
+        assert (counts == spp).all()
+        np.testing.assert_allclose(L, L_ref, rtol=1e-4, atol=1e-4)

@@ -217,3 +217,25 @@ class TestPacking:
         cb = np.zeros((600, 6), np.float32)
         ct = np.zeros((600, 40), np.float32)
         assert po.pack_onehot_tables(cb, ct) is None
+
+
+class TestIndependentCut:
+    """scene.OH_CUT_TRIS re-cuts the BVH independently for the one-hot
+    tables (a TRUE subtree re-cut with tight bounds — not the r4
+    adjacent-segment merge). Hits must still match the XLA walk on the
+    FINE cut: hit selection only depends on exact per-triangle t."""
+
+    def test_recut_parity(self):
+        from raytracingproject_tpu.models import scene as scene_mod
+        try:
+            scene_mod.OH_CUT_TRIS = 48
+            kg, ds = _cluster_scene(spheres="glossy")
+        finally:
+            scene_mod.OH_CUT_TRIS = None
+        ohtris = int(kg.get("oh_cluster_tris", 0))
+        assert ohtris > int(kg["cluster_tris"])  # coarser cut landed
+        o, d = _rand_rays(1536, 21)
+        ref, got = _run_both(kg, ds, o, d, same_cut=False)
+        np.testing.assert_array_equal(ref["prim"], got["prim"])
+        np.testing.assert_array_equal(ref["object"], got["object"])
+        np.testing.assert_allclose(ref["t"], got["t"], rtol=1e-5)
