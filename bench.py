@@ -309,8 +309,16 @@ def bench_one(name, factory, kwargs, W, H, spp, chunk, lpp=1):
             f(px, py, pidx, jnp.uint32(chunk))[0].block_until_ready()
             return time.time() - td
 
+        flags_tbl = dict(tinfo["flags"])
+        if "clusters_onehot" in band:
+            # fused-NEE rides the one-hot tables (union walk: NEE
+            # shadow any-hit + next-ray closest in ONE kernel); it has
+            # no probe analog — integrator-scale only, so it enters
+            # straight at the in-context stage
+            flags_tbl["onehot_fused"] = {
+                **flags_tbl["clusters_onehot"], "fused_nee": True}
+            band.append("onehot_fused")
         if len(band) > 1:
-            flags_tbl = dict(tinfo["flags"])
             ctx_ms, cands = {}, {}
             for v in band:
                 try:

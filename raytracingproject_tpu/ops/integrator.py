@@ -244,6 +244,61 @@ def _scene_intersect_tris(kg, o, d, tmin, tmax, visibility, shadow=False,
         stack_depth=int(kg.get("bvh_stack_depth", 0)))
 
 
+def _use_fused_nee(kg):
+    """Fused-NEE eligibility: one union one-hot walk per bounce
+    answering this bounce's NEE shadow ANY-hit and the next ray's
+    CLOSEST-hit together (ops/pallas_onehot.py
+    intersect_clusters_onehot_dual; round-5 verdict item 2 — the
+    reference pays two traversals per bounce, kernel/kernel_shadow.h +
+    kernel_path_surface.h). Opt-in via kg["fused_nee"] (the bench
+    autotunes it; tests force it with pallas_interpret), restricted to
+    the plain-surface configuration the dual kernel models: single
+    time per lane, no volume/SSS (they have their own dual sweep), no
+    transparent shadows, no catcher/light-pass consumers of the
+    synchronous blocked mask, single-level one-hot tables, no curves."""
+    ds = kg["dscene"]
+    if not kg.get("fused_nee", False):
+        return False
+    feats = kg.get("features") or {}
+    if feats.get("has_volume") or feats.get("has_subsurface"):
+        return False
+    if kg.get("light_passes") or kg.get("has_shadow_catcher"):
+        return False
+    if any(kg.get("shader_shadow_transparent", ())):
+        return False
+    if "oh_cbounds" not in ds or "sc_bounds" in ds \
+            or kg.get("use_brute"):
+        return False
+    if "curve_p0" in ds:
+        return False
+    if kg.get("cluster_motion") or kg.get("has_motion"):
+        return False
+    if int(ds["light_dist_type"].shape[0]) == 0:
+        return False
+    return _use_pallas_onehot(kg) or bool(kg.get("pallas_interpret"))
+
+
+def _dual_walk_onehot(kg, o_c, d_c, tmax_c, vis_c, o_a, d_a, tmax_a,
+                      vis_a, time=None, tmin_c=None):
+    """One union walk: closest hit for (o_c, d_c) + any-hit blocked for
+    (o_a, d_a). Empty windows (tmax < tmin) disable a ray per lane."""
+    from raytracingproject_tpu.ops import pallas_onehot as po
+    ds = kg["dscene"]
+    n = o_c.shape[0]
+    tmin = jnp.full((n,), 1e-5, prec.FT)
+    if tmin_c is None:
+        tmin_c = tmin
+    return po.intersect_clusters_onehot_dual(
+        ds["oh_cbounds"], ds["oh_table_hi"], ds["oh_table_mid"],
+        ds["oh_table_lo"],
+        int(kg.get("oh_cluster_tris", 0) or kg["cluster_tris"]),
+        o_c, d_c, tmin_c, tmax_c, vis_c,
+        o_a, d_a, tmin, tmax_a, vis_a,
+        has_instances=bool(kg.get("has_instances", False)),
+        time=time, has_motion=False,
+        interpret=bool(kg.get("pallas_interpret", False)))
+
+
 def _shadow_blocked(kg, o, d, tmin, tmax, time=None):
     vis = jnp.full(o.shape[:1], ob.PATH_RAY_SHADOW, jnp.uint32)
     ds = kg["dscene"]
@@ -425,6 +480,18 @@ def make_path_kernel(kg, px, py, pixel_index):
     aov_names = tuple(n[4:] for n in aux_names if n.startswith("aov:"))
     light_passes = bool(kg.get("light_passes", False))
     LP_CATS = ("diffuse", "glossy", "transmission", "volume")
+    fused = _use_fused_nee(kg)
+    HIT_KEYS = ("t", "prim", "u", "v", "object")
+
+    def _vis_of_flag(flag):
+        return jnp.where(
+            flag & ob.PATH_RAY_CAMERA > 0,
+            jnp.uint32(ob.PATH_RAY_CAMERA),
+            jnp.where(flag & ob.PATH_RAY_DIFFUSE > 0,
+                      jnp.uint32(ob.PATH_RAY_DIFFUSE),
+                      jnp.where(flag & ob.PATH_RAY_TRANSMIT > 0,
+                                jnp.uint32(ob.PATH_RAY_TRANSMIT),
+                                jnp.uint32(ob.PATH_RAY_GLOSSY))))
 
     def start_paths(samples_u32, samples_cam=None):
         # samples_cam: branched-path mode pins the camera dims to the
@@ -557,16 +624,14 @@ def make_path_kernel(kg, px, py, pixel_index):
             # lu >= 1/n, so portals could never trigger for it).
             lu = jnp.where(first, (k_place + lu) / n_strat, lu)
 
-        vis_ray = jnp.where(
-            st["path_flag"] & ob.PATH_RAY_CAMERA > 0,
-            jnp.uint32(ob.PATH_RAY_CAMERA),
-            jnp.where(st["path_flag"] & ob.PATH_RAY_DIFFUSE > 0,
-                      jnp.uint32(ob.PATH_RAY_DIFFUSE),
-                      jnp.where(st["path_flag"] & ob.PATH_RAY_TRANSMIT > 0,
-                                jnp.uint32(ob.PATH_RAY_TRANSMIT),
-                                jnp.uint32(ob.PATH_RAY_GLOSSY))))
-        hit = _scene_intersect(kg, st["o"], st["d"], st["tmin"], st["tmax"],
-                               vis_ray, time=st["time"])
+        if fused:
+            # carried hit: computed by the PREVIOUS iteration's union
+            # walk (or the chunk-start seed walk) for this ray
+            hit = {k: st["hit_" + k] for k in HIT_KEYS}
+        else:
+            vis_ray = _vis_of_flag(st["path_flag"])
+            hit = _scene_intersect(kg, st["o"], st["d"], st["tmin"],
+                                   st["tmax"], vis_ray, time=st["time"])
         found = hit["prim"] >= 0
 
         L = st["L"]
@@ -1185,7 +1250,13 @@ def make_path_kernel(kg, px, py, pixel_index):
 
             sh_trans = jnp.ones((n, 3), prec.FT)
             bhit_sh = None
-            if "shadow" in ablate:
+            if fused:
+                # defer the shadow any-hit to the end-of-body union
+                # walk (it shares the next ray's cluster fetches); the
+                # contribution is applied there, in the same position
+                # of the per-sample accumulation order
+                blocked = None
+            elif "shadow" in ablate:
                 blocked = jnp.zeros((n,), bool)
             elif use_dual_shadow:
                 bhit_sh, blocked = _dual_sweep(
@@ -1400,7 +1471,9 @@ def make_path_kernel(kg, px, py, pixel_index):
                                       shadowed.astype(prec.FT), alpha)
                 alive = alive & ~is_catch
                 can_light = can_light & ~is_catch
-            L = jnp.where((can_light & ~blocked)[:, None], L + contrib, L)
+            if not fused:
+                L = jnp.where((can_light & ~blocked)[:, None],
+                              L + contrib, L)
             if light_passes:
                 lit = can_light & ~blocked
                 scale = sh_trans * l_eval \
@@ -1644,21 +1717,107 @@ def make_path_kernel(kg, px, py, pixel_index):
                 out[k] = st[k]
         if "lobe_strat" in st:
             out["lobe_strat"] = st["lobe_strat"]
+        if fused:
+            if has_lights:
+                pend = {"sh_o": sh_o, "sh_d": sh_d,
+                        "sh_tmax": jnp.where(
+                            can_light & ("shadow" not in ablate),
+                            sh_tmax, -1.0),
+                        "can_light": can_light, "contrib": contrib,
+                        "unblocked": "shadow" in ablate}
+            else:
+                pend = None
+            return out, pend
         return out
 
-    return start_paths, bounce_body
+    if not fused:
+        return start_paths, bounce_body
+
+    # ---- fused-NEE mode (round-5 verdict item 2): the step returns
+    # (out, pend); `finish` runs ONE union walk per bounce answering
+    # the deferred NEE shadow AND the next ray's closest hit, applies
+    # the NEE contribution (same position in the per-sample float
+    # accumulation order as the unfused drivers), and stores the
+    # carried hit. `seed` runs the chunk-start camera walk. ----
+    def seed(st):
+        vis0 = _vis_of_flag(st["path_flag"])
+        empty = jnp.full((n,), -1.0, prec.FT)
+        bhit, _blk = _dual_walk_onehot(
+            kg, st["o"], st["d"],
+            jnp.where(st["alive"], st["tmax"], empty), vis0,
+            st["o"], st["d"], empty, vis0, time=st["time"],
+            tmin_c=st["tmin"])
+        st = dict(st)
+        for k in HIT_KEYS:
+            st["hit_" + k] = bhit[k]
+        return st
+
+    def finish(out, pend, regen_mask=None, regen_st=None):
+        """Union walk + deferred NEE resolve. regen_mask/regen_st: the
+        regen driver swaps completed lanes' NEXT ray for their NEW
+        sample's camera ray so it shares this walk; the NEE contrib
+        still lands in the OLD sample's L (returned separately)."""
+        o_c, d_c = out["o"], out["d"]
+        vis_c = _vis_of_flag(out["path_flag"])
+        alive_c = out["alive"]
+        time_c = out["time"]
+        if regen_mask is not None:
+            o_c = jnp.where(regen_mask[:, None], regen_st["o"], o_c)
+            d_c = jnp.where(regen_mask[:, None], regen_st["d"], d_c)
+            vis_c = jnp.where(regen_mask, _vis_of_flag(
+                regen_st["path_flag"]), vis_c)
+            alive_c = alive_c | regen_mask
+            time_c = jnp.where(regen_mask, regen_st["time"], time_c)
+        empty = jnp.full((n,), -1.0, prec.FT)
+        tmax_c = jnp.where(alive_c, jnp.minimum(
+            out["tmax"], prec.FT(um.RAY_TMAX)), empty)
+        if pend is not None:
+            sh_o, sh_d = pend["sh_o"], pend["sh_d"]
+            sh_tmax = pend["sh_tmax"]
+        else:
+            sh_o, sh_d, sh_tmax = o_c, d_c, empty
+        vis_a = jnp.full((n,), ob.PATH_RAY_SHADOW, jnp.uint32)
+        bhit, blocked = _dual_walk_onehot(
+            kg, o_c, d_c, tmax_c, vis_c, sh_o, sh_d, sh_tmax, vis_a,
+            time=time_c)
+        L = out["L"]
+        if pend is not None:
+            if pend["unblocked"]:
+                blocked = jnp.zeros((n,), bool)
+            L = jnp.where((pend["can_light"] & ~blocked)[:, None],
+                          L + pend["contrib"], L)
+        out = dict(out)
+        out["L"] = L
+        for k in HIT_KEYS:
+            out["hit_" + k] = bhit[k]
+        return out
+
+    return start_paths, bounce_body, seed, finish
 
 
 def path_trace_sample(kg, px, py, pixel_index, sample):
     """Trace one sample for a wavefront of pixels (fixed-depth grid).
 
     Returns (radiance (N,3), alpha (N,), aux dict)."""
-    start_paths, step = make_path_kernel(kg, px, py, pixel_index)
+    kern = make_path_kernel(kg, px, py, pixel_index)
     n = px.shape[0]
-    state = start_paths(jnp.broadcast_to(jnp.uint32(sample), (n,)))
     max_bounce = int(kg["kint"]["max_bounce"])
-    final = jax.lax.fori_loop(0, max_bounce + 1,
-                              lambda i, st: step(i, st), state)
+    if len(kern) == 4:
+        # fused-NEE: seed the camera hit, then one union walk per
+        # bounce (same per-sample accumulation order as unfused)
+        start_paths, step, seed, finish = kern
+        state = seed(start_paths(
+            jnp.broadcast_to(jnp.uint32(sample), (n,))))
+
+        def body(i, st):
+            out, pend = step(i, st)
+            return finish(out, pend)
+        final = jax.lax.fori_loop(0, max_bounce + 1, body, state)
+    else:
+        start_paths, step = kern
+        state = start_paths(jnp.broadcast_to(jnp.uint32(sample), (n,)))
+        final = jax.lax.fori_loop(0, max_bounce + 1,
+                                  lambda i, st: step(i, st), state)
     aux = {k[4:]: v for k, v in final.items() if k.startswith("aux_")}
     return final["L"], final["alpha"], aux
 
@@ -1718,7 +1877,11 @@ def render_samples_regen(kg, px, py, pixel_index, sample_start, num_samples,
     K = int(lanes_per_pixel)
     assert num_samples % K == 0, "lanes_per_pixel must divide num_samples"
     per_lane = num_samples // K
-    start_paths, step = make_path_kernel(kg, px, py, pixel_index)
+    kern = make_path_kernel(kg, px, py, pixel_index)
+    if len(kern) == 4:
+        return _render_samples_regen_fused(
+            kg, kern, px, py, sample_start, num_samples, K)
+    start_paths, step = kern
     n = px.shape[0]
     assert n % K == 0
     npix = n // K
@@ -1802,6 +1965,96 @@ def _sel(mask, a, b):
     return jnp.where(m, a, b)
 
 
+def _render_samples_regen_fused(kg, kern, px, py, sample_start,
+                                num_samples, K):
+    """Path-regeneration driver for the fused-NEE kernel (one union
+    walk per bounce, ops/pallas_onehot.py intersect_clusters_onehot_dual).
+
+    Restructured vs the unfused driver: merge/regen happens AFTER the
+    shading half of the bounce, so a dying lane's deferred NEE shadow
+    and its replacement sample's camera ray ride the SAME union walk —
+    no idle iterations, no separate camera sweep. Sample accumulation
+    order matches the unfused drivers (each bounce's NEE contribution
+    is the last L-add of its bounce), so fixed-grid/regen parity holds
+    within fused mode bit-exactly.
+    """
+    per_lane = num_samples // K
+    start_paths, step, seed, finish = kern
+    n = px.shape[0]
+    assert n % K == 0
+    npix = n // K
+    HIT_KEYS = ("t", "prim", "u", "v", "object")
+
+    if K == 1:
+        s0 = jnp.broadcast_to(jnp.uint32(sample_start), (n,))
+    else:
+        s0 = jnp.uint32(sample_start) + jnp.repeat(
+            jnp.arange(K, dtype=jnp.uint32), npix)
+    st0 = seed(start_paths(s0))
+    aux_keys = [k for k in st0 if k.startswith("aux_")]
+    carry0 = {
+        "st": st0,
+        "L_acc": jnp.zeros((n, 3), prec.FT),
+        "A_acc": jnp.zeros((n,), prec.FT),
+        "done": jnp.zeros((n,), jnp.int32),
+        "fresh": jnp.ones((n,), bool),
+    }
+    carry0.update({"acc_" + k: jnp.zeros_like(st0[k]) for k in aux_keys})
+    count_iters = bool(kg.get("count_iters", False))
+    if count_iters:
+        carry0["n_iters"] = jnp.int32(0)
+
+    def cond(c):
+        return jnp.any(c["st"]["alive"] | c["fresh"]
+                       | (c["done"] < per_lane))
+
+    def body(c):
+        out, pend = step(0, c["st"])
+        dead = ~out["alive"]
+        newly = dead & c["fresh"]          # sample completes this body
+        regen = newly & (c["done"] + 1 < per_lane)
+        next_sample = out["sample"] + jnp.uint32(K)
+        new_st = start_paths(jnp.where(regen, next_sample,
+                                       out["sample"]))
+        fin = finish(out, pend, regen_mask=regen, regen_st=new_st)
+
+        L_acc = c["L_acc"] + jnp.where(newly[:, None], fin["L"], 0.0)
+        A_acc = c["A_acc"] + jnp.where(newly, fin["alpha"], 0.0)
+        aux_acc = {"acc_" + k: c["acc_" + k]
+                   + _sel(newly, fin[k], jnp.zeros_like(fin[k]))
+                   for k in aux_keys}
+        done = c["done"] + newly.astype(jnp.int32)
+        fresh = (c["fresh"] & ~newly) | regen
+
+        st = {k: _sel(regen, new_st[k], fin[k]) for k in new_st}
+        for k in HIT_KEYS:
+            st["hit_" + k] = fin["hit_" + k]
+        outc = {"st": st, "L_acc": L_acc, "A_acc": A_acc, "done": done,
+                "fresh": fresh}
+        if count_iters:
+            outc["n_iters"] = c["n_iters"] + 1
+        outc.update(aux_acc)
+        return outc
+
+    out = jax.lax.while_loop(cond, body, carry0)
+
+    def _pix(v):
+        if K == 1:
+            return v
+        return jnp.sum(v.reshape((K, npix) + v.shape[1:]), axis=0)
+
+    want_aux = bool(kg.get("aux_passes")) or bool(kg.get("light_passes"))
+    L, A = _pix(out["L_acc"]), _pix(out["A_acc"])
+    if want_aux:
+        aux = {k[4:]: _pix(out["acc_" + k]) for k in aux_keys}
+        if count_iters:
+            return L, A, aux, out["n_iters"]
+        return L, A, aux
+    if count_iters:
+        return L, A, out["n_iters"]
+    return L, A
+
+
 def render_samples_adaptive_chunk(kg, px, py, pixel_index, sample_start,
                                   num_samples):
     """One fixed-shape adaptive-sampling chunk (ref: the error-driven
@@ -1824,6 +2077,9 @@ def render_samples_adaptive_chunk(kg, px, py, pixel_index, sample_start,
     """
     assert not kg.get("aux_passes"), \
         "aux passes require the fixed-grid renderer"
+    if _use_fused_nee(kg):
+        return _render_adaptive_chunk_fused(kg, px, py, pixel_index,
+                                            sample_start, num_samples)
     start_paths, step = make_path_kernel(kg, px, py, pixel_index)
     n = px.shape[0]
     s0 = jnp.asarray(sample_start, jnp.uint32)
@@ -1866,6 +2122,54 @@ def render_samples_adaptive_chunk(kg, px, py, pixel_index, sample_start,
     return out["L_acc"], out["A_acc"], out["E_acc"]
 
 
+def _render_adaptive_chunk_fused(kg, px, py, pixel_index, sample_start,
+                                 num_samples):
+    """render_samples_adaptive_chunk on the fused-NEE kernel — same
+    post-walk merge/regen restructuring as _render_samples_regen_fused
+    plus the even-sample half-buffer accumulator."""
+    start_paths, step, seed, finish = make_path_kernel(kg, px, py,
+                                                       pixel_index)
+    n = px.shape[0]
+    HIT_KEYS = ("t", "prim", "u", "v", "object")
+    s0 = jnp.asarray(sample_start, jnp.uint32)
+    st0 = seed(start_paths(s0))
+    carry0 = {
+        "st": st0,
+        "L_acc": jnp.zeros((n, 3), prec.FT),
+        "A_acc": jnp.zeros((n,), prec.FT),
+        "E_acc": jnp.zeros((n, 3), prec.FT),
+        "done": jnp.zeros((n,), jnp.int32),
+        "fresh": jnp.ones((n,), bool),
+    }
+
+    def cond(c):
+        return jnp.any(c["st"]["alive"] | c["fresh"]
+                       | (c["done"] < num_samples))
+
+    def body(c):
+        out, pend = step(0, c["st"])
+        dead = ~out["alive"]
+        newly = dead & c["fresh"]
+        regen = newly & (c["done"] + 1 < num_samples)
+        new_st = start_paths(jnp.where(regen, out["sample"] + 1,
+                                       out["sample"]))
+        fin = finish(out, pend, regen_mask=regen, regen_st=new_st)
+        L_acc = c["L_acc"] + jnp.where(newly[:, None], fin["L"], 0.0)
+        A_acc = c["A_acc"] + jnp.where(newly, fin["alpha"], 0.0)
+        even = newly & (fin["sample"] % 2 == 0)
+        E_acc = c["E_acc"] + jnp.where(even[:, None], fin["L"], 0.0)
+        done = c["done"] + newly.astype(jnp.int32)
+        fresh = (c["fresh"] & ~newly) | regen
+        st = {k: _sel(regen, new_st[k], fin[k]) for k in new_st}
+        for k in HIT_KEYS:
+            st["hit_" + k] = fin["hit_" + k]
+        return {"st": st, "L_acc": L_acc, "A_acc": A_acc,
+                "E_acc": E_acc, "done": done, "fresh": fresh}
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    return out["L_acc"], out["A_acc"], out["E_acc"]
+
+
 def render_samples_branched(kg, px, py, pixel_index, aa_start, num_aa,
                             branch, lobe_split=True):
     """Branched-path mode (ref: kernel_path_branched.h): each AA sample
@@ -1880,6 +2184,8 @@ def render_samples_branched(kg, px, py, pixel_index, aa_start, num_aa,
 
     Returns (L_sum, A_sum) over num_aa x branch total samples.
     """
+    if _use_fused_nee(kg):   # branched splitting stays on the
+        kg = {**kg, "fused_nee": False}    # two-walk kernel
     start_paths, step = make_path_kernel(kg, px, py, pixel_index)
     n = px.shape[0]
     max_bounce = int(kg["kint"]["max_bounce"])

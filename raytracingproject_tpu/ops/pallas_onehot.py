@@ -73,15 +73,17 @@ VMEM_BUDGET = 14 * 2**20
 MAX_C = 1 << ID_BITS
 
 
-def choose_tile(c_pad, w_pad):
+def choose_tile(c_pad, w_pad, dual=False):
     """Largest lane-tile whose working set fits the VMEM budget.
 
     The per-lane coefficient is calibrated to real Mosaic scoped-vmem
     allocations (round 4): entry int32 + one-hot build intermediates
     (~13 B/cluster with the blocked entry build) plus the three dot
     outputs and the accumulated rows (~10 B/table-col), plus ~1 KB of
-    lane IO/state."""
-    per_lane = c_pad * 13 + w_pad * 10 + 1024
+    lane IO/state. The dual (union) walk holds TWO entry tables and
+    two ray states."""
+    per_lane = c_pad * (26 if dual else 13) + w_pad * 10 \
+        + (2048 if dual else 1024)
     for t in (4096, 2048, 1024):
         if per_lane * t <= VMEM_BUDGET:
             return t
@@ -313,6 +315,305 @@ def _onehot_kernel(cluster_tris, has_instances, shadow_any_hit,
 
 
 _DEBUG_ITERS = False
+
+
+def _onehot_dual_kernel(cluster_tris, has_instances, has_motion, c_pad,
+                        tile,
+                        cb_ref, th_ref, tm_ref, tl_ref,
+                        oc_ref, dc_ref, tminc_ref, tmaxc_ref, visc_ref,
+                        oa_ref, da_ref, tmina_ref, tmaxa_ref, visa_ref,
+                        time_ref,
+                        t_ref, prim_ref, u_ref, v_ref, obj_ref, blk_ref,
+                        entc_ref, enta_ref):
+    """UNION walk: one fetch stream serves a CLOSEST-hit ray (the next
+    bounce) and an ANY-hit ray (this bounce's NEE shadow) per lane.
+
+    Each iteration picks, per lane, the nearest unprocessed cluster
+    across BOTH rays' front-to-back queues (min of the two packed-int
+    heads), fetches its row ONCE via the one-hot MXU contraction, and
+    tests the triangles against both rays. The cluster then retires
+    from both queues — clusters relevant to both rays (common near the
+    shared origin) are fetched once instead of twice, and the second
+    kernel launch + entry rebuild of a separate shadow sweep disappears
+    (round-5 verdict item 2: the reference pays two traversals per
+    bounce, kernel/kernel_shadow.h + kernel_path_surface.h).
+
+    Testing a fetched cluster against a ray whose own queue didn't pick
+    it is SOUND and free: closest accumulation only tightens (strict
+    t < best), any-hit only latches, and the watertight math is exact —
+    extra tests add information, never corrupt it.
+    """
+    s = tile // LANE
+
+    def soa(ref):
+        return (ref[0].reshape(s, LANE), ref[1].reshape(s, LANE),
+                ref[2].reshape(s, LANE))
+
+    ocx, ocy, ocz = soa(oc_ref)
+    dcx, dcy, dcz = soa(dc_ref)
+    oax, oay, oaz = soa(oa_ref)
+    dax, day, daz = soa(da_ref)
+    tminc = tminc_ref[:].reshape(s, LANE)
+    tmaxc = tmaxc_ref[:].reshape(s, LANE)
+    tmina = tmina_ref[:].reshape(s, LANE)
+    tmaxa = tmaxa_ref[:].reshape(s, LANE)
+    visc = visc_ref[:].reshape(s, LANE)
+    visa = visa_ref[:].reshape(s, LANE)
+    time = time_ref[:].reshape(s, LANE) if has_motion else None
+
+    mask = jnp.int32(~ID_MASK)
+    cb_blk = 128
+
+    def build_entries(ent_ref, o3, d3, tmn, tmx):
+        tmin_f = tmn.reshape(1, tile)
+        tmax_f = tmx.reshape(1, tile)
+        inv3 = []
+        for dax_t in d3:
+            dax_ = dax_t.reshape(1, tile)
+            inv3.append(jnp.where(jnp.abs(dax_) > 1e-20,
+                                  1.0 / jnp.where(dax_ == 0, 1.0, dax_),
+                                  jnp.where(dax_ >= 0, 1e20, -1e20)))
+        for c0 in range(0, c_pad, cb_blk):
+            tn = jnp.full((cb_blk, tile), -INF, jnp.float32)
+            tf = jnp.full((cb_blk, tile), INF, jnp.float32)
+            for ax in range(3):
+                oax_ = o3[ax].reshape(1, tile)
+                lo_b = cb_ref[c0:c0 + cb_blk, ax].reshape(cb_blk, 1)
+                hi_b = cb_ref[c0:c0 + cb_blk, 3 + ax].reshape(cb_blk, 1)
+                t0 = (lo_b - oax_) * inv3[ax]
+                t1 = (hi_b - oax_) * inv3[ax]
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+            ok = (tn <= tf) & (tf >= tmin_f) & (tn <= tmax_f)
+            ef = jnp.where(ok, jnp.maximum(tn, tmin_f), INF)
+            cid_b = c0 + jax.lax.broadcasted_iota(jnp.int32,
+                                                  (cb_blk, 1), 0)
+            ent_ref[c0:c0 + cb_blk, :] = \
+                (pltpu.bitcast(ef, jnp.int32) & mask) | cid_b
+
+    build_entries(entc_ref, (ocx, ocy, ocz), (dcx, dcy, dcz),
+                  tminc, tmaxc)
+    build_entries(enta_ref, (oax, oay, oaz), (dax, day, daz),
+                  tmina, tmaxa)
+    cid_col = jax.lax.broadcasted_iota(jnp.int32, (c_pad, 1), 0)
+    sent = (pltpu.bitcast(jnp.full((c_pad, 1), INF, jnp.float32),
+                          jnp.int32) & mask) | cid_col
+    MAXI = jnp.int32(0x7FFFFFFF)  # > any packed entry; low bits pick
+    # column ID_MASK for done lanes (a real column only at c_pad=512,
+    # where the repeat test is idempotent)
+
+    tri_w = 18 if has_motion else 9
+    pbase = META_COLS + tri_w * cluster_tris
+    obase = pbase + cluster_tris
+    vbase = obase + cluster_tris
+
+    wsc0 = wsa0 = None
+    if not has_instances:
+        wsc0 = isect.watertight_setup_c(ocx, ocy, ocz, dcx, dcy, dcz)
+        wsa0 = isect.watertight_setup_c(oax, oay, oaz, dax, day, daz)
+
+    def unpack(m):
+        return pltpu.bitcast(m & mask, jnp.float32)
+
+    def heads(mc, ma, bt, blk):
+        # per-lane queue heads masked to MAXI once that ray is done
+        ec = jnp.where(unpack(mc) < jnp.minimum(bt, INF), mc, MAXI)
+        ea = jnp.where((unpack(ma) < INF) & (blk == 0.0), ma, MAXI)
+        return ec, ea
+
+    def alive_of(ec, ea):
+        # float-only liveness (Mosaic: never reduce bools/ints in a
+        # while cond — see _onehot_kernel.alive_of)
+        f = jnp.where(jnp.minimum(ec, ea) < MAXI, 1.0, 0.0)
+        return jnp.max(f)
+
+    t0w = jnp.minimum(tmaxc, RAY_TMAX)
+    prim0 = jnp.full((s, LANE), -1, jnp.int32)
+    blk0 = jnp.zeros((s, LANE), jnp.float32)
+    mc0 = jnp.min(entc_ref[:], axis=0).reshape(s, LANE)
+    ma0 = jnp.min(enta_ref[:], axis=0).reshape(s, LANE)
+    ec0, ea0 = heads(mc0, ma0, t0w, blk0)
+    carry0 = (t0w, prim0,
+              jnp.zeros((s, LANE), jnp.float32),
+              jnp.zeros((s, LANE), jnp.float32),
+              jnp.full((s, LANE), -1, jnp.int32),
+              blk0, ec0, ea0, alive_of(ec0, ea0), jnp.int32(0))
+
+    def cond(st):
+        return (st[8] > 0.5) & (st[9] < c_pad + 2)
+
+    def body(st):
+        bt, bp, bu, bv, bo, blk, ec, ea, _, it = st
+        pick = jnp.minimum(ec, ea)
+        cid = pick & jnp.int32(ID_MASK)
+        # one-hot from the picked column id (unique by construction);
+        # done lanes pick id ID_MASK from MAXI — a real column only at
+        # c_pad == 512, where the extra test is idempotent (see
+        # docstring). f32 select first (i1->bf16 relayout hazard).
+        eq = cid_col == cid.reshape(1, tile)
+        oh = jnp.where(eq, 1.0, 0.0).astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))
+        rows = jax.lax.dot_general(th_ref[:], oh, dn,
+                                   preferred_element_type=jnp.float32)
+        rows = rows + jax.lax.dot_general(
+            tm_ref[:], oh, dn, preferred_element_type=jnp.float32)
+        rows = rows + jax.lax.dot_general(
+            tl_ref[:], oh, dn, preferred_element_type=jnp.float32)
+
+        def rs(j):
+            return rows[j].reshape(s, LANE)
+
+        if has_instances:
+            mt = [rs(j) for j in range(12)]
+
+            def xform(ox, oy, oz, dx, dy, dz):
+                oxx = mt[0] * ox + mt[1] * oy + mt[2] * oz + mt[3]
+                oyy = mt[4] * ox + mt[5] * oy + mt[6] * oz + mt[7]
+                ozz = mt[8] * ox + mt[9] * oy + mt[10] * oz + mt[11]
+                dxx = mt[0] * dx + mt[1] * dy + mt[2] * dz
+                dyy = mt[4] * dx + mt[5] * dy + mt[6] * dz
+                dzz = mt[8] * dx + mt[9] * dy + mt[10] * dz
+                return isect.watertight_setup_c(oxx, oyy, ozz,
+                                                dxx, dyy, dzz)
+            wsc = xform(ocx, ocy, ocz, dcx, dcy, dcz)
+            wsa = xform(oax, oay, oaz, dax, day, daz)
+        else:
+            wsc, wsa = wsc0, wsa0
+
+        any_hit = jnp.zeros((s, LANE), jnp.float32)
+        for k in range(cluster_tris):
+            b = META_COLS + 9 * k
+            v0c = (rs(b), rs(b + 1), rs(b + 2))
+            e1c = (rs(b + 3), rs(b + 4), rs(b + 5))
+            e2c = (rs(b + 6), rs(b + 7), rs(b + 8))
+            if has_motion:
+                db = META_COLS + 9 * cluster_tris + 9 * k
+                v0c = tuple(v0c[j] + time * rs(db + j) for j in range(3))
+                e1c = tuple(e1c[j] + time * rs(db + 3 + j)
+                            for j in range(3))
+                e2c = tuple(e2c[j] + time * rs(db + 6 + j)
+                            for j in range(3))
+            pid = rs(pbase + k)
+            tri_vis = rs(vbase + k).astype(jnp.int32)
+            real = pid >= 0.0
+            # closest ray
+            hit, t, u, v = isect._wt_block(wsc, v0c, e1c, e2c, tminc, bt)
+            hit = hit & real & ((tri_vis & visc) > 0)
+            bt = jnp.where(hit, t, bt)
+            bp = jnp.where(hit, pid.astype(jnp.int32), bp)
+            bu = jnp.where(hit, u, bu)
+            bv = jnp.where(hit, v, bv)
+            bo = jnp.where(hit, rs(obase + k).astype(jnp.int32), bo)
+            # any ray (window [tmina, tmaxa], latch only)
+            hita, _, _, _ = isect._wt_block(wsa, v0c, e1c, e2c, tmina,
+                                            tmaxa)
+            hita = hita & real & ((tri_vis & visa) > 0)
+            any_hit = jnp.maximum(any_hit, jnp.where(hita, 1.0, 0.0))
+        blk = jnp.maximum(blk, any_hit)
+
+        # retire the processed column from BOTH queues; cull closest
+        # entries behind the tightened best
+        colpick = eq
+        entc = entc_ref[:]
+        cullc = colpick | (unpack(entc)
+                           >= jnp.minimum(bt, INF).reshape(1, tile))
+        entc_ref[:] = jnp.where(cullc, sent, entc)
+        enta = enta_ref[:]
+        enta_ref[:] = jnp.where(colpick, sent, enta)
+        mc2 = jnp.min(entc_ref[:], axis=0).reshape(s, LANE)
+        ma2 = jnp.min(enta_ref[:], axis=0).reshape(s, LANE)
+        ec2, ea2 = heads(mc2, ma2, bt, blk)
+        return (bt, bp, bu, bv, bo, blk, ec2, ea2,
+                alive_of(ec2, ea2), it + 1)
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    t_ref[:] = out[0].reshape(tile)
+    prim_ref[:] = out[1].reshape(tile)
+    u_ref[:] = out[2].reshape(tile)
+    v_ref[:] = out[3].reshape(tile)
+    obj_ref[:] = out[4].reshape(tile)
+    blk_ref[:] = (out[5] > 0.5).astype(jnp.int32).reshape(tile)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cluster_tris", "has_instances",
+                              "has_motion", "tile", "interpret"))
+def intersect_clusters_onehot_dual(oh_cbounds, th, tm, tl, cluster_tris,
+                                   o_c, d_c, tmin_c, tmax_c, vis_c,
+                                   o_a, d_a, tmin_a, tmax_a, vis_a,
+                                   has_instances=False, time=None,
+                                   has_motion=False, tile=None,
+                                   interpret=False):
+    """Union one-hot walk: per lane, a CLOSEST-hit ray and an ANY-hit
+    ray traversed together over one cluster-fetch stream (see
+    _onehot_dual_kernel). Returns (closest hit dict, blocked (N,) bool).
+
+    An empty window (tmax < tmin) disables that ray for the lane — the
+    integrator uses this for dead lanes and NEE-less bounces."""
+    c_pad = oh_cbounds.shape[0]
+    w_pad = th.shape[0]
+    if tile is None:
+        tile = choose_tile(c_pad, w_pad, dual=True)
+    n = o_c.shape[0]
+    pad = (-n) % tile
+    if pad:
+        def padv(x, cv=0.0):
+            return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                           constant_values=cv)
+        o_c, d_c = padv(o_c), padv(d_c, 1.0)
+        o_a, d_a = padv(o_a), padv(d_a, 1.0)
+        tmin_c, tmax_c = padv(tmin_c), padv(tmax_c, -1.0)
+        tmin_a, tmax_a = padv(tmin_a), padv(tmax_a, -1.0)
+        vis_c, vis_a = padv(vis_c), padv(vis_a)
+        if time is not None:
+            time = padv(time)
+    np_ = n + pad
+    ntiles = np_ // tile
+    if time is None:
+        time = jnp.zeros((np_,), jnp.float32)
+
+    kern = functools.partial(_onehot_dual_kernel, int(cluster_tris),
+                             bool(has_instances), bool(has_motion),
+                             int(c_pad), int(tile))
+    lane_spec = pl.BlockSpec((tile,), lambda i: (i,),
+                             memory_space=pltpu.VMEM)
+    soa_spec = pl.BlockSpec((3, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    t, prim, u, v, obj, blk = pl.pallas_call(
+        kern,
+        grid=(ntiles,),
+        in_specs=[full_spec, full_spec, full_spec, full_spec,
+                  soa_spec, soa_spec, lane_spec, lane_spec, lane_spec,
+                  soa_spec, soa_spec, lane_spec, lane_spec, lane_spec,
+                  lane_spec],
+        out_specs=[lane_spec] * 6,
+        out_shape=[
+            jax.ShapeDtypeStruct((np_,), jnp.float32),
+            jax.ShapeDtypeStruct((np_,), jnp.int32),
+            jax.ShapeDtypeStruct((np_,), jnp.float32),
+            jax.ShapeDtypeStruct((np_,), jnp.float32),
+            jax.ShapeDtypeStruct((np_,), jnp.int32),
+            jax.ShapeDtypeStruct((np_,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c_pad, tile), jnp.int32),
+            pltpu.VMEM((c_pad, tile), jnp.int32),
+        ],
+        interpret=interpret,
+    )(oh_cbounds, th, tm, tl,
+      o_c.T.reshape(3, np_), d_c.T.reshape(3, np_), tmin_c, tmax_c,
+      vis_c.astype(jnp.int32),
+      o_a.T.reshape(3, np_), d_a.T.reshape(3, np_), tmin_a, tmax_a,
+      vis_a.astype(jnp.int32), time)
+
+    hit = prim >= 0
+    return ({"t": jnp.where(hit[:n], t[:n],
+                            jnp.minimum(tmax_c[:n], RAY_TMAX)),
+             "prim": jnp.where(hit[:n], prim[:n], -1),
+             "u": u[:n], "v": v[:n],
+             "object": jnp.where(hit[:n], obj[:n], -1)},
+            blk[:n] > 0)
 
 
 @functools.partial(

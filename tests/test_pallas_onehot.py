@@ -239,3 +239,75 @@ class TestIndependentCut:
         np.testing.assert_array_equal(ref["prim"], got["prim"])
         np.testing.assert_array_equal(ref["object"], got["object"])
         np.testing.assert_allclose(ref["t"], got["t"], rtol=1e-5)
+
+
+class TestDualUnionWalk:
+    """intersect_clusters_onehot_dual: the union walk must reproduce a
+    closest-hit single walk AND an any-hit single walk exactly — extra
+    cross-ray tests are idempotent (strict-t closest, latch-only any)."""
+
+    def _tabs(self, kg, ds):
+        return (ds["oh_cbounds"], ds["oh_table_hi"],
+                ds["oh_table_mid"], ds["oh_table_lo"]), \
+            int(kg.get("oh_cluster_tris", 0) or kg["cluster_tris"])
+
+    def test_parity_vs_two_single_walks(self):
+        kg, ds = _cluster_scene(spheres="glossy")
+        tabs, ct = self._tabs(kg, ds)
+        n = 1536
+        o_c, d_c = _rand_rays(n, 31)
+        # any rays: from slightly different origins toward one point
+        o_a = o_c + 0.05
+        tgt = np.array([278.0, 548.0, 279.0], np.float32)
+        d_a = jnp.asarray(tgt[None, :] - np.asarray(o_a))
+        dist = jnp.linalg.norm(d_a, axis=1)
+        d_a = d_a / dist[:, None]
+        tmin = jnp.full((n,), 1e-4, jnp.float32)
+        tmax_c = jnp.full((n,), 1e30, jnp.float32)
+        tmax_a = dist * 0.999
+        vis_c = jnp.full((n,), ob.PATH_RAY_CAMERA, jnp.uint32)
+        vis_a = jnp.full((n,), ob.PATH_RAY_SHADOW, jnp.uint32)
+
+        ref_c = po.intersect_clusters_onehot(
+            *tabs, ct, o_c, d_c, tmin, tmax_c, vis_c, tile=1024,
+            interpret=True)
+        ref_a = po.intersect_clusters_onehot(
+            *tabs, ct, o_a, d_a, tmin, tmax_a, vis_a,
+            shadow_any_hit=True, tile=1024, interpret=True)
+        got_c, got_blk = po.intersect_clusters_onehot_dual(
+            *tabs, ct, o_c, d_c, tmin, tmax_c, vis_c,
+            o_a, d_a, tmin, tmax_a, vis_a, tile=1024, interpret=True)
+
+        np.testing.assert_array_equal(np.asarray(ref_c["prim"]),
+                                      np.asarray(got_c["prim"]))
+        np.testing.assert_array_equal(np.asarray(ref_c["object"]),
+                                      np.asarray(got_c["object"]))
+        np.testing.assert_allclose(np.asarray(ref_c["t"]),
+                                   np.asarray(got_c["t"]), rtol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(ref_a["prim"]) >= 0, np.asarray(got_blk))
+        assert np.asarray(got_blk).any()
+        assert (np.asarray(got_c["prim"]) >= 0).any()
+
+    def test_empty_windows_disable_rays(self):
+        kg, ds = _cluster_scene(spheres="glossy")
+        tabs, ct = self._tabs(kg, ds)
+        n = 512
+        o, d = _rand_rays(n, 32)
+        tmin = jnp.full((n,), 1e-4, jnp.float32)
+        empty = jnp.full((n,), -1.0, jnp.float32)
+        tmax = jnp.full((n,), 1e30, jnp.float32)
+        vis = jnp.full((n,), ob.PATH_RAY_CAMERA, jnp.uint32)
+        # any-window empty -> never blocked; closest window empty ->
+        # no hits
+        got_c, blk = po.intersect_clusters_onehot_dual(
+            *tabs, ct, o, d, tmin, tmax, vis,
+            o, d, tmin, empty, vis, tile=1024, interpret=True)
+        assert not np.asarray(blk).any()
+        got_c2, blk2 = po.intersect_clusters_onehot_dual(
+            *tabs, ct, o, d, tmin, empty, vis,
+            o, d, tmin, tmax,
+            jnp.full((n,), ob.PATH_RAY_SHADOW, jnp.uint32),
+            tile=1024, interpret=True)
+        assert (np.asarray(got_c2["prim"]) == -1).all()
+        assert np.asarray(blk2).any()
