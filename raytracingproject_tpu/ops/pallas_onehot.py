@@ -421,11 +421,14 @@ def _onehot_dual_kernel(cluster_tris, has_instances, has_motion, c_pad,
         ea = jnp.where((unpack(ma) < INF) & (blk == 0.0), ma, MAXI)
         return ec, ea
 
-    def alive_of(ec, ea):
-        # float-only liveness (Mosaic: never reduce bools/ints in a
-        # while cond — see _onehot_kernel.alive_of)
-        f = jnp.where(jnp.minimum(ec, ea) < MAXI, 1.0, 0.0)
-        return jnp.max(f)
+    def alive_of(mc, ma, bt, blk):
+        # PURE-FLOAT liveness (negative = some lane still active):
+        # mirrors _onehot_kernel.alive_of / pallas_cluster.pick — a
+        # bool/select-built cond scalar miscompiles on real Mosaic
+        # (the r4 run-to-cap family), silently correct but ~15x slow.
+        live_c = unpack(mc) - jnp.minimum(bt, INF)
+        live_a = unpack(ma) * (1.0 - blk) + blk * INF - INF
+        return jnp.min(jnp.minimum(live_c, live_a))
 
     t0w = jnp.minimum(tmaxc, RAY_TMAX)
     prim0 = jnp.full((s, LANE), -1, jnp.int32)
@@ -437,20 +440,24 @@ def _onehot_dual_kernel(cluster_tris, has_instances, has_motion, c_pad,
               jnp.zeros((s, LANE), jnp.float32),
               jnp.zeros((s, LANE), jnp.float32),
               jnp.full((s, LANE), -1, jnp.int32),
-              blk0, ec0, ea0, alive_of(ec0, ea0), jnp.int32(0))
+              blk0, ec0, ea0, alive_of(mc0, ma0, t0w, blk0),
+              jnp.int32(0))
 
     def cond(st):
-        return (st[8] > 0.5) & (st[9] < c_pad + 2)
+        return (st[8] < 0.0) & (st[9] < c_pad + 2)
 
     def body(st):
         bt, bp, bu, bv, bo, blk, ec, ea, _, it = st
         pick = jnp.minimum(ec, ea)
-        cid = pick & jnp.int32(ID_MASK)
-        # one-hot from the picked column id (unique by construction);
-        # done lanes pick id ID_MASK from MAXI — a real column only at
-        # c_pad == 512, where the extra test is idempotent (see
-        # docstring). f32 select first (i1->bf16 relayout hazard).
-        eq = cid_col == cid.reshape(1, tile)
+        act = pick < MAXI
+        # positional one-hot: equality against the OWNING table's packed
+        # value (the single kernel's proven layout — a (C, T) table vs a
+        # lane-broadcast; an iota-vs-lane-vector compare lowers to a
+        # cross-layout broadcast that cost ~20x in Mosaic). Values embed
+        # the id bits, so both tables can only match at the SAME row;
+        # the OR marks row c positionally for retirement in BOTH tables.
+        eq = (entc_ref[:] == pick.reshape(1, tile)) \
+            | (enta_ref[:] == pick.reshape(1, tile))
         oh = jnp.where(eq, 1.0, 0.0).astype(jnp.bfloat16)
         dn = (((1,), (0,)), ((), ()))
         rows = jax.lax.dot_general(th_ref[:], oh, dn,
@@ -495,7 +502,7 @@ def _onehot_dual_kernel(cluster_tris, has_instances, has_motion, c_pad,
                             for j in range(3))
             pid = rs(pbase + k)
             tri_vis = rs(vbase + k).astype(jnp.int32)
-            real = pid >= 0.0
+            real = act & (pid >= 0.0)
             # closest ray
             hit, t, u, v = isect._wt_block(wsc, v0c, e1c, e2c, tminc, bt)
             hit = hit & real & ((tri_vis & visc) > 0)
@@ -524,7 +531,7 @@ def _onehot_dual_kernel(cluster_tris, has_instances, has_motion, c_pad,
         ma2 = jnp.min(enta_ref[:], axis=0).reshape(s, LANE)
         ec2, ea2 = heads(mc2, ma2, bt, blk)
         return (bt, bp, bu, bv, bo, blk, ec2, ea2,
-                alive_of(ec2, ea2), it + 1)
+                alive_of(mc2, ma2, bt, blk), it + 1)
 
     out = jax.lax.while_loop(cond, body, carry0)
     t_ref[:] = out[0].reshape(tile)
