@@ -21,6 +21,8 @@ arrays so shading is pure row gathers.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from raytracingproject_tpu.models.node import Node, SocketType as S
@@ -67,8 +69,10 @@ AUTO_FLATTEN_MAX_PRIMS = 16384
 # Independent BVH re-cut target (tris/cluster) for the one-hot walk
 # tables; None/0 = reuse the XLA-table cut (tools/onehot_cut_bench.py
 # measures the crossover — per-visit MXU MAC is ~invariant in cluster
-# size, so a coarser TIGHT cut trades fewer visits for cheap VPU tris)
-OH_CUT_TRIS = None
+# size, so a coarser TIGHT cut trades fewer visits for cheap VPU tris).
+# RT_OH_CUT env overrides for in-context A/Bs (single-dispatch micros
+# sit on the ~115 ms tunnel floor and can't see the difference).
+OH_CUT_TRIS = int(os.environ.get("RT_OH_CUT", "0")) or None
 
 
 def _resample_motion_steps(v0, extra_steps, n_extra):
@@ -257,6 +261,7 @@ class Scene:
             "curve_cluster_segs": packed.pop("__curve_cluster_segs__", 0),
             "film_transparent": bool(self.background.transparent),
             "light_tree": dscene.pop("__light_tree__", None),
+            "light_kinds": dscene.pop("__light_kinds__", None),
         }
         dscene.pop("__prim_source__", None)
         dscene.pop("__use_brute__", None)
@@ -1518,6 +1523,15 @@ class Scene:
                  np.zeros(D, np.float32)], -1)
         else:
             out["light_entries"] = np.zeros((1, 4), np.float32)
+        # HOST-side static per-entry kinds ("tri" or the lamp type int)
+        # — lets sample_light prune unreachable light-type branches at
+        # trace time (the all-triangle mesh-light scene skips the whole
+        # lamp machinery; ~26% of cornell's chunk is NEE math,
+        # artifacts/STAGE_r05.json)
+        out["__light_kinds__"] = tuple(
+            "tri" if int(e[0]) == 1
+            else int(lamp_arrays["lamp_type"][int(e[1])])
+            for e in entries)
 
         # per-ENTRY row snapshots: the NEE pick's three row fetches
         # (prim/object/lamp tables, indexed through erow) collapse to
@@ -1861,6 +1875,9 @@ class Scene:
             # hierarchical light-pick meta (static depths/energies;
             # device arrays live in dscene as lt_*) — None = flat CDF
             "light_tree": ds.get("light_tree"),
+            # host-static per-entry light kinds for trace-time branch
+            # pruning in sample_light (ops/light.py)
+            "light_kinds": ds.get("light_kinds"),
             "bg_map_res": tuple(self.dscene["arrays"].pop(
                 "__bg_map_res__", (0, 0))),
             "shader_has_volume": [bool(s.has_volume) for s in self.shaders],

@@ -1118,7 +1118,9 @@ def make_path_kernel(kg, px, py, pixel_index):
             P_nee = jnp.where(scattered[:, None], P_scatter, sd.P) \
                 if has_medium else sd.P
             ls = light_ops.sample_light(ds, P_nee, sel_u, lu, lv,
-                                        tree=light_tree)
+                                        tree=light_tree,
+                                        static_kinds=kg.get(
+                                            "light_kinds"))
             l_eval = ls["eval"]  # tri emission already folded in
             if bg_pmf > 0.0:
                 # background-light NEE evaluates the bg shader along the
@@ -1383,8 +1385,9 @@ def make_path_kernel(kg, px, py, pixel_index):
                 # light geometry re-evaluated from the equiangular point
                 # (same rng -> same light entry + point, new observer;
                 # the picked rows are reused so this costs zero lookups)
-                ls_eq = light_ops.sample_light(ds, P_eq, sel_u, lu, lv,
-                                               rows=ls["rows"])
+                ls_eq = light_ops.sample_light(
+                    ds, P_eq, sel_u, lu, lv, rows=ls["rows"],
+                    static_kinds=kg.get("light_kinds"))
                 if has_het:
                     sig_eq_t, sig_eq_s = _eval_sigma(P_eq)
                     sig_eq_s = jnp.where(het_lane[:, None], sig_eq_s,

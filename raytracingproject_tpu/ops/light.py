@@ -85,7 +85,7 @@ def portal_pdf(dscene, P, D):
 
 
 def sample_light(dscene, P, u_sel, u1, u2, time=None, rows=None,
-                 tree=None):
+                 tree=None, static_kinds=None):
     """Sample one light point for NEE from shading points P (N, 3).
 
     Four wide-table lookups total (entries, prim_table, object_table,
@@ -107,9 +107,18 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None, rows=None,
     dist, pdf (solid angle x selection), eval ((N,3) emitted radiance
     toward P), Ng_l (light normal), rows (the fetched tables, for
     reuse).
+
+    static_kinds: HOST tuple of per-entry kinds ("tri" | lamp type int,
+    kg["light_kinds"]) — when every entry is a triangle, the lamp-table
+    fetch and every lamp-type sampling/pdf/eval branch prune at trace
+    time (all selects against them are all-False, so the outputs are
+    bit-exact vs the general path; tests/test_light_static.py).
     """
     from raytracingproject_tpu.ops import lookup as lk
     n = P.shape[0]
+    if tree is None and static_kinds and set(static_kinds) == {"tri"}:
+        return _sample_light_all_tri(dscene, P, u_sel, u1, u2,
+                                     rows=rows)
     if rows is None:
         eidx = None
         if tree is not None:
@@ -387,6 +396,67 @@ def sample_light(dscene, P, u_sel, u1, u2, time=None, rows=None,
         "valid": valid, "delta": delta, "D": D, "dist": dist, "pdf": pdf,
         "eval": ev, "Ng_l": Ng_l, "is_tri": is_tri, "tri_prim": prim,
         "tri_u": tb_u, "tri_v": tb_v, "is_bg": is_bg, "P_l": P_l,
+        "pmf": pmf, "rows": rows,
+    }
+
+
+def _sample_light_all_tri(dscene, P, u_sel, u1, u2, rows=None):
+    """sample_light specialized to all-triangle distributions (static
+    host knowledge, kg["light_kinds"]): only the triangle branch of the
+    general path survives; every output is the value the general path's
+    all-False lamp selects would produce, bit-exactly."""
+    from raytracingproject_tpu.ops import lookup as lk
+    n = P.shape[0]
+    if rows is None:
+        eidx, erow = light_distribution_sample(dscene, u_sel)
+        if "le_prim_rows" in dscene:
+            # same barrier + one-hot as the general path (bit-exact
+            # parity pillar — see sample_light)
+            erow, prow, orow = jax.lax.optimization_barrier((
+                erow,
+                lk.lookup_rows(dscene["le_prim_rows"], eidx,
+                               method="onehot"),
+                lk.lookup_rows(dscene["le_obj_rows"], eidx,
+                               method="onehot")))
+        else:
+            prim0 = jnp.maximum(erow[:, 1].astype(jnp.int32), 0)
+            prow = lk.lookup_rows(dscene["prim_table"], prim0)
+            obj = prow[:, lk.PT_OBJECT].astype(jnp.int32)
+            orow = lk.lookup_rows(dscene["object_table"],
+                                  jnp.maximum(obj, 0))
+        rows = {"erow": erow, "prow": prow, "orow": orow, "lrow": None}
+    else:
+        erow, prow, orow = rows["erow"], rows["prow"], rows["orow"]
+    eid = erow[:, 1].astype(jnp.int32)
+    pmf = erow[:, 2]
+
+    prim = jnp.maximum(eid, 0)
+    tv = prow[:, lk.PT_V0:lk.PT_V0 + 9].reshape(n, 3, 3)
+    tri_emission = prow[:, lk.PT_EMISSION:lk.PT_EMISSION + 3]
+    otfm = lk.mat34(orow[:, lk.OT_TFM:lk.OT_TFM + 12])
+    v0 = um.mat34_point(otfm, tv[:, 0])
+    v1 = um.mat34_point(otfm, tv[:, 1])
+    v2 = um.mat34_point(otfm, tv[:, 2])
+    su = jnp.sqrt(jnp.maximum(u1, 0.0))
+    tb_u = 1.0 - su
+    tb_v = u2 * su
+    P_l = v0 + (v1 - v0) * tb_u[:, None] + (v2 - v0) * tb_v[:, None]
+    Ng_l = um.triangle_normal(v0, v1, v2)
+    area_tri = um.triangle_area(v0, v1, v2)
+
+    to_l = P_l - P
+    dist = jnp.maximum(um.length(to_l), 1e-8)
+    D = to_l / dist[:, None]
+    cos_l = um.dot(Ng_l, -D)
+    d2 = dist * dist
+    pdf = um.safe_divide(d2, jnp.abs(cos_l) * area_tri, 0.0) * pmf
+    valid = (pdf > 1e-12) & (jnp.abs(cos_l) > 1e-6) & (erow[:, 1] >= 0.0)
+    false_ = jnp.zeros((n,), bool)
+    return {
+        "valid": valid, "delta": false_, "D": D, "dist": dist,
+        "pdf": pdf, "eval": tri_emission, "Ng_l": Ng_l,
+        "is_tri": jnp.ones((n,), bool), "tri_prim": prim,
+        "tri_u": tb_u, "tri_v": tb_v, "is_bg": false_, "P_l": P_l,
         "pmf": pmf, "rows": rows,
     }
 
