@@ -122,13 +122,22 @@ def autotune_kg(name, kg):
     # ---- main traversal: brute vs XLA clusters vs Pallas clusters ----
     variants = []
     if "sc_bounds" in ds:
-        # two-level scene: A/B the hierarchical Pallas walk vs the
-        # packed BVH gather-walk (the only two contenders at this size)
+        # two-level scene: A/B the hierarchical Pallas walks (one-hot
+        # inner vs tile-shared inner) vs the packed BVH gather-walk
         if on_tpu:
             variants = [("clusters2_pallas", {"use_brute": False,
-                                              "pallas_clusters2": True}),
+                                              "pallas_clusters2": True,
+                                              "pallas_onehot2": False}),
                         ("packed", {"use_brute": False,
                                     "pallas_clusters2": False})]
+            if "oh2_scb" in ds:
+                # LAST: known to lose on incoherent wavefronts (it
+                # streams whole group tables per outer visit); probing
+                # it first once starved the tune budget and shipped it
+                variants.append(("clusters2_onehot",
+                                 {"use_brute": False,
+                                  "pallas_clusters2": True,
+                                  "pallas_onehot2": True}))
     elif not kg.get("has_instances", False) \
             and ds["tri_verts_world"].shape[0] <= 65536:
         variants.append(("brute", {"use_brute": True}))

@@ -254,6 +254,7 @@ class Scene:
             "obj_motion_steps": packed.pop("__obj_motion_steps__", 2),
             "cluster_tris": packed.pop("__cluster_tris__", 0),
             "oh_cluster_tris": packed.pop("__oh_tris__", 0),
+            "oh2_cluster_tris": packed.pop("__oh2_tris__", 0),
             "cluster_motion": packed.pop("__cluster_motion__", False),
             "sc_gmax": packed.pop("__sc_gmax__", 0),
             "bvh_stack_depth": packed.pop("__bvh_stack_depth__", 0),
@@ -271,6 +272,7 @@ class Scene:
         dscene.pop("__obj_motion_steps__", None)
         dscene.pop("__cluster_tris__", None)
         dscene.pop("__oh_tris__", None)
+        dscene.pop("__oh2_tris__", None)
         dscene.pop("__cluster_motion__", None)
         dscene.pop("__sc_gmax__", None)
         dscene.pop("__bvh_stack_depth__", None)
@@ -1182,6 +1184,17 @@ class Scene:
                     packed["__sc_gmax__"] = gmax
                     log.vlog(1, "two-level clusters: %d groups x "
                              "gmax %d", len(groups), gmax)
+                    # two-level one-hot walk tables (round 5,
+                    # ops/pallas_onehot.py intersect_clusters2_onehot):
+                    # per-lane inner visits replace the tile-union
+                    # serial inner of the tile-shared walk
+                    from raytracingproject_tpu.ops import pallas_onehot \
+                        as p_oh2
+                    oh2 = p_oh2.pack_onehot2_tables(
+                        packed["sc_bounds"], cb, ctab, gmax)
+                    if oh2 is not None:
+                        packed.update(oh2)
+                        packed["__oh2_tris__"] = ct_used
 
         # finalize kernel dispatch now that we know which fast paths
         # exist (measured on v5e at 262k incoherent lanes,
@@ -1842,6 +1855,7 @@ class Scene:
             "use_brute": ds["use_brute"],
             "cluster_tris": ds.get("cluster_tris", 0),
             "oh_cluster_tris": ds.get("oh_cluster_tris", 0),
+            "oh2_cluster_tris": ds.get("oh2_cluster_tris", 0),
             "cluster_motion": ds.get("cluster_motion", False),
             "sc_gmax": ds.get("sc_gmax", 0),
             "bvh_stack_depth": ds.get("bvh_stack_depth", 0),

@@ -137,6 +137,17 @@ def _use_pallas_clusters2(kg):
     return bool(mode)
 
 
+def _use_pallas_onehot2(kg):
+    """Two-level one-hot backend select (ops/pallas_onehot.py
+    intersect_clusters2_onehot). OPT-IN ONLY: measured 63x SLOWER
+    in-context on big_instanced (0.007 vs 0.44 Msps, round 5) —
+    incoherent regen tiles union over most superclusters and every
+    outer visit streams the whole ~660 KB group table from HBM
+    (~11 GB/sweep). Kept as a backend for coherent workloads; the
+    tile-shared clusters2 walk is the default."""
+    return bool(kg.get("pallas_onehot2", False))
+
+
 def _use_pallas_occlusion(kg):
     """Dual-reduction volume-NEE sweep backend select. "auto" follows
     the main cluster dispatch (Pallas walk on TPU, never on use_brute
@@ -171,6 +182,21 @@ def _scene_intersect_tris(kg, o, d, tmin, tmax, visibility, shadow=False,
             time=time if deform else None)
     if "sc_bounds" in ds and int(kg.get("cluster_tris", 0)) > 0 \
             and _use_pallas_clusters2(kg):
+        if "oh2_scb" in ds and _use_pallas_onehot2(kg):
+            # two-level one-hot walk (ops/pallas_onehot.py round 5):
+            # tile-shared supercluster pick + per-lane one-hot inner
+            # over the DMA'd group tables
+            from raytracingproject_tpu.ops import pallas_onehot as po
+            return po.intersect_clusters2_onehot(
+                ds["oh2_scb"], ds["oh2_gcb"], ds["oh2_hi"],
+                ds["oh2_mid"], ds["oh2_lo"],
+                int(kg.get("oh2_cluster_tris", 0)
+                    or kg["cluster_tris"]), o, d, tmin, tmax,
+                visibility, shadow_any_hit=shadow,
+                has_instances=bool(kg.get("has_instances", False)),
+                time=time,
+                has_motion=bool(kg.get("cluster_motion", False)),
+                interpret=bool(kg.get("pallas_interpret", False)))
         # big-scene two-level tile-shared walk (ops/pallas_cluster.py):
         # rows stream from HBM, VMEM holds only the entry tables; off
         # TPU the packed BVH below stays the twin (the XLA shortlist's

@@ -317,6 +317,345 @@ def _onehot_kernel(cluster_tris, has_instances, shadow_any_hit,
 _DEBUG_ITERS = False
 
 
+G_PAD = 128   # two-level inner capacity (clusters per supercluster)
+
+
+def pack_onehot2_tables(sc_bounds, cbounds, ctable, gmax):
+    """Sync-time packing for the TWO-LEVEL one-hot walk: per
+    supercluster, the group's cluster rows transposed to fetch
+    orientation, padded to (W_pad, G_PAD) and split into exact bf16
+    thirds — (SC, W_pad, G_PAD) HBM arrays the kernel DMAs per outer
+    visit; plus (SC, G_PAD, 6) group-local cluster bounds (never-hit
+    point boxes past gcount). Returns None when a group exceeds G_PAD
+    or the inner working set would blow the VMEM budget."""
+    sc_bounds = np.asarray(sc_bounds, np.float32)
+    cbounds = np.asarray(cbounds, np.float32)
+    ctable = np.asarray(ctable, np.float32)
+    if gmax > G_PAD:
+        return None
+    c, w = ctable.shape
+    w_pad = -(-w // 16) * 16
+    # inner working set at tile 1024 (floats): sc_entry + centry +
+    # rows + tables; stay within the calibrated budget with 2x peak
+    sc = sc_bounds.shape[0]
+    est = (sc * 4 + G_PAD * 4 + w_pad * 4 + w_pad * 2 * 3 // 128
+           + 1024) * 1024
+    if est * 2 > VMEM_BUDGET:
+        return None
+    hi = np.zeros((sc, w_pad, G_PAD), np.float32)
+    # bounds minor dim padded to the 128-lane tile: Mosaic requires
+    # HBM DMA slices lane-tile aligned (cols 0-5 used, rest never read)
+    gcb = np.full((sc, G_PAD, 128), np.float32(INF))
+    for g in range(sc):
+        start = int(sc_bounds[g, 6])
+        count = int(sc_bounds[g, 7])
+        if count == 0:
+            continue
+        hi[g, :w, :count] = ctable[start:start + count].T
+        gcb[g, :count, :6] = cbounds[start:start + count]
+    h, m, lo = split_bf16x3(hi)
+    return {"oh2_scb": sc_bounds, "oh2_gcb": gcb,
+            "oh2_hi": h, "oh2_mid": m, "oh2_lo": lo}
+
+
+def _onehot2_kernel(cluster_tris, has_instances, shadow_any_hit,
+                    has_motion, sc_pad, w_pad, tile,
+                    scb_ref, gcb_hbm, th_hbm, tm_hbm, tl_hbm,
+                    o_ref, d_ref, tmin_ref, tmax_ref, vis_ref, time_ref,
+                    t_ref, prim_ref, u_ref, v_ref, obj_ref,
+                    sce_ref, centry_ref, gcb_ref, tab_h, tab_m, tab_l,
+                    sem_cb, sem_h, sem_m, sem_l):
+    """Two-level walk: tile-shared OUTER supercluster pick (the group
+    tables must be DMA'd once per tile), per-lane one-hot INNER walk
+    over the group's <=G_PAD clusters from the DMA'd VMEM tables —
+    the single-level kernel's per-lane visit counts (3-7x below
+    tile-union counts) applied to the >512-cluster regime
+    (round-5 verdict item 6; ref: two-level pack_instances,
+    bvh/bvh.h:117)."""
+    s = tile // LANE
+    ox = o_ref[0].reshape(s, LANE)
+    oy = o_ref[1].reshape(s, LANE)
+    oz = o_ref[2].reshape(s, LANE)
+    dx = d_ref[0].reshape(s, LANE)
+    dy = d_ref[1].reshape(s, LANE)
+    dz = d_ref[2].reshape(s, LANE)
+    tmin = tmin_ref[:].reshape(s, LANE)
+    tmax = tmax_ref[:].reshape(s, LANE)
+    vis_lane = vis_ref[:].reshape(s, LANE)
+    time = time_ref[:].reshape(s, LANE) if has_motion else None
+    tmin_f = tmin.reshape(1, tile)
+    tmax_f = tmax.reshape(1, tile)
+    mask = jnp.int32(~ID_MASK)
+
+    inv3 = []
+    for dax_t in (dx, dy, dz):
+        dax = dax_t.reshape(1, tile)
+        inv3.append(jnp.where(jnp.abs(dax) > 1e-20,
+                              1.0 / jnp.where(dax == 0, 1.0, dax),
+                              jnp.where(dax >= 0, 1e20, -1e20)))
+
+    # ---- outer entry table: f32 slab entries vs supercluster bounds
+    # (tile-shared pick needs no packed-id uniqueness) ----
+    cb_blk = 128
+    for c0 in range(0, sc_pad, cb_blk):
+        tn = jnp.full((cb_blk, tile), -INF, jnp.float32)
+        tf = jnp.full((cb_blk, tile), INF, jnp.float32)
+        for ax in range(3):
+            oax = (ox, oy, oz)[ax].reshape(1, tile)
+            lo_b = scb_ref[c0:c0 + cb_blk, ax].reshape(cb_blk, 1)
+            hi_b = scb_ref[c0:c0 + cb_blk, 3 + ax].reshape(cb_blk, 1)
+            t0 = (lo_b - oax) * inv3[ax]
+            t1 = (hi_b - oax) * inv3[ax]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        ok = (tn <= tf) & (tf >= tmin_f) & (tn <= tmax_f)
+        sce_ref[c0:c0 + cb_blk, :] = jnp.where(
+            ok, jnp.maximum(tn, tmin_f), INF)
+
+    tri_w = 18 if has_motion else 9
+    pbase = META_COLS + tri_w * cluster_tris
+    obase = pbase + cluster_tris
+    vbase = obase + cluster_tris
+
+    ws0 = None
+    if not has_instances:
+        ws0 = isect.watertight_setup_c(ox, oy, oz, dx, dy, dz)
+
+    def gate(t_best, prim_b):
+        if shadow_any_hit:
+            return jnp.where(prim_b >= 0, -INF, jnp.minimum(t_best, INF))
+        return jnp.minimum(t_best, INF)
+
+    def outer_pick(t_best, prim_b):
+        g = gate(t_best, prim_b).reshape(1, tile)
+        masked = jnp.where(sce_ref[:] < g, sce_ref[:], INF)
+        cm = jnp.min(masked, axis=1).reshape(-1, 1)
+        scid = jnp.argmin(cm, axis=0)[0]
+        return scid, jnp.min(cm)
+
+    def unpack(m):
+        return pltpu.bitcast(m & mask, jnp.float32)
+
+    def outer_body(st):
+        bt, bp, bu, bv, bo, scid, _, it = st
+        # DMA the group's tables + bounds
+        cps = [pltpu.make_async_copy(gcb_hbm.at[scid], gcb_ref, sem_cb),
+               pltpu.make_async_copy(th_hbm.at[scid], tab_h, sem_h),
+               pltpu.make_async_copy(tm_hbm.at[scid], tab_m, sem_m),
+               pltpu.make_async_copy(tl_hbm.at[scid], tab_l, sem_l)]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+        # ---- inner entry table (G_PAD, T): packed entry|id ints ----
+        need = gate(bt, bp).reshape(1, tile)
+        tn = jnp.full((G_PAD, tile), -INF, jnp.float32)
+        tf = jnp.full((G_PAD, tile), INF, jnp.float32)
+        for ax in range(3):
+            oax = (ox, oy, oz)[ax].reshape(1, tile)
+            lo_b = gcb_ref[:, ax].reshape(G_PAD, 1)
+            hi_b = gcb_ref[:, 3 + ax].reshape(G_PAD, 1)
+            t0 = (lo_b - oax) * inv3[ax]
+            t1 = (hi_b - oax) * inv3[ax]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        ok = (tn <= tf) & (tf >= tmin_f) & (tn <= jnp.minimum(
+            tmax_f, need))
+        ef = jnp.where(ok, jnp.maximum(tn, tmin_f), INF)
+        cid_b = jax.lax.broadcasted_iota(jnp.int32, (G_PAD, 1), 0)
+        centry_ref[:] = (pltpu.bitcast(ef, jnp.int32) & mask) | cid_b
+        sent = (pltpu.bitcast(jnp.full((G_PAD, 1), INF, jnp.float32),
+                              jnp.int32) & mask) | cid_b
+
+        def alive_of(m, t_best, prim_b):
+            return jnp.min(unpack(m) - gate(t_best, prim_b))
+
+        m0 = jnp.min(centry_ref[:], axis=0).reshape(s, LANE)
+        inner0 = (bt, bp, bu, bv, bo, m0, alive_of(m0, bt, bp),
+                  jnp.int32(0))
+
+        def inner_cond(ist):
+            return (ist[6] < 0.0) & (ist[7] < G_PAD)
+
+        def inner_body(ist):
+            ibt, ibp, ibu, ibv, ibo, m, _, iit = ist
+            act = unpack(m) < gate(ibt, ibp)
+            eq = centry_ref[:] == m.reshape(1, tile)
+            oh = jnp.where(eq, 1.0, 0.0).astype(jnp.bfloat16)
+            dn = (((1,), (0,)), ((), ()))
+            rows = jax.lax.dot_general(
+                tab_h[:], oh, dn, preferred_element_type=jnp.float32)
+            rows = rows + jax.lax.dot_general(
+                tab_m[:], oh, dn, preferred_element_type=jnp.float32)
+            rows = rows + jax.lax.dot_general(
+                tab_l[:], oh, dn, preferred_element_type=jnp.float32)
+
+            def rs(j):
+                return rows[j].reshape(s, LANE)
+
+            if has_instances:
+                mt = [rs(j) for j in range(12)]
+                oxx = mt[0] * ox + mt[1] * oy + mt[2] * oz + mt[3]
+                oyy = mt[4] * ox + mt[5] * oy + mt[6] * oz + mt[7]
+                ozz = mt[8] * ox + mt[9] * oy + mt[10] * oz + mt[11]
+                dxx = mt[0] * dx + mt[1] * dy + mt[2] * dz
+                dyy = mt[4] * dx + mt[5] * dy + mt[6] * dz
+                dzz = mt[8] * dx + mt[9] * dy + mt[10] * dz
+                ws = isect.watertight_setup_c(oxx, oyy, ozz,
+                                              dxx, dyy, dzz)
+            else:
+                ws = ws0
+
+            for k in range(cluster_tris):
+                b = META_COLS + 9 * k
+                v0c = (rs(b), rs(b + 1), rs(b + 2))
+                e1c = (rs(b + 3), rs(b + 4), rs(b + 5))
+                e2c = (rs(b + 6), rs(b + 7), rs(b + 8))
+                if has_motion:
+                    db = META_COLS + 9 * cluster_tris + 9 * k
+                    v0c = tuple(v0c[j] + time * rs(db + j)
+                                for j in range(3))
+                    e1c = tuple(e1c[j] + time * rs(db + 3 + j)
+                                for j in range(3))
+                    e2c = tuple(e2c[j] + time * rs(db + 6 + j)
+                                for j in range(3))
+                hit, t, u, v = isect._wt_block(ws, v0c, e1c, e2c,
+                                               tmin, ibt)
+                pid = rs(pbase + k)
+                hit = hit & act & (pid >= 0.0)
+                tri_vis = rs(vbase + k).astype(jnp.int32)
+                hit &= (tri_vis & vis_lane) > 0
+                ibt = jnp.where(hit, t, ibt)
+                ibp = jnp.where(hit, pid.astype(jnp.int32), ibp)
+                ibu = jnp.where(hit, u, ibu)
+                ibv = jnp.where(hit, v, ibv)
+                ibo = jnp.where(hit, rs(obase + k).astype(jnp.int32),
+                                ibo)
+
+            ent = centry_ref[:]
+            cull = eq | (unpack(ent)
+                         >= jnp.minimum(ibt, INF).reshape(1, tile))
+            ent = jnp.where(cull, sent, ent)
+            centry_ref[:] = ent
+            m2 = jnp.min(ent, axis=0).reshape(s, LANE)
+            return (ibt, ibp, ibu, ibv, ibo, m2,
+                    alive_of(m2, ibt, ibp), iit + 1)
+
+        iout = jax.lax.while_loop(inner_cond, inner_body, inner0)
+        bt, bp, bu, bv, bo = iout[0], iout[1], iout[2], iout[3], iout[4]
+
+        sce_ref[pl.ds(scid, 1), :] = jnp.full((1, tile), INF,
+                                              jnp.float32)
+        nsc, nm = outer_pick(bt, bp)
+        return (bt, bp, bu, bv, bo, nsc, nm, it + 1)
+
+    t0w = jnp.minimum(tmax, RAY_TMAX)
+    prim0 = jnp.full((s, LANE), -1, jnp.int32)
+    sc0, m0 = outer_pick(t0w, prim0)
+    carry0 = (t0w, prim0,
+              jnp.zeros((s, LANE), jnp.float32),
+              jnp.zeros((s, LANE), jnp.float32),
+              jnp.full((s, LANE), -1, jnp.int32),
+              sc0, m0, jnp.int32(0))
+    out = jax.lax.while_loop(
+        lambda st: (st[6] < INF) & (st[7] < sc_pad), outer_body, carry0)
+    t_ref[:] = out[0].reshape(tile)
+    prim_ref[:] = out[1].reshape(tile)
+    u_ref[:] = out[2].reshape(tile)
+    v_ref[:] = out[3].reshape(tile)
+    obj_ref[:] = out[4].reshape(tile)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cluster_tris", "shadow_any_hit",
+                              "has_instances", "has_motion", "tile",
+                              "interpret"))
+def intersect_clusters2_onehot(scb, gcb, th, tm, tl, cluster_tris,
+                               o, d, tmin, tmax, visibility,
+                               shadow_any_hit=False, has_instances=False,
+                               time=None, has_motion=False, tile=1024,
+                               interpret=False):
+    """Two-level one-hot traversal as one Pallas dispatch.
+
+    scb (SC, 8) f32 [lo, hi, cstart, gcount]; gcb (SC, G_PAD, 6) f32;
+    th/tm/tl (SC, W_pad, G_PAD) bf16 — from pack_onehot2_tables. Same
+    contract/returns as intersect_clusters_onehot."""
+    sc = scb.shape[0]
+    w_pad = th.shape[1]
+    sc_pad = -(-sc // 128) * 128
+    if sc_pad > sc:
+        pad_b = jnp.tile(jnp.asarray(
+            [[INF, INF, INF, INF, INF, INF, 0.0, 0.0]], jnp.float32),
+            (sc_pad - sc, 1))
+        scb_p = jnp.concatenate([jnp.asarray(scb), pad_b], axis=0)
+    else:
+        scb_p = jnp.asarray(scb)
+    n = o.shape[0]
+    pad = (-n) % tile
+    if pad:
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        tmin = jnp.pad(tmin, (0, pad))
+        tmax = jnp.pad(tmax, (0, pad), constant_values=-1.0)
+        visibility = jnp.pad(visibility, (0, pad))
+        if time is not None:
+            time = jnp.pad(time, (0, pad))
+    np_ = n + pad
+    ntiles = np_ // tile
+    if time is None:
+        time = jnp.zeros((np_,), jnp.float32)
+
+    kern = functools.partial(_onehot2_kernel, int(cluster_tris),
+                             bool(has_instances), bool(shadow_any_hit),
+                             bool(has_motion), int(sc_pad), int(w_pad),
+                             int(tile))
+    lane_spec = pl.BlockSpec((tile,), lambda i: (i,),
+                             memory_space=pltpu.VMEM)
+    soa_spec = pl.BlockSpec((3, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    t, prim, u, v, obj = pl.pallas_call(
+        kern,
+        grid=(ntiles,),
+        in_specs=[full_spec,                       # scb (padded, VMEM)
+                  any_spec, any_spec, any_spec, any_spec,  # HBM tables
+                  soa_spec, soa_spec,
+                  lane_spec, lane_spec, lane_spec, lane_spec],
+        out_specs=[lane_spec] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct((np_,), jnp.float32),
+            jax.ShapeDtypeStruct((np_,), jnp.int32),
+            jax.ShapeDtypeStruct((np_,), jnp.float32),
+            jax.ShapeDtypeStruct((np_,), jnp.float32),
+            jax.ShapeDtypeStruct((np_,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((sc_pad, tile), jnp.float32),   # outer entries
+            pltpu.VMEM((G_PAD, tile), jnp.int32),      # inner entries
+            pltpu.VMEM((G_PAD, 128), jnp.float32),     # group bounds
+            pltpu.VMEM((w_pad, G_PAD), jnp.bfloat16),
+            pltpu.VMEM((w_pad, G_PAD), jnp.bfloat16),
+            pltpu.VMEM((w_pad, G_PAD), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(scb_p, jnp.asarray(gcb), jnp.asarray(th), jnp.asarray(tm),
+      jnp.asarray(tl), o.T.reshape(3, np_), d.T.reshape(3, np_),
+      tmin, tmax, visibility.astype(jnp.int32), time)
+
+    hit = prim >= 0
+    return {"t": jnp.where(hit[:n], t[:n],
+                           jnp.minimum(tmax[:n], RAY_TMAX)),
+            "prim": jnp.where(hit[:n], prim[:n], -1),
+            "u": u[:n], "v": v[:n],
+            "object": jnp.where(hit[:n], obj[:n], -1)}
+
+
 def _onehot_dual_kernel(cluster_tris, has_instances, has_motion, c_pad,
                         tile,
                         cb_ref, th_ref, tm_ref, tl_ref,
