@@ -29,11 +29,16 @@ CONFIGS = [
     ("glossy_nee_mis", "cornell_box", {"spheres": "glossy"},
      512, 512, 64, 16, 1),
     # config 3: textured mesh + instancing (two-level TLAS/BLAS)
-    ("textured_instanced", "instanced_scene", {}, 256, 256, 64, 16, 4),
+    # round-5 wavefront re-tune (tools/wavefront_tune.py): the 65k-lane
+    # lpp=1 wavefront with 32 samples/lane beats the 262k-lane lpp=4
+    # shape by 23-54% on every 256^2 config — per-iteration cost is
+    # compute-scaled under the Pallas walks (not fixed-latency as in
+    # the XLA-walk era), so the regen tail amortizes over samples/lane
+    ("textured_instanced", "instanced_scene", {}, 256, 256, 64, 32, 1),
     # config 4: DoF + motion blur + adaptive Sobol
-    ("dof_motion_adaptive", "dof_motion_scene", {}, 256, 256, 64, 16, 4),
+    ("dof_motion_adaptive", "dof_motion_scene", {}, 256, 256, 64, 32, 1),
     # config 5: homogeneous volume + random-walk SSS (smoke-in-box)
-    ("volume_sss", "volume_sss_scene", {}, 256, 256, 32, 16, 4),
+    ("volume_sss", "volume_sss_scene", {}, 256, 256, 32, 16, 1),
 ]
 
 # Informational configs: measured and reported, but NOT part of the
@@ -42,7 +47,7 @@ CONFIGS = [
 # regime (two-level supercluster tables + the hierarchical Pallas walk)
 # that none of the five BASELINE configs reach.
 INFO_CONFIGS = [
-    ("big_instanced", "instanced_scene", {"grid": 8}, 256, 256, 16, 4, 2),
+    ("big_instanced", "instanced_scene", {"grid": 8}, 256, 256, 16, 8, 1),
 ]
 
 
