@@ -97,21 +97,34 @@ def pick_denoise_device():
 
 
 def denoise_buffers(combined_rgba, albedo=None, normal=None, depth=None,
-                    device=None, block=True, **kw):
+                    device=None, block=True, method="auto", **kw):
     """Denoise a display-scaled RGBA image, preserving alpha.
 
     device: optional jax.Device to pin the filter to (heterogeneous
     offload — see pick_denoise_device). block=False returns the result
     as a device array still in flight on that device so the caller can
-    keep rendering on the primary device; np.asarray() it to wait."""
+    keep rendering on the primary device; np.asarray() it to wait.
+
+    method: "nlm" | "kpcn" | "auto" — the learned kernel-predicting
+    denoiser (ops/kpcn.py; the TPU-native analog of the reference's
+    OptiX/OIDN backends, device_optix.cpp:669 / device_cpu.cpp:952)
+    when its packaged weights exist, else NLM."""
     def put(x):
         if x is None:
             return None
         x = jnp.asarray(x)
         return x if device is None else jax.device_put(x, device)
 
-    rgb = nlm_denoise(put(combined_rgba[..., :3]), put(albedo),
-                      put(normal), put(depth), **kw)
+    if method == "auto":
+        from raytracingproject_tpu.ops import kpcn as _kp
+        method = "kpcn" if _kp.has_weights() else "nlm"
+    if method == "kpcn":
+        from raytracingproject_tpu.ops import kpcn as _kp
+        rgb = _kp.kpcn_denoise(put(combined_rgba[..., :3]),
+                               put(albedo), put(normal))
+    else:
+        rgb = nlm_denoise(put(combined_rgba[..., :3]), put(albedo),
+                          put(normal), put(depth), **kw)
     alpha = put(combined_rgba[..., 3:])
     out = jnp.concatenate([rgb, alpha], axis=-1)
     if not block:
