@@ -105,10 +105,14 @@ def denoise_buffers(combined_rgba, albedo=None, normal=None, depth=None,
     as a device array still in flight on that device so the caller can
     keep rendering on the primary device; np.asarray() it to wait.
 
-    method: "nlm" | "kpcn" | "auto" — the learned kernel-predicting
-    denoiser (ops/kpcn.py; the TPU-native analog of the reference's
-    OptiX/OIDN backends, device_optix.cpp:669 / device_cpu.cpp:952)
-    when its packaged weights exist, else NLM."""
+    method: "nlm" | "kpcn" | "auto". "kpcn" is the learned
+    kernel-predicting denoiser (ops/kpcn.py; the TPU-native analog of
+    the reference's OptiX/OIDN backends, device_optix.cpp:669 /
+    device_cpu.cpp:952). "auto" currently resolves to NLM: the round-5
+    held-out A/B (tools/kpcn_train.py, dof scene vs 1024 spp) measured
+    noisy 0.0109 / kpcn 0.0061 / nlm 0.0054 MSE — the net denoises
+    well but NLM still edges it at this training scale, so the
+    measured winner stays the default."""
     def put(x):
         if x is None:
             return None
@@ -116,8 +120,7 @@ def denoise_buffers(combined_rgba, albedo=None, normal=None, depth=None,
         return x if device is None else jax.device_put(x, device)
 
     if method == "auto":
-        from raytracingproject_tpu.ops import kpcn as _kp
-        method = "kpcn" if _kp.has_weights() else "nlm"
+        method = "nlm"
     if method == "kpcn":
         from raytracingproject_tpu.ops import kpcn as _kp
         rgb = _kp.kpcn_denoise(put(combined_rgba[..., :3]),

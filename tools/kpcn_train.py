@@ -50,7 +50,7 @@ def render_pair(name, res, spp_lo, spp_hi, chunk=64):
     pidx = py * W + px
 
     fn = jax.jit(lambda s, n: integ.render_samples_regen(
-        kg, px, py, pidx, s, n))
+        kg, px, py, pidx, s, n), static_argnums=1)
 
     def render(spp):
         L = np.zeros((H * W, 3), np.float32)
@@ -85,6 +85,10 @@ def main():
     ap.add_argument("--crop", type=int, default=64)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--data-cache", default="/tmp/kpcn_data.npz")
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--cosine", action="store_true")
+    ap.add_argument("--no-aug", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -98,12 +102,29 @@ def main():
     from raytracingproject_tpu.ops import denoise as dn
 
     print(f"backend={jax.default_backend()}", flush=True)
-    data = {n: render_pair(n, args.res, args.spp_lo, args.spp_hi)
-            for n in TRAIN_SCENES}
-    held = render_pair(HELD_OUT, args.res, args.spp_lo, args.spp_hi)
+    cache = args.data_cache
+    if cache and os.path.exists(cache):
+        z = np.load(cache)
+        names = list({k.split("/")[0] for k in z.files})
+        raw = {n: {f: z[f"{n}/{f}"]
+                   for f in ("lo", "hi", "albedo", "normal")}
+               for n in names}
+        data = {n: raw[n] for n in TRAIN_SCENES}
+        held = raw[HELD_OUT]
+        print(f"loaded cached data: {sorted(names)}", flush=True)
+    else:
+        data = {n: render_pair(n, args.res, args.spp_lo, args.spp_hi)
+                for n in TRAIN_SCENES}
+        held = render_pair(HELD_OUT, args.res, args.spp_lo, args.spp_hi)
+        if cache:
+            flat = {f"{n}/{f}": v for n, d in
+                    {**data, HELD_OUT: held}.items()
+                    for f, v in d.items()}
+            np.savez_compressed(cache, **flat)
 
     params = kpcn.init_params(seed=0)
-    opt = optax.adam(2e-3)
+    opt = optax.adam(optax.cosine_decay_schedule(args.lr, args.steps)
+                     if args.cosine else args.lr)
     opt_state = opt.init(params)
 
     def loss_fn(p, lo, alb, nrm, hi):
@@ -131,10 +152,19 @@ def main():
             y = rng.integers(0, args.res - c + 1)
             x = rng.integers(0, args.res - c + 1)
             sl = np.s_[y:y + c, x:x + c]
-            los.append(d["lo"][sl])
-            albs.append(d["albedo"][sl])
-            nrms.append(d["normal"][sl])
-            his.append(d["hi"][sl])
+            # dihedral augmentation (all channels transformed together
+            # — the net learns edge consistency between features and
+            # color, which rotations/flips preserve); 3 train scenes
+            # overfit without it (held-out MSE rose with train steps)
+            k = 0 if args.no_aug else rng.integers(8)
+
+            def aug(img, _k=k):
+                img = np.rot90(img, _k & 3, axes=(0, 1))
+                return img[:, ::-1] if _k & 4 else img
+            los.append(aug(d["lo"][sl]))
+            albs.append(aug(d["albedo"][sl]))
+            nrms.append(aug(d["normal"][sl]))
+            his.append(aug(d["hi"][sl]))
         params, opt_state, l = step(
             params, opt_state, jnp.asarray(np.stack(los)),
             jnp.asarray(np.stack(albs)), jnp.asarray(np.stack(nrms)),
